@@ -1,0 +1,173 @@
+"""Typed experiment configuration with YAML load + dotted CLI overrides.
+
+The reference drives experiments from per-experiment YAML files plus a few
+argparse flags (ref: src/retina_net/experiments/*.py, --yaml_path;
+SURVEY.md §5.6). The rebuild keeps the same knob surface (dataset, anchors,
+dropout rate, MC sample count, thresholds, schedule) but as frozen nested
+dataclasses: hashable, so they can be passed as static args to jit, and typed,
+so a misspelled YAML key fails loudly instead of silently training wrong.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, Optional, Tuple
+
+import yaml
+
+from bayesod_tpu.ops.anchors import AnchorConfig
+
+
+@dataclasses.dataclass(frozen=True)
+class ModelConfig:
+    """RetinaNet-with-variance-head architecture knobs (SURVEY.md §2 L4)."""
+
+    num_classes: int = 3  # foreground classes; background handled separately
+    backbone: str = "resnet50"
+    fpn_channels: int = 256
+    head_depth: int = 4
+    head_channels: int = 256
+    # MC-dropout site: interleaved in both subnet trunks (SURVEY.md §2
+    # "Classification subnet"), active at inference for sampling.
+    dropout_rate: float = 0.3
+    prior_prob: float = 0.01  # focal-loss final-bias init pi
+    norm: str = "batchnorm"  # "batchnorm" | "groupnorm"
+    compute_dtype: str = "bfloat16"  # conv/matmul dtype; stats stay fp32
+
+
+@dataclasses.dataclass(frozen=True)
+class BayesConfig:
+    """MC-dropout sampling + BayesOD post-processing knobs (paper §III)."""
+
+    num_mc_samples: int = 10
+    score_threshold: float = 0.5
+    pre_cluster_topk: int = 512  # static k kept after score preselect
+    affinity_threshold: float = 0.7  # IoU to join a cluster (paper §III.B)
+    max_detections: int = 100  # static cluster/output count
+    nms_iou_threshold: float = 0.5  # greedy-NMS baseline mode
+    mode: str = "bayes_od"  # "bayes_od" | "nms" | "single_pass_nms"
+    box_scale_factors: Tuple[float, float, float, float] = (1.0, 1.0, 1.0, 1.0)
+    cov_jitter: float = 1e-3  # fp32 jitter added before 4x4 precision inverse
+    log_var_clip: float = 10.0
+
+
+@dataclasses.dataclass(frozen=True)
+class DataConfig:
+    dataset: str = "kitti"  # "kitti" | "bdd" | "coco" | "synthetic"
+    data_dir: str = "data/kitti"
+    # Static padded shape; must divide 2^max_level (fixed shapes for XLA).
+    image_hw: Tuple[int, int] = (384, 1280)
+    max_gt_boxes: int = 64  # GT padded to fixed count per image
+    augment_flip: bool = True
+    mean: Tuple[float, float, float] = (0.485, 0.456, 0.406)
+    std: Tuple[float, float, float] = (0.229, 0.224, 0.225)
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    batch_size: int = 8  # global batch (sharded over the mesh data axis)
+    optimizer: str = "sgd"  # "sgd" | "adamw"
+    base_lr: float = 0.01
+    momentum: float = 0.9
+    weight_decay: float = 1e-4
+    warmup_steps: int = 500
+    total_steps: int = 90000
+    lr_decay_steps: Tuple[int, ...] = (60000, 80000)
+    lr_decay_factor: float = 0.1
+    focal_alpha: float = 0.25
+    focal_gamma: float = 2.0
+    # Anchor<->GT matching thresholds (canonical RetinaNet; SURVEY.md §2).
+    match_iou_positive: float = 0.5
+    match_iou_negative: float = 0.4
+    regression_weight: float = 1.0
+    grad_clip_norm: float = 10.0
+    checkpoint_every: int = 2500
+    checkpoint_dir: str = "data/outputs/default/checkpoints"
+    log_every: int = 100
+    seed: int = 0
+
+
+@dataclasses.dataclass(frozen=True)
+class MeshConfig:
+    """Device-mesh layout (no reference counterpart; SURVEY.md §5.8)."""
+
+    data_axis: str = "data"
+    sample_axis: str = "sample"
+    data_parallel: int = -1  # -1: all devices on the data axis
+    sample_parallel: int = 1  # shard MC samples across devices (serving mode)
+
+
+@dataclasses.dataclass(frozen=True)
+class ExperimentConfig:
+    name: str = "retinanet_kitti"
+    model: ModelConfig = ModelConfig()
+    anchors: AnchorConfig = AnchorConfig()
+    bayes: BayesConfig = BayesConfig()
+    data: DataConfig = DataConfig()
+    train: TrainConfig = TrainConfig()
+    mesh: MeshConfig = MeshConfig()
+
+
+_SECTIONS = {
+    "model": ModelConfig,
+    "anchors": AnchorConfig,
+    "bayes": BayesConfig,
+    "data": DataConfig,
+    "train": TrainConfig,
+    "mesh": MeshConfig,
+}
+
+
+def _coerce(field: dataclasses.Field, value: Any) -> Any:
+    """Coerce YAML/CLI values into the declared field type (lists->tuples)."""
+    if isinstance(value, list):
+        return tuple(value)
+    return value
+
+
+def _build_section(cls, overrides: Dict[str, Any]):
+    fields = {f.name: f for f in dataclasses.fields(cls)}
+    kwargs = {}
+    for key, value in overrides.items():
+        if key not in fields:
+            raise KeyError(f"unknown config key {cls.__name__}.{key}")
+        kwargs[key] = _coerce(fields[key], value)
+    return cls(**kwargs)
+
+
+def config_from_dict(raw: Dict[str, Any]) -> ExperimentConfig:
+    """Build an ExperimentConfig from a nested dict (YAML-shaped)."""
+    kwargs: Dict[str, Any] = {}
+    for key, value in raw.items():
+        if key in _SECTIONS:
+            kwargs[key] = _build_section(_SECTIONS[key], value or {})
+        elif key == "name":
+            kwargs["name"] = value
+        else:
+            raise KeyError(f"unknown config section '{key}'")
+    return ExperimentConfig(**kwargs)
+
+
+def load_config(yaml_path: str, overrides: Optional[Dict[str, Any]] = None):
+    """Load YAML config, then apply dotted `section.key=value` overrides."""
+    with open(yaml_path) as f:
+        raw = yaml.safe_load(f) or {}
+    for dotted, value in (overrides or {}).items():
+        section, _, key = dotted.partition(".")
+        if not key:
+            raw[section] = value
+        else:
+            raw.setdefault(section, {})[key] = value
+    return config_from_dict(raw)
+
+
+def config_to_dict(cfg: ExperimentConfig) -> Dict[str, Any]:
+    return dataclasses.asdict(cfg)
+
+
+def parse_override(text: str) -> Tuple[str, Any]:
+    """Parse a CLI `section.key=value` override, YAML-decoding the value."""
+    dotted, _, raw_value = text.partition("=")
+    if not raw_value:
+        raise ValueError(f"override '{text}' is not of the form key=value")
+    return dotted, yaml.safe_load(raw_value)
