@@ -1,0 +1,157 @@
+"""ResNet backbone (Flax linen), NHWC, bf16-compute / fp32-params.
+
+TPU-native rebuild of the reference's feature extractor
+(ref: src/retina_net/models/ — a stock Keras ResNet-50 producing C3/C4/C5 for
+the FPN; SURVEY.md §2 "ResNet-50 backbone"). Differences are deliberate and
+TPU-motivated:
+
+  * NHWC layout + bfloat16 conv compute: XLA's TPU conv emitter tiles NHWC
+    onto the MXU directly; parameters and normalization statistics stay fp32.
+  * Norm layer is selectable: BatchNorm (reference parity) or GroupNorm —
+    GroupNorm has no cross-device batch statistics, so data-parallel training
+    over a mesh needs no extra collectives on the norm path.
+  * No ImageNet weight loading: the environment has no network and weight
+    porting is out of scope (SURVEY.md §5.4); training is from scratch.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Dict, Sequence, Tuple
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+ModuleDef = Any
+
+STAGE_SIZES = {
+    "resnet18": (2, 2, 2, 2),
+    "resnet34": (3, 4, 6, 3),
+    "resnet50": (3, 4, 6, 3),
+    "resnet101": (3, 4, 23, 3),
+    "resnet152": (3, 8, 36, 3),
+}
+BOTTLENECK = {
+    "resnet18": False,
+    "resnet34": False,
+    "resnet50": True,
+    "resnet101": True,
+    "resnet152": True,
+}
+
+
+def make_norm(norm: str, dtype, train: bool) -> Callable[..., nn.Module]:
+    """Build a norm-layer constructor. fp32 statistics regardless of dtype."""
+    if norm == "batchnorm":
+        return lambda name=None: nn.BatchNorm(
+            use_running_average=not train,
+            momentum=0.9,
+            epsilon=1e-5,
+            dtype=dtype,
+            param_dtype=jnp.float32,
+            name=name,
+        )
+    if norm == "groupnorm":
+        return lambda name=None: nn.GroupNorm(
+            num_groups=32, epsilon=1e-5, dtype=dtype, param_dtype=jnp.float32,
+            name=name,
+        )
+    raise ValueError(f"unknown norm '{norm}'")
+
+
+class BottleneckBlock(nn.Module):
+    """1x1 -> 3x3 -> 1x1 bottleneck with projection shortcut when needed."""
+
+    features: int  # inner width; output is 4x
+    strides: int
+    norm: str
+    dtype: Any = jnp.bfloat16
+    train: bool = False
+
+    @nn.compact
+    def __call__(self, x):
+        norm = make_norm(self.norm, self.dtype, self.train)
+        conv = lambda f, k, s, name: nn.Conv(
+            f, (k, k), strides=(s, s), padding="SAME", use_bias=False,
+            dtype=self.dtype, param_dtype=jnp.float32,
+            kernel_init=nn.initializers.variance_scaling(2.0, "fan_out", "normal"),
+            name=name,
+        )
+        residual = x
+        y = nn.relu(norm(name="bn1")(conv(self.features, 1, 1, "conv1")(x)))
+        y = nn.relu(norm(name="bn2")(conv(self.features, 3, self.strides, "conv2")(y)))
+        y = norm(name="bn3")(conv(4 * self.features, 1, 1, "conv3")(y))
+        if residual.shape[-1] != y.shape[-1] or self.strides != 1:
+            residual = norm(name="bn_proj")(
+                conv(4 * self.features, 1, self.strides, "conv_proj")(residual)
+            )
+        return nn.relu(y + residual)
+
+
+class BasicBlock(nn.Module):
+    """3x3 -> 3x3 residual block (resnet18/34)."""
+
+    features: int
+    strides: int
+    norm: str
+    dtype: Any = jnp.bfloat16
+    train: bool = False
+
+    @nn.compact
+    def __call__(self, x):
+        norm = make_norm(self.norm, self.dtype, self.train)
+        conv = lambda f, k, s, name: nn.Conv(
+            f, (k, k), strides=(s, s), padding="SAME", use_bias=False,
+            dtype=self.dtype, param_dtype=jnp.float32,
+            kernel_init=nn.initializers.variance_scaling(2.0, "fan_out", "normal"),
+            name=name,
+        )
+        residual = x
+        y = nn.relu(norm(name="bn1")(conv(self.features, 3, self.strides, "conv1")(x)))
+        y = norm(name="bn2")(conv(self.features, 3, 1, "conv2")(y))
+        if residual.shape[-1] != y.shape[-1] or self.strides != 1:
+            residual = norm(name="bn_proj")(
+                conv(self.features, 1, self.strides, "conv_proj")(residual)
+            )
+        return nn.relu(y + residual)
+
+
+class ResNet(nn.Module):
+    """Backbone returning {'c3', 'c4', 'c5'} feature maps (strides 8/16/32)."""
+
+    variant: str = "resnet50"
+    norm: str = "batchnorm"
+    dtype: Any = jnp.bfloat16
+    train: bool = False
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> Dict[str, jnp.ndarray]:
+        stage_sizes = STAGE_SIZES[self.variant]
+        block_cls = BottleneckBlock if BOTTLENECK[self.variant] else BasicBlock
+        norm = make_norm(self.norm, self.dtype, self.train)
+
+        x = x.astype(self.dtype)
+        x = nn.Conv(
+            64, (7, 7), strides=(2, 2), padding="SAME", use_bias=False,
+            dtype=self.dtype, param_dtype=jnp.float32,
+            kernel_init=nn.initializers.variance_scaling(2.0, "fan_out", "normal"),
+            name="conv_stem",
+        )(x)
+        x = nn.relu(norm(name="bn_stem")(x))
+        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding="SAME")
+
+        outputs: Dict[str, jnp.ndarray] = {}
+        widths = (64, 128, 256, 512)
+        for stage, (num_blocks, width) in enumerate(zip(stage_sizes, widths)):
+            for block in range(num_blocks):
+                strides = 2 if (stage > 0 and block == 0) else 1
+                x = block_cls(
+                    features=width,
+                    strides=strides,
+                    norm=self.norm,
+                    dtype=self.dtype,
+                    train=self.train,
+                    name=f"stage{stage + 2}_block{block}",
+                )(x)
+            if stage >= 1:  # stages 3, 4, 5 -> strides 8, 16, 32
+                outputs[f"c{stage + 2}"] = x
+        return outputs
