@@ -1,0 +1,108 @@
+"""Bayesian box / category fusion over cluster measurement sets.
+
+Rebuild of the reference's fusion stage (SURVEY.md §2 "Bayesian box/category
+fusion"; arXiv:1903.03838 §III.B-C). Per cluster, treating members as
+independent measurements of one object:
+
+  box (Gaussian, conjugate):
+      Lambda_f = sum_i Lambda_i,     Lambda_i = Sigma_i^{-1}
+      mu_f     = Lambda_f^{-1} sum_i Lambda_i mu_i
+      Sigma_f  = Lambda_f^{-1}
+  category (Dirichlet-categorical, conjugate):
+      p_f(c) proportional to p0(c) * prod_i p_i(c)
+      i.e. fused logits = log p0 + sum_i log p_i  -> softmax
+
+The reference loops over clusters in host Python; here both fusions are masked
+einsum contractions over the full [D, K] membership matrix — fixed shapes,
+fp32 islands for the 4x4 inverses (SURVEY.md §7 hard part (b)), one XLA
+fusion. Batched 4x4 inverses go through an explicit cofactor solve adjoint to
+`jnp.linalg.inv` being lowered poorly for tiny matrices on TPU.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import jax.scipy.linalg
+
+from bayesod_tpu.bayes.clustering import Clusters
+
+
+class FusedDetections(NamedTuple):
+    boxes: jnp.ndarray  # [D, 4] fused corner boxes
+    covs: jnp.ndarray  # [D, 4, 4] fused covariances
+    probs: jnp.ndarray  # [D, C+1] fused categorical incl. background
+    scores: jnp.ndarray  # [D] max foreground probability
+    entropy: jnp.ndarray  # [D] categorical entropy (nats)
+    valid: jnp.ndarray  # [D] bool
+
+
+def _sym(m: jnp.ndarray) -> jnp.ndarray:
+    return 0.5 * (m + jnp.swapaxes(m, -1, -2))
+
+
+def inv4x4_psd(m: jnp.ndarray, jitter: float = 0.0) -> jnp.ndarray:
+    """Batched fp32 inverse of symmetric PD 4x4 matrices via Cholesky solve.
+
+    `jitter` * I is added first; keeps the hot path off lapack-style generic
+    inverses (tiny-matrix lax.linalg lowers to unbatched loops on some
+    backends; cho_solve stays fused and is numerically the right tool for PD
+    precision/covariance matrices).
+    """
+    m = _sym(m.astype(jnp.float32)) + jitter * jnp.eye(4, dtype=jnp.float32)
+    chol = jnp.linalg.cholesky(m)
+    eye = jnp.broadcast_to(jnp.eye(4, dtype=jnp.float32), m.shape)
+    inv = jax.scipy.linalg.cho_solve((chol, True), eye)
+    return _sym(inv)
+
+
+def fuse_clusters(
+    clusters: Clusters,
+    boxes: jnp.ndarray,
+    covs: jnp.ndarray,
+    probs: jnp.ndarray,
+    cov_jitter: float = 1e-3,
+    prior_logits: Optional[jnp.ndarray] = None,
+    eps: float = 1e-12,
+) -> FusedDetections:
+    """Fuse per-anchor posteriors into per-cluster detections.
+
+    Args:
+      clusters: membership [D, K] (+ validity) from iou_affinity_clustering.
+                For greedy-NMS membership rows hold only the center, in which
+                case fusion reduces to identity on the center's posterior.
+      boxes: [K, 4] per-candidate mean boxes (corner space, fp32).
+      covs:  [K, 4, 4] per-candidate total covariances.
+      probs: [K, C+1] per-candidate mean categoricals (background = class 0).
+      prior_logits: optional [C+1] informative category prior (log space);
+                None = uniform (non-informative), the reference default.
+    """
+    m = clusters.membership.astype(jnp.float32)  # [D, K]
+
+    # --- Gaussian fusion ----------------------------------------------------
+    precisions = inv4x4_psd(covs, jitter=cov_jitter)  # [K, 4, 4]
+    eta = jnp.einsum("kij,kj->ki", precisions, boxes.astype(jnp.float32))
+    lam_f = jnp.einsum("dk,kij->dij", m, precisions)  # [D, 4, 4]
+    eta_f = jnp.einsum("dk,ki->di", m, eta)  # [D, 4]
+    # Empty clusters have Lambda_f = 0; the jitter keeps the solve finite and
+    # `valid` masks them out downstream.
+    sigma_f = inv4x4_psd(lam_f, jitter=cov_jitter)
+    mu_f = jnp.einsum("dij,dj->di", sigma_f, eta_f)
+
+    # --- Dirichlet/categorical fusion ----------------------------------------
+    logp = jnp.log(jnp.maximum(probs.astype(jnp.float32), eps))  # [K, C+1]
+    fused_logits = jnp.einsum("dk,kc->dc", m, logp)
+    if prior_logits is not None:
+        fused_logits = fused_logits + prior_logits[None, :].astype(jnp.float32)
+    p_f = jax.nn.softmax(fused_logits, axis=-1)
+
+    scores = jnp.max(p_f[:, 1:], axis=-1)
+    entropy = -jnp.sum(p_f * jnp.log(jnp.maximum(p_f, eps)), axis=-1)
+    valid = clusters.valid & (jnp.sum(m, axis=-1) > 0)
+    return FusedDetections(
+        boxes=mu_f, covs=sigma_f, probs=p_f,
+        scores=jnp.where(valid, scores, 0.0),
+        entropy=entropy, valid=valid,
+    )

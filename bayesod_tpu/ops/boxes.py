@@ -140,10 +140,12 @@ def decode_jacobian_diag(
     """
     boxes_c, anch_c = _decode_centroid(deltas, anchors, scale_factors)
     sx, sy, sw, sh = scale_factors
+    # anchors may broadcast against a leading sample axis on deltas.
+    ones = jnp.ones_like(boxes_c[..., 2])
     return jnp.stack(
         [
-            anch_c[..., 2] / sx,
-            anch_c[..., 3] / sy,
+            anch_c[..., 2] / sx * ones,
+            anch_c[..., 3] / sy * ones,
             boxes_c[..., 2] / sw,
             boxes_c[..., 3] / sh,
         ],
