@@ -1,0 +1,167 @@
+"""End-to-end BayesOD detector: ONE jit graph from image batch to detections.
+
+Rebuild of the reference's inference driver
+(ref: src/retina_net/experiments/run_inference.py; SURVEY.md §3.2): the
+reference runs N forward passes in host Python, aggregates moments in NumPy,
+then clusters/fuses on host per image. Here the whole path — MC sampling,
+candidate preselection, moment aggregation, IoU-affinity clustering, Bayesian
+fusion — is a single fixed-shape XLA program per image in the batch:
+
+  images [B,H,W,3]
+    -> mc_forward (trunk once, heads vmapped over N dropout rngs)
+    -> per-anchor mean scores -> masked static top-k preselect (k << A)
+    -> MC box moments on the k candidates only (fp32 islands)
+    -> greedy IoU-affinity clustering (static trip count D)
+    -> precision-weighted Gaussian + Dirichlet fusion
+    -> Detections(boxes [B,D,4], covs [B,D,4,4], probs [B,D,C+1], ...)
+
+Post-processing modes (SURVEY.md §2 "Baseline post-processing modes"):
+  * "bayes_od"        — MC sampling + clustering + Bayesian fusion (flagship)
+  * "nms"             — MC sampling + greedy NMS (mean boxes, no fusion)
+  * "single_pass_nms" — one deterministic pass + greedy NMS (vanilla RetinaNet)
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from bayesod_tpu.bayes import clustering as clus
+from bayesod_tpu.bayes import fusion as fus
+from bayesod_tpu.bayes import moments as mom
+from bayesod_tpu.models.retinanet import RetinaNet, mc_forward, single_forward
+from bayesod_tpu.ops import anchors as anchor_ops
+from bayesod_tpu.ops import boxes as box_ops
+from bayesod_tpu.utils.config import ExperimentConfig
+
+
+class Detections(NamedTuple):
+    """Fixed-shape per-image detection sets (D = bayes.max_detections)."""
+
+    boxes: jnp.ndarray  # [B, D, 4] corner boxes, pixel space
+    covs: jnp.ndarray  # [B, D, 4, 4] full corner-space covariance
+    probs: jnp.ndarray  # [B, D, C+1] categorical incl. background (class 0)
+    scores: jnp.ndarray  # [B, D] max foreground probability
+    entropy: jnp.ndarray  # [B, D] categorical entropy (nats)
+    classes: jnp.ndarray  # [B, D] int32 argmax foreground class (1-based)
+    valid: jnp.ndarray  # [B, D] bool
+
+
+def _preselect(
+    probs: jnp.ndarray, k: int, score_threshold: float
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Static top-k candidate selection by max foreground probability.
+
+    probs: [A, C+1] mean categorical per anchor. Returns (idx [k], valid [k]).
+    Fixed-shape replacement for the reference's boolean-mask preselect
+    (SURVEY.md §7 step 4): top-k always returns k indices; candidates below
+    the score threshold are carried along but masked invalid.
+    """
+    fg = jnp.max(probs[:, 1:], axis=-1)  # [A]
+    top_scores, idx = jax.lax.top_k(fg, k)
+    return idx, top_scores >= score_threshold
+
+
+def _postprocess_single(
+    logits: jnp.ndarray,  # [N, A, C+1] (N=1 for single-pass mode)
+    deltas: jnp.ndarray,  # [N, A, 4]
+    log_vars: jnp.ndarray,  # [N, A, 4]
+    anchors: jnp.ndarray,  # [A, 4]
+    cfg: ExperimentConfig,
+) -> fus.FusedDetections:
+    """Shared per-image post-processing; runs inside jit/vmap."""
+    bayes = cfg.bayes
+    probs_all = mom.mean_categorical(logits)  # [A, C+1]
+    idx, valid = _preselect(probs_all, bayes.pre_cluster_topk, bayes.score_threshold)
+
+    # Gather the k candidates' per-sample raw outputs, then aggregate moments
+    # on k anchors instead of all ~100k (SURVEY.md §7 step 4).
+    cand = mom.aggregate(
+        logits[:, idx],
+        deltas[:, idx],
+        log_vars[:, idx],
+        anchors[idx],
+        bayes.box_scale_factors,
+        bayes.log_var_clip,
+    )
+    boxes_px = box_ops.clip_boxes(cand.boxes, cfg.data.image_hw)
+    scores = jnp.max(cand.probs[:, 1:], axis=-1)
+
+    if bayes.mode == "bayes_od":
+        groups = clus.iou_affinity_clustering(
+            boxes_px, scores, valid, bayes.affinity_threshold, bayes.max_detections
+        )
+    else:
+        groups = clus.greedy_nms(
+            boxes_px, scores, valid, bayes.nms_iou_threshold, bayes.max_detections
+        )
+    return fus.fuse_clusters(
+        groups, boxes_px, cand.covs, cand.probs, cov_jitter=bayes.cov_jitter
+    )
+
+
+def _as_detections(f: fus.FusedDetections, image_hw) -> Detections:
+    boxes = box_ops.clip_boxes(f.boxes, image_hw)
+    classes = (jnp.argmax(f.probs[..., 1:], axis=-1) + 1).astype(jnp.int32)
+    return Detections(
+        boxes=boxes,
+        covs=f.covs,
+        probs=f.probs,
+        scores=f.scores,
+        entropy=f.entropy,
+        classes=jnp.where(f.valid, classes, 0),
+        valid=f.valid,
+    )
+
+
+def build_detect_fn(cfg: ExperimentConfig, model: Optional[RetinaNet] = None):
+    """Build `(variables, images [B,H,W,3], rng) -> Detections`, jittable.
+
+    The returned function closes over static config + trace-time anchor
+    constants; it contains no host round-trips (SURVEY.md §7 step 5, the
+    minimum slice) and is the unit `bench.py` times.
+    """
+    if cfg.bayes.mode not in ("bayes_od", "nms", "single_pass_nms"):
+        raise ValueError(
+            f"unknown post-processing mode '{cfg.bayes.mode}' "
+            "(expected bayes_od | nms | single_pass_nms)"
+        )
+    model = model or RetinaNet(cfg=cfg.model, train=False)
+    anchors = anchor_ops.generate_anchors(cfg.data.image_hw, cfg.anchors)
+    n_mc = cfg.bayes.num_mc_samples
+    single_pass = cfg.bayes.mode == "single_pass_nms"
+
+    def detect(variables, images: jnp.ndarray, rng: jax.Array) -> Detections:
+        if tuple(images.shape[1:3]) != tuple(cfg.data.image_hw):
+            # Trace-time guard: a transposed H/W still yields the same anchor
+            # count (h*w commutes), so without this the graph runs and emits
+            # garbage boxes against a mismatched anchor grid.
+            raise ValueError(
+                f"images {images.shape[1:3]} != config image_hw {cfg.data.image_hw}"
+            )
+        if single_pass:
+            logits, deltas, log_vars = single_forward(model, variables, images)
+            logits, deltas, log_vars = (
+                logits[None],
+                deltas[None],
+                log_vars[None],
+            )  # fake N=1 sample axis
+        else:
+            logits, deltas, log_vars = mc_forward(
+                model, variables, images, rng, n_mc
+            )  # [N, B, A, .]
+
+        # vmap the per-image post-processing over the batch axis.
+        per_image = functools.partial(_postprocess_single, anchors=anchors, cfg=cfg)
+        fused = jax.vmap(per_image, in_axes=(1, 1, 1))(logits, deltas, log_vars)
+        return _as_detections(fused, cfg.data.image_hw)
+
+    return detect
+
+
+def jit_detect_fn(cfg: ExperimentConfig, model: Optional[RetinaNet] = None):
+    """`build_detect_fn` wrapped in jax.jit (variables/images/rng traced)."""
+    return jax.jit(build_detect_fn(cfg, model))

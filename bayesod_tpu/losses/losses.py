@@ -1,0 +1,107 @@
+"""Training objectives: categorical focal loss + NLL loss attenuation.
+
+Rebuild of the reference's two losses (SURVEY.md §2 "Focal loss" and
+"Regression NLL"; arXiv:1903.03838 §III.A):
+
+  * Focal loss on the softmax categorical INCLUDING background (BayesOD fuses
+    full categoricals, so the classifier is softmax-(C+1), not canonical
+    RetinaNet's per-class sigmoid):
+        FL = -alpha_t * (1 - p_t)^gamma * log(p_t)
+    with alpha_t = alpha for foreground targets, (1 - alpha) for background,
+    normalized by the positive-anchor count; ignored anchors masked out.
+
+  * Loss-attenuated regression NLL (Kendall & Gal) on positive anchors, per
+    coordinate in encoded space with s = log sigma^2:
+        l2:    0.5 * exp(-s) * (y - mu)^2       + 0.5 * s
+        huber: exp(-s) * smooth_l1(y - mu)      + 0.5 * s
+    which trains the aleatoric variance head with no variance labels.
+
+All reductions are masked fixed-shape jnp ops in fp32 — they sit inside the
+jit train step next to the model (the reference computes them eagerly in TF).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from bayesod_tpu.losses.targets import AnchorTargets
+
+
+def focal_loss(
+    logits: jnp.ndarray,
+    targets: AnchorTargets,
+    alpha: float = 0.25,
+    gamma: float = 2.0,
+) -> jnp.ndarray:
+    """Categorical focal loss, summed and normalized by #positives.
+
+    logits: [..., A, C+1]; targets fields broadcast as [..., A].
+    """
+    logits = logits.astype(jnp.float32)
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    tgt = targets.class_targets
+    logp_t = jnp.take_along_axis(logp, tgt[..., None], axis=-1)[..., 0]
+    p_t = jnp.exp(logp_t)
+    alpha_t = jnp.where(tgt > 0, alpha, 1.0 - alpha)
+    per_anchor = -alpha_t * (1.0 - p_t) ** gamma * logp_t
+    per_anchor = jnp.where(targets.ignored, 0.0, per_anchor)
+    num_pos = jnp.maximum(jnp.sum(targets.positive.astype(jnp.float32)), 1.0)
+    return jnp.sum(per_anchor) / num_pos
+
+
+def _huber(x: jnp.ndarray, delta: float = 1.0 / 9.0) -> jnp.ndarray:
+    absx = jnp.abs(x)
+    quad = 0.5 * x * x / delta
+    return jnp.where(absx < delta, quad, absx - 0.5 * delta)
+
+
+def attenuated_regression_loss(
+    deltas: jnp.ndarray,
+    log_vars: jnp.ndarray,
+    targets: AnchorTargets,
+    residual: str = "l2",
+    log_var_clip: float = 10.0,
+) -> jnp.ndarray:
+    """Aleatoric NLL on positive anchors, normalized by #positives.
+
+    deltas/log_vars: [..., A, 4] predictions in encoded space.
+    """
+    deltas = deltas.astype(jnp.float32)
+    s = jnp.clip(log_vars.astype(jnp.float32), -log_var_clip, log_var_clip)
+    err = targets.box_targets - deltas
+    if residual == "l2":
+        per_coord = 0.5 * jnp.exp(-s) * err * err + 0.5 * s
+    elif residual == "huber":
+        per_coord = jnp.exp(-s) * _huber(err) + 0.5 * s
+    else:
+        raise ValueError(f"unknown residual '{residual}'")
+    per_anchor = jnp.sum(per_coord, axis=-1)
+    per_anchor = jnp.where(targets.positive, per_anchor, 0.0)
+    num_pos = jnp.maximum(jnp.sum(targets.positive.astype(jnp.float32)), 1.0)
+    return jnp.sum(per_anchor) / num_pos
+
+
+def detection_loss(
+    logits: jnp.ndarray,
+    deltas: jnp.ndarray,
+    log_vars: jnp.ndarray,
+    targets: AnchorTargets,
+    alpha: float = 0.25,
+    gamma: float = 2.0,
+    regression_weight: float = 1.0,
+    residual: str = "l2",
+) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
+    """Total loss and a metrics dict (SURVEY.md §3.1 train_step objective)."""
+    cls = focal_loss(logits, targets, alpha, gamma)
+    reg = attenuated_regression_loss(deltas, log_vars, targets, residual)
+    total = cls + regression_weight * reg
+    metrics = {
+        "loss": total,
+        "loss_cls": cls,
+        "loss_reg": reg,
+        "num_positive": jnp.sum(targets.positive.astype(jnp.float32)),
+    }
+    return total, metrics

@@ -1,0 +1,129 @@
+"""End-to-end detect() tests on a tiny config (SURVEY.md §7 step 5 slice).
+
+Uses a small image + resnet18 so CPU compile time stays sane; the graph shape
+is identical to the flagship config (same ops, smaller sizes).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from bayesod_tpu.infer import build_detect_fn, jit_detect_fn
+from bayesod_tpu.models.retinanet import RetinaNet, init_variables
+from bayesod_tpu.utils.config import (
+    BayesConfig,
+    DataConfig,
+    ExperimentConfig,
+    ModelConfig,
+)
+
+
+def tiny_config(mode="bayes_od", num_mc=4):
+    return ExperimentConfig(
+        name="tiny",
+        model=ModelConfig(
+            num_classes=3,
+            backbone="resnet18",
+            fpn_channels=32,
+            head_depth=1,
+            head_channels=32,
+            norm="groupnorm",
+            compute_dtype="float32",
+        ),
+        bayes=BayesConfig(
+            num_mc_samples=num_mc,
+            score_threshold=0.0,  # random weights -> keep everything
+            pre_cluster_topk=32,
+            max_detections=8,
+            mode=mode,
+        ),
+        data=DataConfig(dataset="synthetic", image_hw=(128, 128)),
+    )
+
+
+@pytest.fixture(scope="module")
+def tiny_model_and_vars():
+    cfg = tiny_config()
+    model = RetinaNet(cfg=cfg.model, train=False)
+    variables = init_variables(model, jax.random.PRNGKey(0), cfg.data.image_hw)
+    return cfg, model, variables
+
+
+class TestDetectEndToEnd:
+    def test_shapes_and_finiteness(self, tiny_model_and_vars):
+        cfg, model, variables = tiny_model_and_vars
+        detect = jit_detect_fn(cfg, model)
+        images = jnp.zeros((2, 128, 128, 3), jnp.float32)
+        out = detect(variables, images, jax.random.PRNGKey(1))
+        d = cfg.bayes.max_detections
+        assert out.boxes.shape == (2, d, 4)
+        assert out.covs.shape == (2, d, 4, 4)
+        assert out.probs.shape == (2, d, 4)  # 3 classes + background
+        assert out.scores.shape == (2, d)
+        assert out.entropy.shape == (2, d)
+        assert out.classes.shape == (2, d)
+        assert out.valid.shape == (2, d)
+        for field in (out.boxes, out.covs, out.probs, out.scores, out.entropy):
+            assert bool(jnp.all(jnp.isfinite(field)))
+
+    def test_probs_normalized_and_boxes_clipped(self, tiny_model_and_vars):
+        cfg, model, variables = tiny_model_and_vars
+        detect = jit_detect_fn(cfg, model)
+        images = jnp.ones((1, 128, 128, 3), jnp.float32) * 0.5
+        out = detect(variables, images, jax.random.PRNGKey(2))
+        sums = np.array(jnp.sum(out.probs, axis=-1))
+        np.testing.assert_allclose(sums, 1.0, atol=1e-4)
+        h, w = cfg.data.image_hw
+        b = np.array(out.boxes)
+        assert (b[..., 0] >= 0).all() and (b[..., 2] <= w).all()
+        assert (b[..., 1] >= 0).all() and (b[..., 3] <= h).all()
+
+    def test_covariances_symmetric_psd(self, tiny_model_and_vars):
+        cfg, model, variables = tiny_model_and_vars
+        detect = jit_detect_fn(cfg, model)
+        images = jnp.ones((1, 128, 128, 3), jnp.float32)
+        out = detect(variables, images, jax.random.PRNGKey(3))
+        covs = np.array(out.covs[0])
+        valid = np.array(out.valid[0])
+        for c, v in zip(covs, valid):
+            if not v:
+                continue
+            np.testing.assert_allclose(c, c.T, atol=1e-4)
+            eig = np.linalg.eigvalsh(c)
+            assert (eig > -1e-3).all(), eig
+
+    def test_deterministic_given_rng(self, tiny_model_and_vars):
+        cfg, model, variables = tiny_model_and_vars
+        detect = jit_detect_fn(cfg, model)
+        images = jnp.ones((1, 128, 128, 3), jnp.float32)
+        o1 = detect(variables, images, jax.random.PRNGKey(7))
+        o2 = detect(variables, images, jax.random.PRNGKey(7))
+        np.testing.assert_allclose(np.array(o1.boxes), np.array(o2.boxes))
+        np.testing.assert_allclose(np.array(o1.probs), np.array(o2.probs))
+
+    def test_mc_samples_differ_across_rng(self, tiny_model_and_vars):
+        cfg, model, variables = tiny_model_and_vars
+        detect = jit_detect_fn(cfg, model)
+        images = jnp.ones((1, 128, 128, 3), jnp.float32)
+        o1 = detect(variables, images, jax.random.PRNGKey(7))
+        o2 = detect(variables, images, jax.random.PRNGKey(8))
+        # Dropout sampling must actually happen: outputs differ across rngs.
+        assert not np.allclose(np.array(o1.probs), np.array(o2.probs))
+
+    def test_nms_mode_runs(self, tiny_model_and_vars):
+        cfg, model, variables = tiny_model_and_vars
+        cfg_nms = tiny_config(mode="nms")
+        detect = jit_detect_fn(cfg_nms, model)
+        images = jnp.ones((1, 128, 128, 3), jnp.float32)
+        out = detect(variables, images, jax.random.PRNGKey(1))
+        assert bool(jnp.all(jnp.isfinite(out.boxes)))
+
+    def test_single_pass_mode_ignores_rng(self, tiny_model_and_vars):
+        cfg, model, variables = tiny_model_and_vars
+        cfg_sp = tiny_config(mode="single_pass_nms")
+        detect = jit_detect_fn(cfg_sp, model)
+        images = jnp.ones((1, 128, 128, 3), jnp.float32)
+        o1 = detect(variables, images, jax.random.PRNGKey(1))
+        o2 = detect(variables, images, jax.random.PRNGKey(2))
+        np.testing.assert_allclose(np.array(o1.boxes), np.array(o2.boxes))
