@@ -1,0 +1,91 @@
+"""BDD100K 2D detection dataset handler.
+
+Rebuild of the reference's BDD handler (SURVEY.md §2 "BDD100K dataset
+handler"; ref: src/retina_net/datasets/ bdd module): parses the official
+label JSON (`bdd100k_labels_images_{train,val}.json` — a list of per-image
+records with `labels[].category` and `labels[].box2d{x1,y1,x2,y2}`), 10
+foreground classes, 1280x720 JPEGs under `images/100k/<split>/`.
+
+Host-side numpy only; fixed-shape device preprocessing is shared with KITTI
+(data/preprocess.py).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Dict, List, Sequence, Tuple
+
+import numpy as np
+
+BDD_CLASSES: Tuple[str, ...] = (
+    "car",
+    "bus",
+    "truck",
+    "person",
+    "rider",
+    "bike",
+    "motor",
+    "traffic light",
+    "traffic sign",
+    "train",
+)
+BDD_CLASS_TO_ID: Dict[str, int] = {n: i + 1 for i, n in enumerate(BDD_CLASSES)}
+
+
+class BddDataset:
+    """Index over one BDD100K split.
+
+    Layout (reference convention):
+      <root>/labels/bdd100k_labels_images_<split>.json
+      <root>/images/100k/<split>/<name>.jpg
+    """
+
+    def __init__(self, root: str, split: str = "train"):
+        self.root = root
+        self.split = split
+        labels_path = os.path.join(
+            root, "labels", f"bdd100k_labels_images_{split}.json"
+        )
+        with open(labels_path) as f:
+            self.records: List[dict] = json.load(f)
+        self.image_dir = os.path.join(root, "images", "100k", split)
+
+    def __len__(self) -> int:
+        return len(self.records)
+
+    @property
+    def num_classes(self) -> int:
+        return len(BDD_CLASSES)
+
+    @property
+    def class_names(self) -> Sequence[str]:
+        return BDD_CLASSES
+
+    def image_path(self, index: int) -> str:
+        return os.path.join(self.image_dir, self.records[index]["name"])
+
+    def example(self, index: int) -> Dict[str, np.ndarray]:
+        """dict(image uint8 [H,W,3], boxes fp32 [G,4], classes int32 [G], id)."""
+        from PIL import Image
+
+        rec = self.records[index]
+        boxes, classes = [], []
+        for label in rec.get("labels", []):
+            cid = BDD_CLASS_TO_ID.get(label.get("category", ""))
+            box2d = label.get("box2d")
+            if cid is None or box2d is None:
+                continue
+            boxes.append([box2d["x1"], box2d["y1"], box2d["x2"], box2d["y2"]])
+            classes.append(cid)
+        image = np.asarray(Image.open(self.image_path(index)).convert("RGB"))
+        return {
+            "image": image,
+            "boxes": (
+                np.asarray(boxes, np.float32)
+                if boxes
+                else np.zeros((0, 4), np.float32)
+            ),
+            "classes": np.asarray(classes, np.int32),
+            "id": os.path.splitext(rec["name"])[0],
+        }

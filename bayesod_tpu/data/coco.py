@@ -1,0 +1,81 @@
+"""COCO 2D detection dataset handler.
+
+No confirmed reference counterpart (SURVEY.md §2 notes COCO likely absent from
+the reference, recalled BDD+KITTI only), but BASELINE.json config #4 requires
+"COCO-scale eval: vmap MC samples x data-parallel images across a TPU mesh",
+so the framework ships a handler with the same protocol as KittiDataset /
+BddDataset. Parses the standard instances_<split>.json annotation format
+without a pycocotools dependency (pure json + dict indexing).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Dict, List, Sequence
+
+import numpy as np
+
+
+class CocoDataset:
+    """Index over a COCO-format detection split.
+
+    Layout:
+      <root>/annotations/instances_<split>.json
+      <root>/<split>/<file_name>
+    """
+
+    def __init__(self, root: str, split: str = "train2017"):
+        self.root = root
+        self.split = split
+        path = os.path.join(root, "annotations", f"instances_{split}.json")
+        with open(path) as f:
+            raw = json.load(f)
+        # Category ids are sparse in COCO; remap to contiguous 1..C.
+        cats = sorted(raw["categories"], key=lambda c: c["id"])
+        self._cat_remap = {c["id"]: i + 1 for i, c in enumerate(cats)}
+        self._class_names = tuple(c["name"] for c in cats)
+        self.images: List[dict] = raw["images"]
+        self._annos_by_image: Dict[int, List[dict]] = {}
+        for a in raw["annotations"]:
+            if a.get("iscrowd", 0):
+                continue
+            self._annos_by_image.setdefault(a["image_id"], []).append(a)
+
+    def __len__(self) -> int:
+        return len(self.images)
+
+    @property
+    def num_classes(self) -> int:
+        return len(self._class_names)
+
+    @property
+    def class_names(self) -> Sequence[str]:
+        return self._class_names
+
+    def image_path(self, index: int) -> str:
+        return os.path.join(self.root, self.split, self.images[index]["file_name"])
+
+    def example(self, index: int) -> Dict[str, np.ndarray]:
+        from PIL import Image
+
+        info = self.images[index]
+        annos = self._annos_by_image.get(info["id"], [])
+        boxes, classes = [], []
+        for a in annos:
+            x, y, w, h = a["bbox"]  # COCO xywh -> corners
+            if w <= 0 or h <= 0:
+                continue
+            boxes.append([x, y, x + w, y + h])
+            classes.append(self._cat_remap[a["category_id"]])
+        image = np.asarray(Image.open(self.image_path(index)).convert("RGB"))
+        return {
+            "image": image,
+            "boxes": (
+                np.asarray(boxes, np.float32)
+                if boxes
+                else np.zeros((0, 4), np.float32)
+            ),
+            "classes": np.asarray(classes, np.int32),
+            "id": str(info["id"]),
+        }

@@ -1,0 +1,78 @@
+"""Device mesh + sharding layouts (no reference counterpart — the reference
+is single-GPU; SURVEY.md §2 "Parallelism strategies" and §5.8).
+
+Two mesh axes cover this workload:
+
+  * `data`   — batch-parallel images. Gradient all-reduce and sync-BN means
+               ride ICI via GSPMD-inserted collectives; nothing manual.
+  * `sample` — MC-dropout samples. Default 1 (samples stay in-chip under
+               vmap, which XLA batches onto the MXU); >1 shards the vmapped
+               sample axis across devices for latency-oriented serving of a
+               single image (BASELINE.json:10 "vmap MC samples x
+               data-parallel images across a TPU mesh").
+
+All entry points take explicit mesh/sharding arguments — nothing global, so
+tests can build an 8-device virtual CPU mesh and production a v5e slice with
+the same code path.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from bayesod_tpu.utils.config import MeshConfig
+
+
+def make_mesh(
+    mesh_cfg: MeshConfig, devices: Optional[Sequence[jax.Device]] = None
+) -> Mesh:
+    """Build the (data, sample) mesh over the available devices."""
+    devices = list(devices if devices is not None else jax.devices())
+    n = len(devices)
+    sp = max(1, mesh_cfg.sample_parallel)
+    dp = mesh_cfg.data_parallel
+    if dp == -1:
+        if n % sp:
+            raise ValueError(f"{n} devices not divisible by sample_parallel={sp}")
+        dp = n // sp
+    if dp * sp != n:
+        raise ValueError(
+            f"mesh {dp}x{sp} != {n} devices (data_parallel x sample_parallel)"
+        )
+    arr = np.asarray(devices).reshape(dp, sp)
+    return Mesh(arr, (mesh_cfg.data_axis, mesh_cfg.sample_axis))
+
+
+def batch_sharding(mesh: Mesh, mesh_cfg: MeshConfig) -> NamedSharding:
+    """Batch dict arrays: leading batch axis split over `data`."""
+    return NamedSharding(mesh, P(mesh_cfg.data_axis))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    """Model/optimizer state: replicated (ResNet-50 fits in HBM many times
+    over; TP would only add collectives — SURVEY.md §2 'N/A: TP/PP/EP')."""
+    return NamedSharding(mesh, P())
+
+
+def sample_sharding(mesh: Mesh, mesh_cfg: MeshConfig) -> NamedSharding:
+    """[N_mc, ...] arrays: MC-sample axis split over `sample` (serving)."""
+    return NamedSharding(mesh, P(mesh_cfg.sample_axis))
+
+
+def shard_batch(batch: Dict, mesh: Mesh, mesh_cfg: MeshConfig) -> Dict:
+    """device_put a loader batch with the data-parallel layout (overlaps the
+    H2D copy of the next batch with compute on the current one)."""
+    sharding = batch_sharding(mesh, mesh_cfg)
+    return jax.tree_util.tree_map(
+        lambda x: jax.device_put(x, sharding), batch
+    )
+
+
+def replicate_state(state, mesh: Mesh):
+    """device_put the train state fully replicated over the mesh."""
+    rep = replicated(mesh)
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, rep), state)

@@ -1,0 +1,22 @@
+"""Training subsystem: state, jit step, Orbax checkpoints, driver loop
+(SURVEY.md §2 "Trainer", §3.1, §5.4)."""
+
+from bayesod_tpu.train.checkpoint import CheckpointManager
+from bayesod_tpu.train.state import (
+    TrainState,
+    create_train_state,
+    make_lr_schedule,
+    make_optimizer,
+)
+from bayesod_tpu.train.step import build_train_step
+from bayesod_tpu.train.trainer import train
+
+__all__ = [
+    "CheckpointManager",
+    "TrainState",
+    "build_train_step",
+    "create_train_state",
+    "make_lr_schedule",
+    "make_optimizer",
+    "train",
+]

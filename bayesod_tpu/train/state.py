@@ -1,0 +1,84 @@
+"""Train state: parameters + optimizer + BN statistics + RNG, one pytree.
+
+Counterpart of the reference's tf.train.Checkpoint contents (SURVEY.md §5.4:
+model variables + optimizer slots + step). A single flax PyTreeNode keeps the
+whole thing shardable with one NamedSharding map and serializable with one
+Orbax call.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+import optax
+
+
+class TrainState(flax.struct.PyTreeNode):
+    step: jnp.ndarray  # scalar int32
+    params: Any
+    batch_stats: Any  # empty dict when norm != batchnorm
+    opt_state: optax.OptState
+    rng: jax.Array  # carried PRNG key (dropout + augmentation)
+
+    def variables(self) -> Dict[str, Any]:
+        v = {"params": self.params}
+        if self.batch_stats:
+            v["batch_stats"] = self.batch_stats
+        return v
+
+
+def make_lr_schedule(train_cfg) -> optax.Schedule:
+    """Linear warmup -> piecewise step decay (reference-style schedule,
+    SURVEY.md §2 "Trainer": step-decay; exact values YAML-configurable)."""
+    boundaries = {
+        int(s): train_cfg.lr_decay_factor for s in train_cfg.lr_decay_steps
+    }
+    decay = optax.piecewise_constant_schedule(train_cfg.base_lr, boundaries)
+    if train_cfg.warmup_steps <= 0:
+        return decay
+
+    def schedule(step):
+        warm = train_cfg.base_lr * (step + 1) / train_cfg.warmup_steps
+        return jnp.where(
+            step < train_cfg.warmup_steps, warm, decay(step)
+        )
+
+    return schedule
+
+
+def make_optimizer(train_cfg) -> optax.GradientTransformation:
+    """SGD+momentum (reference default) or AdamW, with grad clipping."""
+    lr = make_lr_schedule(train_cfg)
+    if train_cfg.optimizer == "sgd":
+        opt = optax.chain(
+            optax.add_decayed_weights(train_cfg.weight_decay),
+            optax.sgd(lr, momentum=train_cfg.momentum, nesterov=False),
+        )
+    elif train_cfg.optimizer == "adamw":
+        opt = optax.adamw(lr, weight_decay=train_cfg.weight_decay)
+    else:
+        raise ValueError(f"unknown optimizer '{train_cfg.optimizer}'")
+    if train_cfg.grad_clip_norm > 0:
+        opt = optax.chain(optax.clip_by_global_norm(train_cfg.grad_clip_norm), opt)
+    return opt
+
+
+def create_train_state(model, train_cfg, rng, image_hw, batch: int = 1) -> TrainState:
+    """Initialize parameters + optimizer slots (host or inside pjit)."""
+    from bayesod_tpu.models.retinanet import init_variables
+
+    init_rng, carry_rng = jax.random.split(rng)
+    variables = init_variables(model, init_rng, image_hw, batch)
+    params = variables["params"]
+    batch_stats = variables.get("batch_stats", {})
+    opt = make_optimizer(train_cfg)
+    return TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=params,
+        batch_stats=batch_stats,
+        opt_state=opt.init(params),
+        rng=carry_rng,
+    )

@@ -1,0 +1,119 @@
+"""The jit train step: augment -> forward -> assign -> loss -> update.
+
+Counterpart of the reference's @tf.function train_step (SURVEY.md §3.1), with
+the TPU-first differences:
+
+  * uint8 images come in raw; normalization and random flip happen HERE,
+    inside the graph, so the host->device copy is 4x smaller.
+  * anchor<->GT target assignment runs on device (vmapped over the batch)
+    instead of in the input pipeline — it is pure jnp and XLA fuses the IoU
+    matrix + thresholding into the step.
+  * under a data-sharded batch, every mean reduction (loss normalizers, BN
+    batch statistics) is global via GSPMD-inserted collectives — i.e.
+    sync-BN semantics across the mesh for free, no tf.distribute machinery.
+  * loss math in fp32 islands while conv compute stays bf16 (model dtype).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from bayesod_tpu.data.preprocess import normalize_images, random_flip_batch
+from bayesod_tpu.losses import assign_targets, detection_loss
+from bayesod_tpu.models.retinanet import RetinaNet
+from bayesod_tpu.train.state import TrainState, make_optimizer
+from bayesod_tpu.utils.config import ExperimentConfig
+
+
+def build_train_step(cfg: ExperimentConfig, anchors: jnp.ndarray, model=None):
+    """Returns `train_step(state, batch) -> (state, metrics)`, jit-ready.
+
+    `batch` is the loader's dict: image uint8 [B,H,W,3], gt_boxes [B,G,4],
+    gt_classes [B,G], gt_valid [B,G]. `anchors` is the trace-time [A,4] grid.
+    """
+    model = model or RetinaNet(cfg=cfg.model, train=True)
+    opt = make_optimizer(cfg.train)
+    tc = cfg.train
+    use_bn = cfg.model.norm == "batchnorm"
+
+    assign = jax.vmap(
+        functools.partial(
+            assign_targets,
+            iou_positive=tc.match_iou_positive,
+            iou_negative=tc.match_iou_negative,
+            scale_factors=cfg.bayes.box_scale_factors,
+        ),
+        in_axes=(None, 0, 0, 0),
+    )
+
+    def loss_fn(params, batch_stats, images, targets, dropout_rng):
+        variables = {"params": params}
+        if use_bn:
+            variables["batch_stats"] = batch_stats
+        out = model.apply(
+            variables,
+            images,
+            stochastic=True,
+            rngs={"dropout": dropout_rng},
+            mutable=["batch_stats"] if use_bn else False,
+        )
+        if use_bn:
+            (logits, deltas, log_vars), mutated = out
+            new_stats = mutated["batch_stats"]
+        else:
+            logits, deltas, log_vars = out
+            new_stats = batch_stats
+        total, metrics = detection_loss(
+            logits,
+            deltas,
+            log_vars,
+            targets,
+            alpha=tc.focal_alpha,
+            gamma=tc.focal_gamma,
+            regression_weight=tc.regression_weight,
+            residual=tc.residual,
+        )
+        return total, (metrics, new_stats)
+
+    def train_step(
+        state: TrainState, batch: Dict[str, jnp.ndarray]
+    ) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
+        rng, flip_rng, dropout_rng = jax.random.split(state.rng, 3)
+
+        images = batch["image"]
+        gt_boxes = batch["gt_boxes"]
+        if cfg.data.augment_flip:
+            images, gt_boxes = random_flip_batch(
+                flip_rng, images, gt_boxes, batch["gt_valid"]
+            )
+        images = normalize_images(images, cfg.data.mean, cfg.data.std)
+        targets = assign(anchors, gt_boxes, batch["gt_classes"], batch["gt_valid"])
+
+        grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+        (loss, (metrics, new_stats)), grads = grad_fn(
+            state.params, state.batch_stats, images, targets, dropout_rng
+        )
+        updates, new_opt_state = opt.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        metrics = dict(metrics)
+        metrics["grad_norm"] = jnp.sqrt(
+            sum(
+                jnp.sum(jnp.square(g.astype(jnp.float32)))
+                for g in jax.tree_util.tree_leaves(grads)
+            )
+        )
+        new_state = state.replace(
+            step=state.step + 1,
+            params=new_params,
+            batch_stats=new_stats,
+            opt_state=new_opt_state,
+            rng=rng,
+        )
+        return new_state, metrics
+
+    return train_step

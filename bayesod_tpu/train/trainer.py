@@ -1,0 +1,115 @@
+"""Training driver: mesh + loader + jit step + checkpoints + metrics.
+
+Counterpart of the reference's run_training.py (SURVEY.md §3.1), restructured
+TPU-first: one jit-compiled train step sharded over the (data, sample) mesh,
+uint8 batches prefetched and device_put with the data-parallel layout so the
+H2D copy of batch k+1 overlaps compute on batch k, async Orbax saves, JSONL +
+TensorBoard metrics.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Callable, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+
+from bayesod_tpu.data import Loader, make_dataset
+from bayesod_tpu.models.retinanet import RetinaNet
+from bayesod_tpu.ops import anchors as anchor_ops
+from bayesod_tpu.parallel import mesh as mesh_lib
+from bayesod_tpu.train.checkpoint import CheckpointManager
+from bayesod_tpu.train.state import TrainState, create_train_state
+from bayesod_tpu.train.step import build_train_step
+from bayesod_tpu.utils.config import ExperimentConfig
+from bayesod_tpu.utils.metrics import MetricsLogger
+
+
+def train(
+    cfg: ExperimentConfig,
+    max_steps: Optional[int] = None,
+    out_dir: Optional[str] = None,
+    devices=None,
+    on_metrics: Optional[Callable[[int, Dict[str, float]], None]] = None,
+) -> TrainState:
+    """Run (or resume) training; returns the final state.
+
+    `max_steps` overrides cfg.train.total_steps (smoke tests / benchmarks).
+    """
+    tc = cfg.train
+    total_steps = max_steps if max_steps is not None else tc.total_steps
+    out_dir = out_dir or f"data/outputs/{cfg.name}"
+
+    mesh = mesh_lib.make_mesh(cfg.mesh, devices)
+    n_data = mesh.shape[cfg.mesh.data_axis]
+    if tc.batch_size % n_data:
+        raise ValueError(
+            f"batch_size={tc.batch_size} must be divisible by the data-"
+            f"parallel axis ({n_data} devices) for even sharding"
+        )
+    model = RetinaNet(cfg=cfg.model, train=True)
+    anchors = anchor_ops.generate_anchors(cfg.data.image_hw, cfg.anchors)
+
+    # --- state init (restore if a checkpoint exists: SURVEY.md §5.4) --------
+    state = create_train_state(
+        model, tc, jax.random.PRNGKey(tc.seed), cfg.data.image_hw
+    )
+    ckpt = CheckpointManager(f"{out_dir}/checkpoints", keep=3)
+    restored = ckpt.restore(state)
+    if restored is not None:
+        state = restored
+    state = mesh_lib.replicate_state(state, mesh)
+
+    # --- data ----------------------------------------------------------------
+    dataset = make_dataset(cfg.data, split="train")
+    loader = Loader(
+        dataset,
+        batch_size=tc.batch_size,
+        image_hw=cfg.data.image_hw,
+        max_gt_boxes=cfg.data.max_gt_boxes,
+        shuffle=True,
+        seed=tc.seed,
+        num_epochs=None,  # repeat forever; step count terminates
+    )
+
+    # --- compiled step ---------------------------------------------------------
+    step_fn = jax.jit(
+        build_train_step(cfg, anchors, model),
+        in_shardings=(
+            mesh_lib.replicated(mesh),
+            mesh_lib.batch_sharding(mesh, cfg.mesh),
+        ),
+        out_shardings=(mesh_lib.replicated(mesh), mesh_lib.replicated(mesh)),
+        donate_argnums=(0,),
+    )
+
+    logger = MetricsLogger(out_dir)
+    start_step = int(state.step)
+    t_last = time.time()
+    imgs_since = 0
+
+    for batch in loader:
+        step = int(state.step)
+        if step >= total_steps:
+            break
+        device_batch = mesh_lib.shard_batch(batch, mesh, cfg.mesh)
+        state, metrics = step_fn(state, device_batch)
+        imgs_since += tc.batch_size
+
+        next_step = step + 1
+        if next_step % tc.log_every == 0 or next_step == total_steps:
+            metrics = {k: float(v) for k, v in metrics.items()}
+            now = time.time()
+            metrics["images_per_sec"] = imgs_since / max(now - t_last, 1e-9)
+            metrics["lr_step"] = next_step
+            t_last, imgs_since = now, 0
+            logger.log(next_step, metrics, prefix="train/")
+            if on_metrics is not None:
+                on_metrics(next_step, metrics)
+        if next_step % tc.checkpoint_every == 0 or next_step == total_steps:
+            ckpt.save(state, step=next_step)
+
+    ckpt.wait()
+    logger.close()
+    return state

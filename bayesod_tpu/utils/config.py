@@ -80,6 +80,11 @@ class TrainConfig:
     match_iou_positive: float = 0.5
     match_iou_negative: float = 0.4
     regression_weight: float = 1.0
+    # Attenuated-NLL residual: "huber" (smooth-L1, detection standard — keeps
+    # the exp(-s)-amplified error term Lipschitz in mu) or "l2" (pure
+    # Kendall-Gal Gaussian NLL). SURVEY.md §2 "Regression NLL" notes the
+    # reference's exact residual is unverifiable; both ship.
+    residual: str = "huber"
     grad_clip_norm: float = 10.0
     checkpoint_every: int = 2500
     checkpoint_dir: str = "data/outputs/default/checkpoints"

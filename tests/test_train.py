@@ -1,0 +1,227 @@
+"""Training tests: schedule math, one jit step, loss-goes-down smoke,
+data-parallel sharded step on the 8-device CPU mesh, checkpoint round-trip."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from bayesod_tpu.data.synthetic import SyntheticDataset
+from bayesod_tpu.data import Loader
+from bayesod_tpu.models.retinanet import RetinaNet
+from bayesod_tpu.ops import anchors as anchor_ops
+from bayesod_tpu.parallel import mesh as mesh_lib
+from bayesod_tpu.train import (
+    build_train_step,
+    create_train_state,
+    make_lr_schedule,
+)
+from bayesod_tpu.utils.config import (
+    AnchorConfig,
+    DataConfig,
+    ExperimentConfig,
+    MeshConfig,
+    ModelConfig,
+    TrainConfig,
+)
+from bayesod_tpu.utils.config import BayesConfig
+
+
+def tiny_cfg(batch=2, norm="groupnorm", augment=True):
+    return ExperimentConfig(
+        name="train_tiny",
+        model=ModelConfig(
+            num_classes=3, backbone="resnet18", fpn_channels=32,
+            head_depth=1, head_channels=32, norm=norm, compute_dtype="float32",
+        ),
+        data=DataConfig(
+            dataset="synthetic", image_hw=(128, 128), max_gt_boxes=8,
+            augment_flip=augment,
+        ),
+        train=TrainConfig(
+            batch_size=batch, base_lr=1e-3, warmup_steps=2, total_steps=50,
+            lr_decay_steps=(30, 40), checkpoint_every=1000, log_every=10,
+        ),
+    )
+
+
+def make_batch(cfg, seed=0):
+    ds = SyntheticDataset(size=64, image_hw=cfg.data.image_hw, seed=seed)
+    loader = Loader(
+        ds, batch_size=cfg.train.batch_size, image_hw=cfg.data.image_hw,
+        max_gt_boxes=cfg.data.max_gt_boxes, num_epochs=1, num_workers=1,
+    )
+    return next(iter(loader))
+
+
+class TestSchedule:
+    def test_warmup_then_decay(self):
+        tc = TrainConfig(
+            base_lr=1.0, warmup_steps=10, lr_decay_steps=(100, 200),
+            lr_decay_factor=0.1,
+        )
+        sched = make_lr_schedule(tc)
+        assert float(sched(0)) == pytest.approx(0.1)
+        assert float(sched(9)) == pytest.approx(1.0)
+        assert float(sched(50)) == pytest.approx(1.0)
+        assert float(sched(150)) == pytest.approx(0.1)
+        assert float(sched(250)) == pytest.approx(0.01)
+
+
+@pytest.fixture(scope="module")
+def tiny_setup():
+    cfg = tiny_cfg()
+    model = RetinaNet(cfg=cfg.model, train=True)
+    anchors = anchor_ops.generate_anchors(cfg.data.image_hw, cfg.anchors)
+    state = create_train_state(
+        model, cfg.train, jax.random.PRNGKey(0), cfg.data.image_hw
+    )
+    return cfg, model, anchors, state
+
+
+class TestTrainStep:
+    def test_one_step_finite_and_advances(self, tiny_setup):
+        cfg, model, anchors, state = tiny_setup
+        step_fn = jax.jit(build_train_step(cfg, anchors, model))
+        batch = make_batch(cfg)
+        new_state, metrics = step_fn(state, batch)
+        assert int(new_state.step) == 1
+        assert np.isfinite(float(metrics["loss"]))
+        assert np.isfinite(float(metrics["grad_norm"]))
+        assert float(metrics["num_positive"]) > 0  # synthetic boxes matched
+
+    def test_params_change(self, tiny_setup):
+        cfg, model, anchors, state = tiny_setup
+        step_fn = jax.jit(build_train_step(cfg, anchors, model))
+        batch = make_batch(cfg)
+        new_state, _ = step_fn(state, batch)
+        leaves_old = jax.tree_util.tree_leaves(state.params)
+        leaves_new = jax.tree_util.tree_leaves(new_state.params)
+        changed = any(
+            not np.allclose(np.array(a), np.array(b))
+            for a, b in zip(leaves_old, leaves_new)
+        )
+        assert changed
+
+    def test_loss_decreases_on_fixed_batch(self, tiny_setup):
+        cfg, model, anchors, state = tiny_setup
+        step_fn = jax.jit(build_train_step(cfg, anchors, model))
+        batch = make_batch(cfg)
+        first = None
+        for _ in range(12):
+            state, metrics = step_fn(state, batch)
+            if first is None:
+                first = float(metrics["loss"])
+        assert float(metrics["loss"]) < first
+
+    def test_batchnorm_stats_update(self):
+        cfg = tiny_cfg(norm="batchnorm")
+        model = RetinaNet(cfg=cfg.model, train=True)
+        anchors = anchor_ops.generate_anchors(cfg.data.image_hw, cfg.anchors)
+        state = create_train_state(
+            model, cfg.train, jax.random.PRNGKey(0), cfg.data.image_hw
+        )
+        step_fn = jax.jit(build_train_step(cfg, anchors, model))
+        batch = make_batch(cfg)
+        new_state, _ = step_fn(state, batch)
+        old = jax.tree_util.tree_leaves(state.batch_stats)
+        new = jax.tree_util.tree_leaves(new_state.batch_stats)
+        assert any(
+            not np.allclose(np.array(a), np.array(b)) for a, b in zip(old, new)
+        )
+
+
+class TestShardedTrainStep:
+    def test_data_parallel_step_8_devices(self, cpu_devices):
+        cfg = tiny_cfg(batch=8)
+        model = RetinaNet(cfg=cfg.model, train=True)
+        anchors = anchor_ops.generate_anchors(cfg.data.image_hw, cfg.anchors)
+        state = create_train_state(
+            model, cfg.train, jax.random.PRNGKey(0), cfg.data.image_hw
+        )
+        mesh = mesh_lib.make_mesh(cfg.mesh)
+        assert mesh.devices.shape == (8, 1)
+        state = mesh_lib.replicate_state(state, mesh)
+        step_fn = jax.jit(
+            build_train_step(cfg, anchors, model),
+            in_shardings=(
+                mesh_lib.replicated(mesh),
+                mesh_lib.batch_sharding(mesh, cfg.mesh),
+            ),
+            out_shardings=(
+                mesh_lib.replicated(mesh),
+                mesh_lib.replicated(mesh),
+            ),
+        )
+        batch = mesh_lib.shard_batch(make_batch(cfg), mesh, cfg.mesh)
+        new_state, metrics = step_fn(state, batch)
+        assert np.isfinite(float(metrics["loss"]))
+        assert int(new_state.step) == 1
+
+    def test_sharded_matches_single_device(self, cpu_devices):
+        """DP over 8 devices must be numerically ~identical to 1 device."""
+        cfg = tiny_cfg(batch=8, augment=False)
+        model = RetinaNet(cfg=cfg.model, train=True)
+        anchors = anchor_ops.generate_anchors(cfg.data.image_hw, cfg.anchors)
+        state = create_train_state(
+            model, cfg.train, jax.random.PRNGKey(0), cfg.data.image_hw
+        )
+        batch = make_batch(cfg)
+
+        step_single = jax.jit(build_train_step(cfg, anchors, model))
+        _, m_single = step_single(state, batch)
+
+        mesh = mesh_lib.make_mesh(cfg.mesh)
+        step_sharded = jax.jit(
+            build_train_step(cfg, anchors, model),
+            in_shardings=(
+                mesh_lib.replicated(mesh),
+                mesh_lib.batch_sharding(mesh, cfg.mesh),
+            ),
+            out_shardings=(
+                mesh_lib.replicated(mesh),
+                mesh_lib.replicated(mesh),
+            ),
+        )
+        _, m_sharded = step_sharded(
+            mesh_lib.replicate_state(state, mesh),
+            mesh_lib.shard_batch(batch, mesh, cfg.mesh),
+        )
+        np.testing.assert_allclose(
+            float(m_single["loss"]), float(m_sharded["loss"]), rtol=2e-4
+        )
+
+
+class TestCheckpoint:
+    def test_save_restore_roundtrip(self, tmp_path, tiny_setup):
+        from bayesod_tpu.train import CheckpointManager
+
+        cfg, model, anchors, state = tiny_setup
+        mgr = CheckpointManager(str(tmp_path / "ckpt"), keep=2, async_save=False)
+        step_fn = jax.jit(build_train_step(cfg, anchors, model))
+        batch = make_batch(cfg)
+        state1, _ = step_fn(state, batch)
+        mgr.save(state1)
+        mgr.wait()
+        template = create_train_state(
+            model, cfg.train, jax.random.PRNGKey(0), cfg.data.image_hw
+        )
+        restored = mgr.restore(template)
+        assert restored is not None
+        assert int(restored.step) == 1
+        for a, b in zip(
+            jax.tree_util.tree_leaves(state1.params),
+            jax.tree_util.tree_leaves(restored.params),
+        ):
+            np.testing.assert_allclose(np.array(a), np.array(b), atol=1e-7)
+        mgr.close()
+
+    def test_restore_none_when_empty(self, tmp_path, tiny_setup):
+        from bayesod_tpu.train import CheckpointManager
+
+        cfg, model, anchors, state = tiny_setup
+        mgr = CheckpointManager(str(tmp_path / "empty"), async_save=False)
+        assert mgr.restore(state) is None
+        mgr.close()
