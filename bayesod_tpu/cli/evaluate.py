@@ -1,0 +1,54 @@
+"""Evaluation CLI — counterpart of the reference's offline eval scripts
+(SURVEY.md §3.3): scores a dumped detections JSONL against the dataset's GT.
+
+  python -m bayesod_tpu.cli.evaluate --yaml_path configs/retinanet_kitti.yaml \
+      --detections data/outputs/<name>/detections_val.jsonl [--split val]
+
+Prints a metric table: per-class AP (KITTI difficulty bins when
+data.dataset=kitti), mAP, MUE (categorical + Gaussian), NLLs, entropies.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+
+def main(argv=None) -> None:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--yaml_path", required=True)
+    p.add_argument("--detections", required=True)
+    p.add_argument("--split", default="val")
+    p.add_argument("--min_score", type=float, default=0.05)
+    p.add_argument("--iou_threshold", type=float, default=0.5)
+    p.add_argument("--json_out", default=None)
+    p.add_argument("overrides", nargs="*")
+    args = p.parse_args(argv)
+
+    from bayesod_tpu.utils.config import load_config, parse_override
+
+    overrides = dict(parse_override(o) for o in args.overrides)
+    cfg = load_config(args.yaml_path, overrides)
+
+    from bayesod_tpu.eval.evaluator import evaluate
+
+    with open(args.detections) as f:
+        records = [json.loads(line) for line in f if line.strip()]
+
+    metrics = evaluate(
+        cfg,
+        records,
+        split=args.split,
+        min_score=args.min_score,
+        iou_threshold=args.iou_threshold,
+    )
+    width = max(len(k) for k in metrics)
+    for k in sorted(metrics):
+        print(f"{k:<{width}}  {metrics[k]:.4f}")
+    if args.json_out:
+        with open(args.json_out, "w") as f:
+            json.dump(metrics, f, indent=2)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,75 @@
+"""Inference CLI — counterpart of the reference's run_inference.py
+(ref: src/retina_net/experiments/run_inference.py; SURVEY.md §3.2).
+
+  python -m bayesod_tpu.cli.infer --yaml_path configs/retinanet_kitti.yaml \
+      [--split val] [--checkpoint_dir DIR] [--out PATH.jsonl] \
+      [--max_images N] [section.key=value ...]
+
+Loads the latest checkpoint (or random-init weights with --allow_random for
+smoke runs), runs the jitted BayesOD pipeline over the split, dumps per-image
+detection records (boxes in original coordinates, class distributions, 4x4
+covariances, entropies) as JSONL.
+"""
+
+from __future__ import annotations
+
+import argparse
+
+
+def main(argv=None) -> None:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--yaml_path", required=True)
+    p.add_argument("--split", default="val")
+    p.add_argument("--checkpoint_dir", default=None)
+    p.add_argument("--out", default=None)
+    p.add_argument("--max_images", type=int, default=None)
+    p.add_argument("--batch_size", type=int, default=8)
+    p.add_argument(
+        "--allow_random", action="store_true",
+        help="run with random-init weights when no checkpoint exists",
+    )
+    p.add_argument("overrides", nargs="*")
+    args = p.parse_args(argv)
+
+    from bayesod_tpu.utils.config import load_config, parse_override
+
+    overrides = dict(parse_override(o) for o in args.overrides)
+    cfg = load_config(args.yaml_path, overrides)
+
+    import jax
+
+    from bayesod_tpu.eval.evaluator import run_inference
+    from bayesod_tpu.models.retinanet import RetinaNet, init_variables
+    from bayesod_tpu.train import CheckpointManager, create_train_state
+
+    model = RetinaNet(cfg=cfg.model, train=False)
+    ckpt_dir = args.checkpoint_dir or (
+        f"data/outputs/{cfg.name}/checkpoints"
+    )
+    template = create_train_state(
+        model, cfg.train, jax.random.PRNGKey(cfg.train.seed), cfg.data.image_hw
+    )
+    mgr = CheckpointManager(ckpt_dir, async_save=False)
+    state = mgr.restore(template)
+    if state is None:
+        if not args.allow_random:
+            raise SystemExit(
+                f"no checkpoint under {ckpt_dir} (use --allow_random for smoke runs)"
+            )
+        state = template
+    variables = state.variables()
+
+    out_path = args.out or f"data/outputs/{cfg.name}/detections_{args.split}.jsonl"
+    records = run_inference(
+        cfg,
+        variables,
+        split=args.split,
+        out_path=out_path,
+        max_images=args.max_images,
+        batch_size=args.batch_size,
+    )
+    print(f"wrote {len(records)} image records -> {out_path}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,242 @@
+"""Evaluation driver: run inference over a split, dump detections, score.
+
+Counterpart of the reference's run_inference.py + offline evaluator
+(SURVEY.md §3.2-3.3): iterates the val split through the jitted detect()
+graph in batches, writes per-image detection records (boxes in ORIGINAL image
+coordinates, class distributions, 4x4 covariances — the reference's output
+schema) as JSONL, then computes AP (KITTI difficulty protocol or generic) and
+the uncertainty metrics.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Dict, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from bayesod_tpu.data import Loader, make_dataset, normalize_images
+from bayesod_tpu.eval import ap as ap_lib
+from bayesod_tpu.eval import uncertainty as unc_lib
+from bayesod_tpu.infer import build_detect_fn
+from bayesod_tpu.models.retinanet import RetinaNet
+from bayesod_tpu.utils.config import ExperimentConfig
+
+
+def run_inference(
+    cfg: ExperimentConfig,
+    variables,
+    split: str = "val",
+    out_path: Optional[str] = None,
+    max_images: Optional[int] = None,
+    batch_size: int = 8,
+    seed: int = 0,
+) -> List[Dict]:
+    """Detect over a split; returns (and optionally dumps) per-image records.
+
+    Record schema (reference parity, SURVEY.md §3.2 output stage):
+      {"id", "boxes" [D,4] original coords, "covs" [D,4,4], "probs" [D,C+1],
+       "scores" [D], "entropy" [D], "classes" [D]} — only valid rows kept.
+    """
+    dataset = make_dataset(cfg.data, split=split)
+    n = len(dataset) if max_images is None else min(max_images, len(dataset))
+
+    model = RetinaNet(cfg=cfg.model, train=False)
+    detect_raw = build_detect_fn(cfg, model)
+
+    def detect_uint8(variables, images_u8, rng):
+        return detect_raw(
+            variables,
+            normalize_images(images_u8, cfg.data.mean, cfg.data.std),
+            rng,
+        )
+
+    detect = jax.jit(detect_uint8)
+
+    loader = Loader(
+        dataset,
+        batch_size=batch_size,
+        image_hw=cfg.data.image_hw,
+        max_gt_boxes=cfg.data.max_gt_boxes,
+        shuffle=False,
+        num_epochs=1,
+    )
+    rng = jax.random.PRNGKey(seed)
+    records: List[Dict] = []
+    seen = 0
+    for bi, batch in enumerate(loader):
+        if seen >= n:
+            break
+        out = detect(variables, batch["image"], jax.random.fold_in(rng, bi))
+        out = jax.tree_util.tree_map(np.asarray, out)
+        bsz = batch["image"].shape[0]
+        for i in range(bsz):
+            if seen >= n:
+                break
+            idx = bi * batch_size + i
+            scale = float(batch["scale"][i])
+            valid = out.valid[i]
+            records.append(
+                {
+                    "id": dataset.example(idx)["id"] if hasattr(
+                        dataset, "example"
+                    ) else str(idx),
+                    # Back to original image coordinates (reference dumps in
+                    # original space): box/scale; covariance scales as 1/s^2.
+                    "boxes": (out.boxes[i][valid] / scale).tolist(),
+                    "covs": (out.covs[i][valid] / (scale * scale)).tolist(),
+                    "probs": out.probs[i][valid].tolist(),
+                    "scores": out.scores[i][valid].tolist(),
+                    "entropy": out.entropy[i][valid].tolist(),
+                    "classes": out.classes[i][valid].tolist(),
+                }
+            )
+            seen += 1
+    if out_path:
+        os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)
+        with open(out_path, "w") as f:
+            for r in records:
+                f.write(json.dumps(r) + "\n")
+    return records
+
+
+def _per_class_image_evals(
+    records: Sequence[Dict],
+    dataset,
+    class_id: int,
+    difficulty: Optional[str],
+    min_score: float,
+) -> List[ap_lib.ImageEval]:
+    """Build matching inputs for one class over the dumped split."""
+    evals = []
+    for idx, rec in enumerate(records):
+        det_mask = [
+            c == class_id and s >= min_score
+            for c, s in zip(rec["classes"], rec["scores"])
+        ]
+        det_boxes = np.asarray(rec["boxes"], np.float32).reshape(-1, 4)[
+            np.asarray(det_mask, bool)
+        ]
+        det_scores = np.asarray(rec["scores"], np.float32)[
+            np.asarray(det_mask, bool)
+        ]
+        if difficulty is not None and hasattr(dataset, "annotations"):
+            annos = [
+                a for a in dataset.annotations(idx) if a.class_id == class_id
+            ]
+            gt_boxes = (
+                np.stack([a.box for a in annos])
+                if annos
+                else np.zeros((0, 4), np.float32)
+            )
+            ignored = np.asarray(
+                [not a.difficulty_ok(difficulty) for a in annos], bool
+            )
+        else:
+            ex = dataset.example(idx)
+            mask = ex["classes"] == class_id
+            gt_boxes = ex["boxes"][mask]
+            ignored = np.zeros(mask.sum(), bool)
+        evals.append(
+            ap_lib.ImageEval(
+                det_boxes=det_boxes,
+                det_scores=det_scores,
+                gt_boxes=gt_boxes,
+                ignored_gt=ignored,
+            )
+        )
+    return evals
+
+
+def evaluate(
+    cfg: ExperimentConfig,
+    records: Sequence[Dict],
+    split: str = "val",
+    min_score: float = 0.05,
+    iou_threshold: float = 0.5,
+) -> Dict[str, float]:
+    """Score dumped detections: per-class AP (+KITTI difficulty bins), mAP,
+    and the uncertainty metrics over all matched detections."""
+    dataset = make_dataset(cfg.data, split=split)
+    class_names = list(dataset.class_names)
+    is_kitti = cfg.data.dataset == "kitti"
+    metrics: Dict[str, float] = {}
+
+    aps = []
+    for ci, name in enumerate(class_names, start=1):
+        thr = (
+            ap_lib.KITTI_IOU_THRESHOLDS.get(name, iou_threshold)
+            if is_kitti
+            else iou_threshold
+        )
+        if is_kitti:
+            for diff in ("easy", "moderate", "hard"):
+                evs = _per_class_image_evals(records, dataset, ci, diff, min_score)
+                r = ap_lib.compute_ap(evs, thr, num_points=40)
+                metrics[f"ap_{name}_{diff}"] = r["ap"]
+                if diff == "moderate":
+                    aps.append(r["ap"])
+        else:
+            evs = _per_class_image_evals(records, dataset, ci, None, min_score)
+            r = ap_lib.compute_ap(evs, thr, num_points=None)
+            metrics[f"ap_{name}"] = r["ap"]
+            aps.append(r["ap"])
+    metrics["map"] = float(np.mean(aps)) if aps else 0.0
+
+    # ---- uncertainty metrics over all classes pooled -----------------------
+    correct_all, probs_all, covs_all, mu_all = [], [], [], []
+    gt_box_all, gt_lab_all = [], []
+    for idx, rec in enumerate(records):
+        ex = dataset.example(idx)
+        det_boxes = np.asarray(rec["boxes"], np.float32).reshape(-1, 4)
+        det_scores = np.asarray(rec["scores"], np.float32)
+        det_classes = np.asarray(rec["classes"], np.int32)
+        keep = det_scores >= min_score
+        det_boxes, det_scores, det_classes = (
+            det_boxes[keep],
+            det_scores[keep],
+            det_classes[keep],
+        )
+        probs = np.asarray(rec["probs"], np.float32).reshape(-1, len(class_names) + 1)[keep]
+        covs = np.asarray(rec["covs"], np.float32).reshape(-1, 4, 4)[keep]
+        iou = ap_lib._iou_matrix(det_boxes, ex["boxes"])
+        correct = np.zeros(len(det_boxes), bool)
+        gt_box = np.zeros((len(det_boxes), 4), np.float32)
+        gt_lab = np.zeros(len(det_boxes), np.int32)
+        taken = np.zeros(len(ex["boxes"]), bool)
+        for d in np.argsort(-det_scores, kind="stable"):
+            if iou.shape[1] == 0:
+                break
+            cand = np.where(
+                ~taken
+                & (iou[d] >= iou_threshold)
+                & (ex["classes"] == det_classes[d])
+            )[0]
+            if len(cand):
+                g = cand[np.argmax(iou[d, cand])]
+                taken[g] = True
+                correct[d] = True
+                gt_box[d] = ex["boxes"][g]
+                gt_lab[d] = ex["classes"][g]
+        correct_all.append(correct)
+        probs_all.append(probs)
+        covs_all.append(covs)
+        mu_all.append(det_boxes)
+        gt_box_all.append(gt_box)
+        gt_lab_all.append(gt_lab)
+
+    if correct_all:
+        metrics.update(
+            unc_lib.uncertainty_report(
+                np.concatenate(correct_all),
+                np.concatenate(probs_all),
+                np.concatenate(covs_all),
+                np.concatenate(gt_box_all),
+                np.concatenate(gt_lab_all),
+                np.concatenate(mu_all),
+            )
+        )
+    return metrics

@@ -1,0 +1,127 @@
+"""Probabilistic detection metrics: MUE, Gaussian NLL, entropy statistics.
+
+Rebuild of the reference's uncertainty evaluation (SURVEY.md §2 "Evaluator",
+§3.3; arXiv:1903.03838 §IV):
+
+  * Minimum Uncertainty Error (MUE): detections are labelled correct (TP) or
+    incorrect (FP) by IoU-with-GT; an uncertainty measure u should separate
+    the two. MUE = min over thresholds t of
+        0.5 * (P[u > t | correct] + P[u <= t | incorrect])
+    i.e. the best achievable balanced error of "flag high-uncertainty as
+    wrong". 0.5 = uninformative, 0 = perfect separation.
+  * Gaussian NLL: -log N(gt_box | mu, Sigma) averaged over TPs — evaluates
+    the full 4x4 corner covariance BayesOD outputs.
+  * Categorical NLL and entropy summaries over TPs/FPs.
+
+Host-side NumPy over dumped detections, like the reference's offline eval.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional, Sequence, Tuple
+
+import numpy as np
+
+_LOG_2PI = float(np.log(2.0 * np.pi))
+
+
+def minimum_uncertainty_error(
+    uncertainty: np.ndarray, correct: np.ndarray
+) -> Tuple[float, float]:
+    """(MUE, best threshold). Low uncertainty should predict `correct`."""
+    u = np.asarray(uncertainty, np.float64)
+    c = np.asarray(correct, bool)
+    if len(u) == 0 or c.all() or (~c).all():
+        return 0.5, float("nan")
+    # Candidate thresholds: midpoints of sorted unique values + extremes.
+    vals = np.unique(u)
+    cands = np.concatenate(
+        [[vals[0] - 1.0], (vals[1:] + vals[:-1]) * 0.5, [vals[-1] + 1.0]]
+    )
+    n_c = c.sum()
+    n_i = (~c).sum()
+    best, best_t = 1.0, float("nan")
+    for t in cands:
+        flagged = u > t  # predicted incorrect
+        fn_rate = float((flagged & c).sum()) / n_c  # correct flagged wrong
+        fp_rate = float((~flagged & ~c).sum()) / n_i  # incorrect kept
+        err = 0.5 * (fn_rate + fp_rate)
+        if err < best:
+            best, best_t = err, float(t)
+    return best, best_t
+
+
+def gaussian_nll(
+    gt_boxes: np.ndarray, mu: np.ndarray, cov: np.ndarray, jitter: float = 1e-3
+) -> np.ndarray:
+    """Per-detection -log N(gt | mu, Sigma), full 4x4 covariance. [N]"""
+    if len(gt_boxes) == 0:
+        return np.zeros(0)
+    cov = cov + jitter * np.eye(4)
+    err = (gt_boxes - mu)[..., None]  # [N, 4, 1]
+    chol = np.linalg.cholesky(cov)
+    sol = np.linalg.solve(chol, err)  # [N, 4, 1]
+    maha = np.sum(sol[..., 0] ** 2, axis=-1)
+    logdet = 2.0 * np.sum(np.log(np.diagonal(chol, axis1=-2, axis2=-1)), axis=-1)
+    return 0.5 * (maha + logdet + 4.0 * _LOG_2PI)
+
+
+def categorical_nll(probs: np.ndarray, labels: np.ndarray) -> np.ndarray:
+    """Per-detection -log p(label). probs [N, C+1], labels [N] int."""
+    if len(labels) == 0:
+        return np.zeros(0)
+    p = probs[np.arange(len(labels)), labels]
+    return -np.log(np.maximum(p, 1e-12))
+
+
+def entropy(probs: np.ndarray) -> np.ndarray:
+    """Categorical entropy in nats, [N]."""
+    p = np.clip(probs, 1e-12, 1.0)
+    return -np.sum(p * np.log(p), axis=-1)
+
+
+def gaussian_entropy(cov: np.ndarray, jitter: float = 1e-3) -> np.ndarray:
+    """Differential entropy of N(mu, Sigma), [N] (paper's box-uncertainty
+    ranking measure): 0.5 * log((2 pi e)^4 |Sigma|)."""
+    cov = cov + jitter * np.eye(4)
+    sign, logdet = np.linalg.slogdet(cov)
+    return 0.5 * (4.0 * (_LOG_2PI + 1.0) + logdet)
+
+
+def uncertainty_report(
+    correct: np.ndarray,
+    probs: np.ndarray,
+    covs: np.ndarray,
+    matched_gt_boxes: Optional[np.ndarray] = None,
+    matched_gt_labels: Optional[np.ndarray] = None,
+    mu: Optional[np.ndarray] = None,
+) -> Dict[str, float]:
+    """Aggregate uncertainty metrics over a split's matched detections.
+
+    correct: [N] bool TP/FP labels for all kept detections.
+    probs/covs/mu: [N, ...] per-detection posteriors.
+    matched_gt_*: GT for the TP subset ordering of `correct` (rows where
+      correct is False are ignored for NLL).
+    """
+    ent = entropy(probs)
+    gent = gaussian_entropy(covs)
+    cat_mue, _ = minimum_uncertainty_error(ent, correct)
+    gauss_mue, _ = minimum_uncertainty_error(gent, correct)
+    out = {
+        "categorical_mue": cat_mue,
+        "gaussian_mue": gauss_mue,
+        "mean_entropy_tp": float(ent[correct].mean()) if correct.any() else 0.0,
+        "mean_entropy_fp": (
+            float(ent[~correct].mean()) if (~correct).any() else 0.0
+        ),
+    }
+    if matched_gt_boxes is not None and mu is not None and correct.any():
+        tp = correct
+        out["gaussian_nll"] = float(
+            gaussian_nll(matched_gt_boxes[tp], mu[tp], covs[tp]).mean()
+        )
+    if matched_gt_labels is not None and correct.any():
+        out["categorical_nll"] = float(
+            categorical_nll(probs[correct], matched_gt_labels[correct]).mean()
+        )
+    return out

@@ -1,0 +1,129 @@
+"""Headline benchmark: BayesOD images/sec/chip @ 10 MC-dropout samples.
+
+Measures the flagship path (BASELINE.json:2): RetinaNet-ResNet50 on KITTI
+shapes (384x1280), 10 MC samples, full BayesOD post-processing (clustering +
+fusion) — everything inside one jit graph, batched. Prints ONE JSON line:
+
+  {"metric": ..., "value": N, "unit": "images/sec/chip", "vs_baseline": N}
+
+vs_baseline is the ratio to the driver-set north-star target of 500
+images/sec/chip on TPU v5e (the reference publishes no throughput numbers —
+SURVEY.md §6; architecturally it runs ~O(seconds/image) on one GPU).
+
+Flags: --batch N --iters N --warmup N --samples N --tiny (CI-sized model).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+# Persistent compilation cache: repeat bench runs skip the multi-minute
+# TPU-tunnel compile.
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache_bayesod")
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def main() -> None:
+    p = argparse.ArgumentParser()
+    p.add_argument("--batch", type=int, default=8)
+    p.add_argument("--iters", type=int, default=20)
+    p.add_argument("--warmup", type=int, default=3)
+    p.add_argument("--samples", type=int, default=10)
+    p.add_argument("--tiny", action="store_true", help="CI-sized model")
+    p.add_argument(
+        "--cpu", action="store_true",
+        help="force CPU backend (mechanics check; not a perf number)",
+    )
+    p.add_argument("--mode", default="bayes_od")
+    args = p.parse_args()
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+
+    from bayesod_tpu.infer import build_detect_fn
+    from bayesod_tpu.models.retinanet import RetinaNet, init_variables
+    from bayesod_tpu.utils.config import (
+        BayesConfig,
+        DataConfig,
+        ExperimentConfig,
+        ModelConfig,
+    )
+
+    if args.tiny:
+        model_cfg = ModelConfig(
+            num_classes=3, backbone="resnet18", fpn_channels=32,
+            head_depth=1, head_channels=32, norm="groupnorm",
+            compute_dtype="float32",
+        )
+        image_hw = (128, 256)
+    else:
+        model_cfg = ModelConfig(num_classes=3, backbone="resnet50", norm="batchnorm")
+        image_hw = (384, 1280)
+
+    cfg = ExperimentConfig(
+        name="bench",
+        model=model_cfg,
+        bayes=BayesConfig(num_mc_samples=args.samples, mode=args.mode),
+        data=DataConfig(dataset="synthetic", image_hw=image_hw),
+    )
+
+    dev = jax.devices()[0]
+    print(f"[bench] device: {dev.device_kind} ({dev.platform})", file=sys.stderr)
+
+    model = RetinaNet(cfg=cfg.model, train=False)
+    variables = init_variables(model, jax.random.PRNGKey(0), image_hw)
+    detect = jax.jit(build_detect_fn(cfg, model))
+
+    rng = jax.random.PRNGKey(7)
+    images = jnp.asarray(
+        np.random.default_rng(0).uniform(0, 1, (args.batch, *image_hw, 3)),
+        jnp.float32,
+    )
+
+    t0 = time.time()
+    out = detect(variables, images, rng)
+    jax.block_until_ready(out.boxes)
+    print(f"[bench] compile+first run: {time.time() - t0:.1f}s", file=sys.stderr)
+
+    for _ in range(args.warmup):
+        out = detect(variables, images, rng)
+    jax.block_until_ready(out.boxes)
+
+    lat = []
+    t_start = time.time()
+    for i in range(args.iters):
+        t1 = time.time()
+        out = detect(variables, images, jax.random.fold_in(rng, i))
+        jax.block_until_ready(out.boxes)
+        lat.append(time.time() - t1)
+    elapsed = time.time() - t_start
+
+    imgs_per_sec = args.batch * args.iters / elapsed
+    p50_batch = float(np.percentile(lat, 50))
+    target = 500.0
+    result = {
+        "metric": f"images_per_sec_per_chip@{args.samples}mc_bayesod",
+        "value": round(imgs_per_sec, 2),
+        "unit": "images/sec/chip",
+        "vs_baseline": round(imgs_per_sec / target, 4),
+    }
+    print(
+        f"[bench] batch={args.batch} iters={args.iters} "
+        f"p50_batch_latency={p50_batch * 1e3:.1f}ms "
+        f"p50_per_image={p50_batch / args.batch * 1e3:.2f}ms",
+        file=sys.stderr,
+    )
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,106 @@
+"""CLI round-trip: train -> infer -> evaluate on the tiny synthetic config
+(the reference's experiment-script surface, SURVEY.md §2 L6)."""
+
+import json
+import os
+import subprocess
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def run_cli(module, *args, cwd):
+    """Run a CLI module in a subprocess pinned to the CPU backend."""
+    code = (
+        "import jax; jax.config.update('jax_platforms', 'cpu');"
+        f"import runpy, sys; sys.argv = ['{module}'] + {list(args)!r};"
+        f"runpy.run_module('{module}', run_name='__main__')"
+    )
+    env = dict(os.environ)
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    return subprocess.run(
+        [sys.executable, "-c", code],
+        capture_output=True,
+        text=True,
+        cwd=cwd,
+        env=env,
+        timeout=600,
+    )
+
+
+@pytest.mark.slow
+def test_train_infer_evaluate_roundtrip(tmp_path):
+    cfg_path = os.path.join(REPO, "configs", "tiny_synthetic.yaml")
+
+    r = run_cli(
+        "bayesod_tpu.cli.train",
+        "--yaml_path", cfg_path,
+        "--max_steps", "3",
+        "--out_dir", str(tmp_path / "run"),
+        cwd=str(tmp_path),
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "done: step 3" in r.stdout
+
+    det_path = str(tmp_path / "dets.jsonl")
+    r = run_cli(
+        "bayesod_tpu.cli.infer",
+        "--yaml_path", cfg_path,
+        "--checkpoint_dir", str(tmp_path / "run" / "checkpoints"),
+        "--out", det_path,
+        "--max_images", "4",
+        "--batch_size", "2",
+        cwd=str(tmp_path),
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    with open(det_path) as f:
+        recs = [json.loads(l) for l in f]
+    assert len(recs) == 4
+    assert {"id", "boxes", "covs", "probs", "scores", "entropy", "classes"} <= set(
+        recs[0]
+    )
+
+    r = run_cli(
+        "bayesod_tpu.cli.evaluate",
+        "--yaml_path", cfg_path,
+        "--detections", det_path,
+        "--min_score", "0.0",
+        "--json_out", str(tmp_path / "metrics.json"),
+        cwd=str(tmp_path),
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    metrics = json.load(open(tmp_path / "metrics.json"))
+    assert "map" in metrics and "categorical_mue" in metrics
+
+
+def test_infer_requires_checkpoint(tmp_path):
+    cfg_path = os.path.join(REPO, "configs", "tiny_synthetic.yaml")
+    r = run_cli(
+        "bayesod_tpu.cli.infer",
+        "--yaml_path", cfg_path,
+        "--checkpoint_dir", str(tmp_path / "nonexistent"),
+        "--max_images", "1",
+        cwd=str(tmp_path),
+    )
+    assert r.returncode != 0
+    assert "no checkpoint" in (r.stderr + r.stdout)
+
+
+def test_config_override_surface(tmp_path):
+    """Dotted overrides must reach the config (reference flag parity)."""
+    cfg_path = os.path.join(REPO, "configs", "tiny_synthetic.yaml")
+    code = (
+        "import sys; sys.path.insert(0, %r);"
+        "from bayesod_tpu.utils.config import load_config;"
+        "cfg = load_config(%r, {'train.base_lr': 0.5, 'bayes.num_mc_samples': 7});"
+        "assert cfg.train.base_lr == 0.5, cfg.train.base_lr;"
+        "assert cfg.bayes.num_mc_samples == 7;"
+        "print('OVERRIDES_OK')" % (REPO, cfg_path)
+    )
+    r = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, text=True, timeout=120
+    )
+    assert r.returncode == 0, r.stderr[-1500:]
+    assert "OVERRIDES_OK" in r.stdout

@@ -1,0 +1,200 @@
+"""Eval metric tests with analytic oracles (SURVEY.md §4)."""
+
+import numpy as np
+import pytest
+
+from bayesod_tpu.eval import (
+    ImageEval,
+    ap_all_point,
+    ap_interpolated,
+    compute_ap,
+    entropy,
+    gaussian_entropy,
+    gaussian_nll,
+    match_image,
+    minimum_uncertainty_error,
+    pr_curve,
+)
+
+
+def box(x1, y1, x2, y2):
+    return np.array([x1, y1, x2, y2], np.float32)
+
+
+class TestMatching:
+    def test_perfect_detection(self):
+        ev = ImageEval(
+            det_boxes=np.stack([box(0, 0, 10, 10)]),
+            det_scores=np.array([0.9], np.float32),
+            gt_boxes=np.stack([box(0, 0, 10, 10)]),
+            ignored_gt=np.array([False]),
+        )
+        scores, is_tp, n = match_image(ev, 0.5)
+        assert n == 1 and is_tp.tolist() == [True]
+
+    def test_double_detection_one_tp(self):
+        ev = ImageEval(
+            det_boxes=np.stack([box(0, 0, 10, 10), box(1, 1, 11, 11)]),
+            det_scores=np.array([0.9, 0.8], np.float32),
+            gt_boxes=np.stack([box(0, 0, 10, 10)]),
+            ignored_gt=np.array([False]),
+        )
+        scores, is_tp, n = match_image(ev, 0.5)
+        assert is_tp.tolist() == [True, False]  # second is FP (GT taken)
+
+    def test_ignored_gt_absorbs_detection(self):
+        ev = ImageEval(
+            det_boxes=np.stack([box(0, 0, 10, 10)]),
+            det_scores=np.array([0.9], np.float32),
+            gt_boxes=np.stack([box(0, 0, 10, 10)]),
+            ignored_gt=np.array([True]),
+        )
+        scores, is_tp, n = match_image(ev, 0.5)
+        assert n == 0 and len(scores) == 0  # dropped from ranking, no FP
+
+    def test_prefers_required_over_ignored(self):
+        ev = ImageEval(
+            det_boxes=np.stack([box(0, 0, 10, 10)]),
+            det_scores=np.array([0.9], np.float32),
+            gt_boxes=np.stack([box(0, 0, 10, 10), box(0.5, 0.5, 10.5, 10.5)]),
+            ignored_gt=np.array([True, False]),
+        )
+        scores, is_tp, n = match_image(ev, 0.5)
+        assert is_tp.tolist() == [True] and n == 1
+
+
+class TestAP:
+    def test_perfect_ap_is_one(self):
+        evs = [
+            ImageEval(
+                det_boxes=np.stack([box(0, 0, 10, 10)]),
+                det_scores=np.array([0.9], np.float32),
+                gt_boxes=np.stack([box(0, 0, 10, 10)]),
+                ignored_gt=np.array([False]),
+            )
+            for _ in range(3)
+        ]
+        r = compute_ap(evs, 0.5, num_points=40)
+        assert r["ap"] == pytest.approx(1.0)
+        r2 = compute_ap(evs, 0.5, num_points=None)
+        assert r2["ap"] == pytest.approx(1.0)
+
+    def test_all_fp_ap_zero(self):
+        evs = [
+            ImageEval(
+                det_boxes=np.stack([box(50, 50, 60, 60)]),
+                det_scores=np.array([0.9], np.float32),
+                gt_boxes=np.stack([box(0, 0, 10, 10)]),
+                ignored_gt=np.array([False]),
+            )
+        ]
+        assert compute_ap(evs, 0.5)["ap"] == 0.0
+
+    def test_half_recall_analytic(self):
+        # 2 GT, 1 TP at top score, no other dets: precision 1 up to recall .5.
+        evs = [
+            ImageEval(
+                det_boxes=np.stack([box(0, 0, 10, 10)]),
+                det_scores=np.array([0.9], np.float32),
+                gt_boxes=np.stack([box(0, 0, 10, 10), box(30, 30, 40, 40)]),
+                ignored_gt=np.array([False, False]),
+            )
+        ]
+        # R40: recall points 1/40..40/40; 20 of them are <= 0.5 -> ap = 0.5
+        assert compute_ap(evs, 0.5, num_points=40)["ap"] == pytest.approx(0.5)
+        assert compute_ap(evs, 0.5, num_points=None)["ap"] == pytest.approx(0.5)
+
+    def test_pr_curve_values(self):
+        scores = np.array([0.9, 0.8, 0.7], np.float32)
+        is_tp = np.array([True, False, True])
+        recall, precision = pr_curve(scores, is_tp, num_gt=2)
+        np.testing.assert_allclose(recall, [0.5, 0.5, 1.0])
+        np.testing.assert_allclose(precision, [1.0, 0.5, 2.0 / 3.0])
+
+
+class TestUncertainty:
+    def test_mue_perfect_separation(self):
+        u = np.array([0.1, 0.2, 0.9, 0.8])
+        c = np.array([True, True, False, False])
+        mue, t = minimum_uncertainty_error(u, c)
+        assert mue == pytest.approx(0.0)
+        assert 0.2 < t < 0.8
+
+    def test_mue_uninformative(self):
+        u = np.array([0.5, 0.5, 0.5, 0.5])
+        c = np.array([True, False, True, False])
+        mue, _ = minimum_uncertainty_error(u, c)
+        assert mue == pytest.approx(0.5)
+
+    def test_mue_inverted_measure(self):
+        # Anti-correlated uncertainty can't beat 0.5 by much but must be
+        # well-defined; best threshold puts everything in one class -> 0.5.
+        u = np.array([0.9, 0.8, 0.1, 0.2])
+        c = np.array([True, True, False, False])
+        mue, _ = minimum_uncertainty_error(u, c)
+        assert mue == pytest.approx(0.5)
+
+    def test_gaussian_nll_standard_normal(self):
+        # gt == mu, Sigma = I: NLL = 0.5 * 4 * log(2 pi) = 2 log(2 pi)
+        gt = np.zeros((1, 4))
+        mu = np.zeros((1, 4))
+        cov = np.eye(4)[None]
+        nll = gaussian_nll(gt, mu, cov, jitter=0.0)
+        assert nll[0] == pytest.approx(2.0 * np.log(2 * np.pi), rel=1e-6)
+
+    def test_gaussian_nll_penalizes_error(self):
+        gt = np.ones((1, 4))
+        mu = np.zeros((1, 4))
+        cov = np.eye(4)[None]
+        nll = gaussian_nll(gt, mu, cov, jitter=0.0)
+        assert nll[0] == pytest.approx(2.0 * np.log(2 * np.pi) + 2.0, rel=1e-6)
+
+    def test_entropy_uniform(self):
+        p = np.full((1, 4), 0.25)
+        assert entropy(p)[0] == pytest.approx(np.log(4.0), rel=1e-6)
+
+    def test_gaussian_entropy_monotone_in_scale(self):
+        small = gaussian_entropy(np.eye(4)[None] * 0.1, jitter=0.0)
+        big = gaussian_entropy(np.eye(4)[None] * 10.0, jitter=0.0)
+        assert small[0] < big[0]
+
+
+class TestEndToEndEval:
+    """Synthetic-dataset round trip: detect garbage (random weights) ->
+    evaluator must run and produce the full metric dict without error."""
+
+    def test_evaluate_runs(self):
+        import jax
+
+        from bayesod_tpu.eval.evaluator import evaluate, run_inference
+        from bayesod_tpu.models.retinanet import RetinaNet, init_variables
+        from bayesod_tpu.utils.config import (
+            BayesConfig,
+            DataConfig,
+            ExperimentConfig,
+            ModelConfig,
+        )
+
+        cfg = ExperimentConfig(
+            name="eval_tiny",
+            model=ModelConfig(
+                num_classes=3, backbone="resnet18", fpn_channels=32,
+                head_depth=1, head_channels=32, norm="groupnorm",
+                compute_dtype="float32",
+            ),
+            bayes=BayesConfig(
+                num_mc_samples=2, score_threshold=0.0, pre_cluster_topk=32,
+                max_detections=8,
+            ),
+            data=DataConfig(dataset="synthetic", image_hw=(128, 128), max_gt_boxes=8),
+        )
+        model = RetinaNet(cfg=cfg.model, train=False)
+        variables = init_variables(model, jax.random.PRNGKey(0), cfg.data.image_hw)
+        records = run_inference(
+            cfg, variables, split="val", max_images=4, batch_size=2
+        )
+        assert len(records) == 4
+        metrics = evaluate(cfg, records, split="val", min_score=0.0)
+        assert "map" in metrics and "categorical_mue" in metrics
+        for v in metrics.values():
+            assert np.isfinite(v)
