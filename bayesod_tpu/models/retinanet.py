@@ -90,9 +90,19 @@ def mc_forward(
 
     Returns (logits [N,B,A,K+1], deltas [N,B,A,4], log_vars [N,B,A,4]).
     Replaces the reference's N-iteration Python loop (SURVEY.md §3.2).
+
+    Dropout masks are drawn with the `rbg` PRNG (TPU hardware RNG): mask
+    generation covers ~1e8 elements per batch at N=10, and threefry costs
+    tens of VPU ops per word — with rbg the masks are effectively free.
+    The incoming key's impl is preserved if the caller already chose one.
     """
     feats = model.apply(variables, images, method=RetinaNet.features)
-    keys = jax.random.split(rng, num_samples)
+    if jax.dtypes.issubdtype(rng.dtype, jax.dtypes.prng_key):
+        base = rng  # caller chose an impl; respect it
+    else:
+        # Legacy raw uint32 [2] key: reseed an rbg key from its words.
+        base = jax.random.key(rng[0] ^ (rng[1] << 1), impl="rbg")
+    keys = jax.random.split(base, num_samples)
 
     def sample(key):
         return model.apply(
