@@ -7,6 +7,7 @@ from bayesod_tpu.bayes.moments import (
 from bayesod_tpu.bayes.clustering import (
     Clusters,
     greedy_nms,
+    greedy_nms_with,
     iou_affinity_clustering,
 )
 from bayesod_tpu.bayes.fusion import FusedDetections, fuse_clusters, inv4x4_psd
@@ -18,6 +19,7 @@ __all__ = [
     "mean_categorical",
     "Clusters",
     "greedy_nms",
+    "greedy_nms_with",
     "iou_affinity_clustering",
     "FusedDetections",
     "fuse_clusters",

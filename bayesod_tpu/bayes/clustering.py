@@ -82,6 +82,25 @@ def iou_affinity_clustering(
     return Clusters(centers=centers, membership=membership, valid=valid)
 
 
+def greedy_nms_with(
+    cluster_fn,
+    boxes: jnp.ndarray,
+    scores: jnp.ndarray,
+    valid_mask: jnp.ndarray,
+    iou_threshold: float,
+    max_detections: int,
+) -> Clusters:
+    """Greedy NMS on top of any clustering implementation (jnp or Pallas):
+    identical greedy loop, suppressed boxes are discarded rather than fused,
+    so membership rows carry only the center."""
+    cl = cluster_fn(boxes, scores, valid_mask, iou_threshold, max_detections)
+    k = boxes.shape[0]
+    only_center = (
+        jax.nn.one_hot(cl.centers, k, dtype=jnp.bool_) & cl.valid[:, None]
+    )
+    return Clusters(centers=cl.centers, membership=only_center, valid=cl.valid)
+
+
 def greedy_nms(
     boxes: jnp.ndarray,
     scores: jnp.ndarray,
@@ -90,13 +109,8 @@ def greedy_nms(
     max_detections: int,
 ) -> Clusters:
     """Standard greedy NMS (ref baseline mode, SURVEY.md §2 "Baseline
-    post-processing modes"): identical greedy loop, suppressed boxes are
-    discarded rather than fused, so membership rows carry only the center."""
-    cl = iou_affinity_clustering(
-        boxes, scores, valid_mask, iou_threshold, max_detections
+    post-processing modes") on the jnp clustering path."""
+    return greedy_nms_with(
+        iou_affinity_clustering,
+        boxes, scores, valid_mask, iou_threshold, max_detections,
     )
-    k = boxes.shape[0]
-    only_center = (
-        jax.nn.one_hot(cl.centers, k, dtype=jnp.bool_) & cl.valid[:, None]
-    )
-    return Clusters(centers=cl.centers, membership=only_center, valid=cl.valid)

@@ -65,6 +65,7 @@ def fuse_clusters(
     probs: jnp.ndarray,
     cov_jitter: float = 1e-3,
     prior_logits: Optional[jnp.ndarray] = None,
+    category_fusion: str = "likelihood",
     eps: float = 1e-12,
 ) -> FusedDetections:
     """Fuse per-anchor posteriors into per-cluster detections.
@@ -76,8 +77,15 @@ def fuse_clusters(
       boxes: [K, 4] per-candidate mean boxes (corner space, fp32).
       covs:  [K, 4, 4] per-candidate total covariances.
       probs: [K, C+1] per-candidate mean categoricals (background = class 0).
-      prior_logits: optional [C+1] informative category prior (log space);
-                None = uniform (non-informative), the reference default.
+      prior_logits: optional [C+1] informative category prior (log space for
+                "likelihood"; concentration offsets for "dirichlet");
+                None = uniform / unit prior (non-informative, the default).
+      category_fusion: "likelihood" — members are independent categorical
+                likelihoods of one label, fused by multiplication (softmax of
+                summed logs; paper §III.C conjugate update); "dirichlet" —
+                each member contributes its categorical as Dirichlet
+                pseudo-counts, fused alpha = 1 + sum_i p_i, output is the
+                Dirichlet mean (softer; heavier members -> sharper).
     """
     m = clusters.membership.astype(jnp.float32)  # [D, K]
 
@@ -92,11 +100,22 @@ def fuse_clusters(
     mu_f = jnp.einsum("dij,dj->di", sigma_f, eta_f)
 
     # --- Dirichlet/categorical fusion ----------------------------------------
-    logp = jnp.log(jnp.maximum(probs.astype(jnp.float32), eps))  # [K, C+1]
-    fused_logits = jnp.einsum("dk,kc->dc", m, logp)
-    if prior_logits is not None:
-        fused_logits = fused_logits + prior_logits[None, :].astype(jnp.float32)
-    p_f = jax.nn.softmax(fused_logits, axis=-1)
+    if category_fusion == "likelihood":
+        logp = jnp.log(jnp.maximum(probs.astype(jnp.float32), eps))  # [K, C+1]
+        fused_logits = jnp.einsum("dk,kc->dc", m, logp)
+        if prior_logits is not None:
+            fused_logits = fused_logits + prior_logits[None, :].astype(
+                jnp.float32
+            )
+        p_f = jax.nn.softmax(fused_logits, axis=-1)
+    elif category_fusion == "dirichlet":
+        counts = jnp.einsum("dk,kc->dc", m, probs.astype(jnp.float32))
+        alpha = 1.0 + counts  # unit (non-informative) prior concentration
+        if prior_logits is not None:
+            alpha = alpha + prior_logits[None, :].astype(jnp.float32)
+        p_f = alpha / jnp.sum(alpha, axis=-1, keepdims=True)
+    else:
+        raise ValueError(f"unknown category_fusion '{category_fusion}'")
 
     scores = jnp.max(p_f[:, 1:], axis=-1)
     entropy = -jnp.sum(p_f * jnp.log(jnp.maximum(p_f, eps)), axis=-1)

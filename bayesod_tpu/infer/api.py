@@ -1,0 +1,148 @@
+"""High-level serving API: raw numpy images in, detection posteriors out.
+
+The reference's user workflow is "edit YAML, run run_inference.py, read dump
+files" (SURVEY.md §3.2). This wraps the same capability as a library object:
+
+    det = Detector.from_config("configs/retinanet_kitti.yaml")   # or from_checkpoint
+    result = det(images_uint8)            # list of per-image dicts, original coords
+
+Handles preprocessing (resize/pad/normalize), batching to the compiled batch
+size, RNG management, and coordinate un-scaling — everything between a camera
+frame and the reference's output schema.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Sequence, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from bayesod_tpu.data.preprocess import normalize_images, resize_and_pad
+from bayesod_tpu.infer.detector import build_detect_fn
+from bayesod_tpu.models.retinanet import RetinaNet, init_variables
+from bayesod_tpu.utils.config import ExperimentConfig
+
+
+class Detector:
+    """Compiled BayesOD detector bound to weights + a static batch size."""
+
+    def __init__(
+        self,
+        cfg: ExperimentConfig,
+        variables,
+        batch_size: int = 1,
+        seed: int = 0,
+    ):
+        self.cfg = cfg
+        self.variables = variables
+        self.batch_size = batch_size
+        self._model = RetinaNet(cfg=cfg.model, train=False)
+        detect_raw = build_detect_fn(cfg, self._model)
+
+        def _detect(variables, images_u8, rng):
+            images = normalize_images(images_u8, cfg.data.mean, cfg.data.std)
+            return detect_raw(variables, images, rng)
+
+        self._detect = jax.jit(_detect)
+        self._rng = jax.random.PRNGKey(seed)
+        self._calls = 0
+
+    # -- constructors ---------------------------------------------------------
+
+    @classmethod
+    def from_config(
+        cls,
+        yaml_path_or_cfg: Union[str, ExperimentConfig],
+        batch_size: int = 1,
+        rng: Optional[jax.Array] = None,
+    ) -> "Detector":
+        """Random-init weights (smoke/serving-shape tests)."""
+        cfg = _load(yaml_path_or_cfg)
+        variables = init_variables(
+            RetinaNet(cfg=cfg.model, train=False),
+            rng if rng is not None else jax.random.PRNGKey(0),
+            cfg.data.image_hw,
+        )
+        return cls(cfg, variables, batch_size)
+
+    @classmethod
+    def from_checkpoint(
+        cls,
+        yaml_path_or_cfg: Union[str, ExperimentConfig],
+        checkpoint_dir: Optional[str] = None,
+        batch_size: int = 1,
+    ) -> "Detector":
+        """Restore the latest Orbax checkpoint (SURVEY.md §5.4 restore flow)."""
+        cfg = _load(yaml_path_or_cfg)
+        from bayesod_tpu.train import CheckpointManager, create_train_state
+
+        model = RetinaNet(cfg=cfg.model, train=False)
+        template = create_train_state(
+            model, cfg.train, jax.random.PRNGKey(cfg.train.seed), cfg.data.image_hw
+        )
+        mgr = CheckpointManager(
+            checkpoint_dir or f"data/outputs/{cfg.name}/checkpoints",
+            async_save=False,
+        )
+        state = mgr.restore(template)
+        if state is None:
+            raise FileNotFoundError(
+                f"no checkpoint found under {mgr.directory}"
+            )
+        return cls(cfg, state.variables(), batch_size)
+
+    # -- inference ------------------------------------------------------------
+
+    def __call__(
+        self, images: Sequence[np.ndarray], rng: Optional[jax.Array] = None
+    ) -> List[Dict[str, np.ndarray]]:
+        """Detect on a list of HxWx3 uint8 images (any sizes).
+
+        Returns one dict per image with boxes/covs/probs/scores/entropy/
+        classes in ORIGINAL image coordinates (only valid detections).
+        """
+        out: List[Dict[str, np.ndarray]] = []
+        for start in range(0, len(images), self.batch_size):
+            chunk = images[start : start + self.batch_size]
+            batch = np.zeros(
+                (self.batch_size, *self.cfg.data.image_hw, 3), np.uint8
+            )
+            scales = np.ones(self.batch_size, np.float32)
+            for i, img in enumerate(chunk):
+                canvas, _, scale = resize_and_pad(
+                    np.asarray(img), np.zeros((0, 4), np.float32),
+                    self.cfg.data.image_hw,
+                )
+                batch[i] = canvas
+                scales[i] = scale
+            if rng is None:
+                step_rng = jax.random.fold_in(self._rng, self._calls)
+                self._calls += 1
+            else:
+                step_rng = rng
+            res = self._detect(self.variables, jnp.asarray(batch), step_rng)
+            res = jax.tree_util.tree_map(np.asarray, res)
+            for i in range(len(chunk)):
+                v = res.valid[i]
+                s = scales[i]
+                out.append(
+                    {
+                        "boxes": res.boxes[i][v] / s,
+                        "covs": res.covs[i][v] / (s * s),
+                        "probs": res.probs[i][v],
+                        "scores": res.scores[i][v],
+                        "entropy": res.entropy[i][v],
+                        "classes": res.classes[i][v],
+                    }
+                )
+        return out
+
+
+def _load(yaml_path_or_cfg) -> ExperimentConfig:
+    if isinstance(yaml_path_or_cfg, ExperimentConfig):
+        return yaml_path_or_cfg
+    from bayesod_tpu.utils.config import load_config
+
+    return load_config(yaml_path_or_cfg)

@@ -90,16 +90,32 @@ def _postprocess_single(
     boxes_px = box_ops.clip_boxes(cand.boxes, cfg.data.image_hw)
     scores = jnp.max(cand.probs[:, 1:], axis=-1)
 
+    backend = bayes.clustering_backend
+    if backend == "auto":
+        backend = "pallas" if jax.default_backend() == "tpu" else "xla"
+    if backend == "pallas":
+        from bayesod_tpu.ops.pallas.clustering import (
+            iou_affinity_clustering_pallas,
+        )
+
+        cluster_fn = iou_affinity_clustering_pallas
+    else:
+        cluster_fn = clus.iou_affinity_clustering
+
     if bayes.mode == "bayes_od":
-        groups = clus.iou_affinity_clustering(
+        groups = cluster_fn(
             boxes_px, scores, valid, bayes.affinity_threshold, bayes.max_detections
         )
     else:
-        groups = clus.greedy_nms(
-            boxes_px, scores, valid, bayes.nms_iou_threshold, bayes.max_detections
+        groups = clus.greedy_nms_with(
+            cluster_fn,
+            boxes_px, scores, valid, bayes.nms_iou_threshold,
+            bayes.max_detections,
         )
     return fus.fuse_clusters(
-        groups, boxes_px, cand.covs, cand.probs, cov_jitter=bayes.cov_jitter
+        groups, boxes_px, cand.covs, cand.probs,
+        cov_jitter=bayes.cov_jitter,
+        category_fusion=bayes.category_fusion,
     )
 
 

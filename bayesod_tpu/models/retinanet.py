@@ -54,6 +54,7 @@ class RetinaNet(nn.Module):
             depth=self.cfg.head_depth,
             channels=self.cfg.head_channels,
             dropout_rate=self.cfg.dropout_rate,
+            dropout_layers=self.cfg.dropout_layers,
             prior_prob=self.cfg.prior_prob,
             dtype=dtype,
             name="heads",

@@ -41,6 +41,7 @@ def _cluster_kernel(
     affinity_threshold: float,
 ):
     k = boxes_ref.shape[0]
+    d_pad = center_ref.shape[1]  # lane-padded detection slots
     boxes = boxes_ref[:]  # [K, 4]
 
     # Pairwise IoU in fp32 on the VPU. [K, K]
@@ -58,24 +59,43 @@ def _cluster_kernel(
     iou = jnp.where(union > 0.0, inter / jnp.maximum(union, 1e-9), 0.0)
 
     col_ids = jax.lax.broadcasted_iota(jnp.int32, (1, k), 1)
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, (k, k), 0)
+    d = max_detections
+    d_ids = jax.lax.broadcasted_iota(jnp.int32, (1, d_pad), 1)
 
-    def body(i, avail):
-        # avail: [1, K] scores with claimed/invalid at -inf.
+    def body(i, state):
+        # avail: [1, K] scores with claimed/invalid at -inf. centers/valid are
+        # [1, D] vectors carried through the loop (Mosaic VMEM stores must be
+        # vector-shaped; scalars land in the carry instead).
+        avail, centers, valid = state
         m = jnp.max(avail)
         # argmax with lowest-index tie-break (matches jnp.argmax).
         is_max = avail >= m
         c = jnp.min(jnp.where(is_max, col_ids, k))  # scalar int32
         has_center = m > _NEG_INF
-        iou_row = jax.lax.dynamic_slice(iou, (c, 0), (1, k))  # [1, K]
+        # Row c of the IoU matrix via a masked reduction (Mosaic here has no
+        # dynamic_slice lowering; one [K,K] VPU pass per step is VMEM-cheap).
+        iou_row = jnp.sum(
+            jnp.where(row_ids == c, iou, 0.0), axis=0, keepdims=True
+        )  # [1, K]
         members = (
             (iou_row >= affinity_threshold) & (avail > _NEG_INF) & has_center
         )
         member_ref[i, :] = members[0].astype(jnp.float32)
-        center_ref[0, i] = c
-        valid_ref[0, i] = has_center.astype(jnp.float32)
-        return jnp.where(members, _NEG_INF, avail)
+        centers = jnp.where(d_ids == i, c, centers)
+        valid = jnp.where(
+            d_ids == i, has_center.astype(jnp.float32), valid
+        )
+        return jnp.where(members, _NEG_INF, avail), centers, valid
 
-    jax.lax.fori_loop(0, max_detections, body, scores_ref[:], unroll=False)
+    init = (
+        scores_ref[:],
+        jnp.zeros((1, d_pad), jnp.int32),
+        jnp.zeros((1, d_pad), jnp.float32),
+    )
+    _, centers, valid = jax.lax.fori_loop(0, d, body, init, unroll=False)
+    center_ref[:] = centers
+    valid_ref[:] = valid
 
 
 def _round_up(x: int, m: int) -> int:
@@ -97,6 +117,7 @@ def iou_affinity_clustering_pallas(
     k = boxes.shape[0]
     kp = _round_up(k, 128)  # lane-align the candidate axis
     d = max_detections
+    dp = _round_up(d, 128)  # lane-align the detection-slot axis
 
     boxes_p = jnp.zeros((kp, 4), jnp.float32).at[:k].set(
         boxes.astype(jnp.float32)
@@ -111,9 +132,9 @@ def iou_affinity_clustering_pallas(
             affinity_threshold=affinity_threshold,
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((d, kp), jnp.float32),
-            jax.ShapeDtypeStruct((1, d), jnp.int32),
-            jax.ShapeDtypeStruct((1, d), jnp.float32),
+            jax.ShapeDtypeStruct((_round_up(d, 8), kp), jnp.float32),
+            jax.ShapeDtypeStruct((1, dp), jnp.int32),
+            jax.ShapeDtypeStruct((1, dp), jnp.float32),
         ),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.VMEM),
@@ -128,7 +149,7 @@ def iou_affinity_clustering_pallas(
     )(boxes_p, scores_p)
 
     return Clusters(
-        centers=center[0],
-        membership=member[:, :k] > 0.5,
-        valid=valid[0] > 0.5,
+        centers=center[0, :d],
+        membership=member[:d, :k] > 0.5,
+        valid=valid[0, :d] > 0.5,
     )

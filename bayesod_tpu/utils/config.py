@@ -27,9 +27,14 @@ class ModelConfig:
     fpn_channels: int = 256
     head_depth: int = 4
     head_channels: int = 256
-    # MC-dropout site: interleaved in both subnet trunks (SURVEY.md §2
-    # "Classification subnet"), active at inference for sampling.
+    # MC-dropout site: in both subnet trunks (SURVEY.md §2 "Classification
+    # subnet"), active at inference for sampling.
     dropout_rate: float = 0.3
+    # Dropout placement: "last" = one dropout after the final trunk conv
+    # (MC samples share the whole deterministic trunk; ~10x cheaper sampling
+    # — the TPU-first flagship default), "all" = dropout after every trunk
+    # conv (reference-style interleaving; SURVEY.md §2 [R:med]).
+    dropout_layers: str = "last"
     prior_prob: float = 0.01  # focal-loss final-bias init pi
     norm: str = "batchnorm"  # "batchnorm" | "groupnorm"
     compute_dtype: str = "bfloat16"  # conv/matmul dtype; stats stay fp32
@@ -46,6 +51,12 @@ class BayesConfig:
     max_detections: int = 100  # static cluster/output count
     nms_iou_threshold: float = 0.5  # greedy-NMS baseline mode
     mode: str = "bayes_od"  # "bayes_od" | "nms" | "single_pass_nms"
+    # Greedy-clustering implementation: "auto" = Pallas kernel on TPU, jnp
+    # elsewhere; "pallas" / "xla" force one (SURVEY.md §7 step 8).
+    clustering_backend: str = "auto"
+    # Category fusion rule (paper §III.C): "likelihood" (conjugate product)
+    # or "dirichlet" (pseudo-count sum -> Dirichlet mean).
+    category_fusion: str = "likelihood"
     box_scale_factors: Tuple[float, float, float, float] = (1.0, 1.0, 1.0, 1.0)
     cov_jitter: float = 1e-3  # fp32 jitter added before 4x4 precision inverse
     log_var_clip: float = 10.0

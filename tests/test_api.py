@@ -1,0 +1,75 @@
+"""High-level Detector API tests: arbitrary-size numpy images round-trip."""
+
+import jax
+import numpy as np
+import pytest
+
+from bayesod_tpu.infer import Detector
+from bayesod_tpu.utils.config import (
+    BayesConfig,
+    DataConfig,
+    ExperimentConfig,
+    ModelConfig,
+)
+
+
+@pytest.fixture(scope="module")
+def det():
+    cfg = ExperimentConfig(
+        name="api_tiny",
+        model=ModelConfig(
+            num_classes=3, backbone="resnet18", fpn_channels=32,
+            head_depth=1, head_channels=32, norm="groupnorm",
+            compute_dtype="float32",
+        ),
+        bayes=BayesConfig(
+            num_mc_samples=2, score_threshold=0.0, pre_cluster_topk=32,
+            max_detections=8,
+        ),
+        data=DataConfig(dataset="synthetic", image_hw=(128, 128)),
+    )
+    return Detector.from_config(cfg, batch_size=2)
+
+
+def test_mixed_sizes_and_coordinate_unscaling(det):
+    imgs = [
+        np.random.default_rng(0).integers(0, 255, (256, 256, 3), dtype=np.uint8),
+        np.random.default_rng(1).integers(0, 255, (64, 200, 3), dtype=np.uint8),
+        np.random.default_rng(2).integers(0, 255, (128, 128, 3), dtype=np.uint8),
+    ]
+    out = det(imgs)
+    assert len(out) == 3
+    # Boxes must land inside each ORIGINAL image (coordinates unscaled).
+    for img, rec in zip(imgs, out):
+        h, w = img.shape[:2]
+        if len(rec["boxes"]):
+            assert rec["boxes"][:, 2].max() <= w + 1e-3
+            assert rec["boxes"][:, 3].max() <= h + 1e-3
+        assert rec["probs"].shape[-1] == 4
+        assert rec["covs"].shape[-2:] == (4, 4)
+
+
+def test_fold_in_rng_advances(det):
+    img = [np.zeros((128, 128, 3), np.uint8)]
+    a = det(img)
+    b = det(img)
+    # MC sampling differs call to call unless an explicit rng is passed.
+    same = np.array_equal(a[0]["probs"], b[0]["probs"])
+    c = det(img, rng=jax.random.PRNGKey(5))
+    d = det(img, rng=jax.random.PRNGKey(5))
+    assert np.array_equal(c[0]["probs"], d[0]["probs"])
+    assert not same
+
+
+def test_from_checkpoint_missing_raises(tmp_path):
+    cfg = ExperimentConfig(
+        name="api_missing",
+        model=ModelConfig(
+            num_classes=3, backbone="resnet18", fpn_channels=32,
+            head_depth=1, head_channels=32, norm="groupnorm",
+            compute_dtype="float32",
+        ),
+        data=DataConfig(dataset="synthetic", image_hw=(128, 128)),
+    )
+    with pytest.raises(FileNotFoundError):
+        Detector.from_checkpoint(cfg, checkpoint_dir=str(tmp_path / "none"))
