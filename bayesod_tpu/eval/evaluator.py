@@ -34,12 +34,17 @@ def run_inference(
     max_images: Optional[int] = None,
     batch_size: int = 8,
     seed: int = 0,
+    data_parallel: bool = False,
 ) -> List[Dict]:
     """Detect over a split; returns (and optionally dumps) per-image records.
 
     Record schema (reference parity, SURVEY.md §3.2 output stage):
       {"id", "boxes" [D,4] original coords, "covs" [D,4,4], "probs" [D,C+1],
        "scores" [D], "entropy" [D], "classes" [D]} — only valid rows kept.
+
+    data_parallel=True shards each batch over the full device mesh
+    (BASELINE config #4: "vmap MC samples x data-parallel images across a
+    TPU mesh"); batch_size must divide the device count evenly.
     """
     dataset = make_dataset(cfg.data, split=split)
     n = len(dataset) if max_images is None else min(max_images, len(dataset))
@@ -54,7 +59,26 @@ def run_inference(
             rng,
         )
 
-    detect = jax.jit(detect_uint8)
+    if data_parallel and len(jax.devices()) > 1:
+        from bayesod_tpu.parallel import mesh as mesh_lib
+
+        mesh = mesh_lib.make_mesh(cfg.mesh)
+        n_data = mesh.shape[cfg.mesh.data_axis]
+        if batch_size % n_data:
+            raise ValueError(
+                f"batch_size={batch_size} must divide data axis ({n_data})"
+            )
+        detect = jax.jit(
+            detect_uint8,
+            in_shardings=(
+                mesh_lib.replicated(mesh),
+                mesh_lib.batch_sharding(mesh, cfg.mesh),
+                mesh_lib.replicated(mesh),
+            ),
+        )
+        variables = jax.device_put(variables, mesh_lib.replicated(mesh))
+    else:
+        detect = jax.jit(detect_uint8)
 
     loader = Loader(
         dataset,

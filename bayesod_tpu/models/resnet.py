@@ -116,10 +116,22 @@ class BasicBlock(nn.Module):
 
 
 class ResNet(nn.Module):
-    """Backbone returning {'c3', 'c4', 'c5'} feature maps (strides 8/16/32)."""
+    """Backbone returning {'c3', 'c4', 'c5'} feature maps (strides 8/16/32).
+
+    `stem` selects the input layer:
+      * "conv7" — canonical 7x7/s2 conv. On TPU this conv is MXU-starved:
+        3 input channels fill ~2% of the 128-deep contraction lanes.
+      * "space_to_depth" (default) — rearrange 2x2 pixel blocks into channels
+        ([H,W,3] -> [H/2,W/2,12]) and apply a 4x4/s1 conv: identical output
+        shape/stride and equivalent receptive field (a reparametrized 8x8/s2
+        superset of the 7x7), with 4x the contraction depth. The standard
+        MLPerf-era TPU ResNet stem; valid here because training is from
+        scratch (no reference weights exist to port — SURVEY.md §5.4).
+    """
 
     variant: str = "resnet50"
     norm: str = "batchnorm"
+    stem: str = "space_to_depth"
     dtype: Any = jnp.bfloat16
     train: bool = False
 
@@ -130,12 +142,29 @@ class ResNet(nn.Module):
         norm = make_norm(self.norm, self.dtype, self.train)
 
         x = x.astype(self.dtype)
-        x = nn.Conv(
-            64, (7, 7), strides=(2, 2), padding="SAME", use_bias=False,
-            dtype=self.dtype, param_dtype=jnp.float32,
-            kernel_init=nn.initializers.variance_scaling(2.0, "fan_out", "normal"),
-            name="conv_stem",
-        )(x)
+        if self.stem == "space_to_depth":
+            b, h, w, c = x.shape
+            x = x.reshape(b, h // 2, 2, w // 2, 2, c)
+            x = x.transpose(0, 1, 3, 2, 4, 5).reshape(b, h // 2, w // 2, 4 * c)
+            x = nn.Conv(
+                64, (4, 4), strides=(1, 1), padding="SAME", use_bias=False,
+                dtype=self.dtype, param_dtype=jnp.float32,
+                kernel_init=nn.initializers.variance_scaling(
+                    2.0, "fan_out", "normal"
+                ),
+                name="conv_stem_s2d",
+            )(x)
+        elif self.stem == "conv7":
+            x = nn.Conv(
+                64, (7, 7), strides=(2, 2), padding="SAME", use_bias=False,
+                dtype=self.dtype, param_dtype=jnp.float32,
+                kernel_init=nn.initializers.variance_scaling(
+                    2.0, "fan_out", "normal"
+                ),
+                name="conv_stem",
+            )(x)
+        else:
+            raise ValueError(f"unknown stem '{self.stem}'")
         x = nn.relu(norm(name="bn_stem")(x))
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding="SAME")
 

@@ -44,7 +44,8 @@ class RetinaNet(nn.Module):
     def setup(self):
         dtype = _dtype_of(self.cfg)
         self.backbone = ResNet(
-            variant=self.cfg.backbone, norm=self.cfg.norm, dtype=dtype,
+            variant=self.cfg.backbone, norm=self.cfg.norm,
+            stem=self.cfg.stem, dtype=dtype,
             train=self.train, name="backbone",
         )
         self.fpn = FPN(channels=self.cfg.fpn_channels, dtype=dtype, name="fpn")

@@ -24,6 +24,9 @@ class ModelConfig:
 
     num_classes: int = 3  # foreground classes; background handled separately
     backbone: str = "resnet50"
+    # Stem layer: "space_to_depth" (TPU-efficient 2x2-block 4x4 conv, the
+    # default) or "conv7" (canonical 7x7/s2) — see models/resnet.py.
+    stem: str = "space_to_depth"
     fpn_channels: int = 256
     head_depth: int = 4
     head_channels: int = 256

@@ -198,3 +198,43 @@ class TestEndToEndEval:
         assert "map" in metrics and "categorical_mue" in metrics
         for v in metrics.values():
             assert np.isfinite(v)
+
+
+@pytest.mark.slow
+def test_data_parallel_inference_matches_single(cpu_devices):
+    """DP-sharded eval over the 8-device mesh = single-device results."""
+    import jax
+
+    from bayesod_tpu.eval.evaluator import run_inference
+    from bayesod_tpu.models.retinanet import RetinaNet, init_variables
+    from bayesod_tpu.utils.config import (
+        BayesConfig,
+        DataConfig,
+        ExperimentConfig,
+        ModelConfig,
+    )
+
+    cfg = ExperimentConfig(
+        name="eval_dp",
+        model=ModelConfig(
+            num_classes=3, backbone="resnet18", fpn_channels=32,
+            head_depth=1, head_channels=32, norm="groupnorm",
+            compute_dtype="float32",
+        ),
+        bayes=BayesConfig(
+            num_mc_samples=2, score_threshold=0.0, pre_cluster_topk=32,
+            max_detections=8,
+        ),
+        data=DataConfig(dataset="synthetic", image_hw=(128, 128), max_gt_boxes=8),
+    )
+    model = RetinaNet(cfg=cfg.model, train=False)
+    variables = init_variables(model, jax.random.PRNGKey(0), cfg.data.image_hw)
+    single = run_inference(cfg, variables, max_images=8, batch_size=8)
+    sharded = run_inference(
+        cfg, variables, max_images=8, batch_size=8, data_parallel=True
+    )
+    assert len(single) == len(sharded) == 8
+    for a, b in zip(single, sharded):
+        np.testing.assert_allclose(
+            np.asarray(a["boxes"]), np.asarray(b["boxes"]), atol=2e-2,
+        )
