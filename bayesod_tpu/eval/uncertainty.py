@@ -33,22 +33,34 @@ def minimum_uncertainty_error(
     c = np.asarray(correct, bool)
     if len(u) == 0 or c.all() or (~c).all():
         return 0.5, float("nan")
-    # Candidate thresholds: midpoints of sorted unique values + extremes.
-    vals = np.unique(u)
-    cands = np.concatenate(
-        [[vals[0] - 1.0], (vals[1:] + vals[:-1]) * 0.5, [vals[-1] + 1.0]]
+    # Vectorized sweep: sort by u; threshold after position j flags items
+    # j+1.. as incorrect. err(j) = 0.5*(#correct above j / n_c +
+    # #incorrect at-or-below j / n_i), computed with cumulative sums in
+    # O(N log N) (the reference-era loop was O(N^2) on large val splits).
+    order = np.argsort(u, kind="stable")
+    u_sorted = u[order]
+    c_sorted = c[order].astype(np.float64)
+    n_c = c_sorted.sum()
+    n_i = len(c_sorted) - n_c
+    # After cutting at j items kept (j = 0..N), with ties kept together.
+    cum_c = np.concatenate([[0.0], np.cumsum(c_sorted)])  # correct kept
+    cum_i = np.concatenate([[0.0], np.cumsum(1.0 - c_sorted)])
+    fn_rate = (n_c - cum_c) / n_c  # correct flagged as wrong
+    fp_rate = cum_i / n_i  # incorrect kept
+    err = 0.5 * (fn_rate + fp_rate)
+    # Valid cut points: only between distinct u values (ties inseparable).
+    boundary = np.concatenate(
+        [[True], u_sorted[1:] != u_sorted[:-1], [True]]
     )
-    n_c = c.sum()
-    n_i = (~c).sum()
-    best, best_t = 1.0, float("nan")
-    for t in cands:
-        flagged = u > t  # predicted incorrect
-        fn_rate = float((flagged & c).sum()) / n_c  # correct flagged wrong
-        fp_rate = float((~flagged & ~c).sum()) / n_i  # incorrect kept
-        err = 0.5 * (fn_rate + fp_rate)
-        if err < best:
-            best, best_t = err, float(t)
-    return best, best_t
+    err = np.where(boundary, err, np.inf)
+    j = int(np.argmin(err))
+    if j == 0:
+        t = float(u_sorted[0] - 1.0)
+    elif j == len(u_sorted):
+        t = float(u_sorted[-1] + 1.0)
+    else:
+        t = float(0.5 * (u_sorted[j - 1] + u_sorted[j]))
+    return float(err[j]), t
 
 
 def gaussian_nll(

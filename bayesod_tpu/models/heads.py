@@ -83,53 +83,71 @@ class RetinaNetHeads(nn.Module):
     prior_prob: float = 0.01
     dtype: Any = jnp.bfloat16
 
-    @nn.compact
-    def __call__(
-        self, feats: Sequence[jnp.ndarray], *, stochastic: bool
-    ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-        """feats: list of NHWC pyramid levels -> (logits [B, A, C+1],
-        deltas [B, A, 4], log_vars [B, A, 4]) in fp32."""
+    def setup(self):
         k = self.anchors_per_cell
         n_cls = self.num_classes + 1  # + background
-
-        cls_trunk = SubnetTrunk(
+        self.cls_trunk = SubnetTrunk(
             self.depth, self.channels, self.dropout_rate,
-            self.dropout_layers, self.dtype, name="cls_trunk",
+            self.dropout_layers, self.dtype,
         )
-        reg_trunk = SubnetTrunk(
+        self.reg_trunk = SubnetTrunk(
             self.depth, self.channels, self.dropout_rate,
-            self.dropout_layers, self.dtype, name="reg_trunk",
+            self.dropout_layers, self.dtype,
         )
         # Background starts near-certain: foreground logits biased to
         # -log((1-pi)/pi) so initial softmax fg mass ~ pi (focal convention).
         fg_bias = -float(np.log((1.0 - self.prior_prob) / self.prior_prob))
         cls_bias = np.zeros((k * n_cls,), np.float32)
         cls_bias.reshape(k, n_cls)[:, 1:] = fg_bias  # class 0 = background
-        cls_final = nn.Conv(
+        self.cls_out = nn.Conv(
             k * n_cls, (3, 3), padding="SAME",
             dtype=self.dtype, param_dtype=jnp.float32,
             kernel_init=nn.initializers.normal(0.01),
             bias_init=lambda key, shape, dtype=jnp.float32: jnp.asarray(
                 cls_bias, dtype
             ),
-            name="cls_out",
         )
-        reg_final = nn.Conv(
+        self.reg_out = nn.Conv(
             k * 8, (3, 3), padding="SAME",
             dtype=self.dtype, param_dtype=jnp.float32,
             kernel_init=nn.initializers.normal(0.01),
-            name="reg_out",
         )
 
-        logits_lvls: List[jnp.ndarray] = []
+    def flatten_levels(
+        self, cls_lvls: Sequence[jnp.ndarray], reg_lvls: Sequence[jnp.ndarray]
+    ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+        """Per-level head maps [..., h, w, k*C] -> ([..., A, C+1], [..., A, 4],
+        [..., A, 4]) in the anchor-grid layout (ops/anchors.py)."""
+        k = self.anchors_per_cell
+        n_cls = self.num_classes + 1
+        logits, reg = [], []
+        for cls_map, reg_map in zip(cls_lvls, reg_lvls):
+            lead = cls_map.shape[:-3]
+            h, w = cls_map.shape[-3:-1]
+            logits.append(cls_map.reshape(*lead, h * w * k, n_cls))
+            reg.append(reg_map.reshape(*lead, h * w * k, 8))
+        logits = jnp.concatenate(logits, axis=-2).astype(jnp.float32)
+        reg = jnp.concatenate(reg, axis=-2).astype(jnp.float32)
+        return logits, reg[..., :4], reg[..., 4:]
+
+    def trunk_outputs(
+        self, feats: Sequence[jnp.ndarray]
+    ) -> Tuple[List[jnp.ndarray], List[jnp.ndarray]]:
+        """Deterministic (pre-dropout) trunk activations per level — the
+        input of the fused Pallas dropout+final kernel (dropout_layers=last
+        puts the only stochastic op after these)."""
+        cls_t = [self.cls_trunk(f, stochastic=False) for f in feats]
+        reg_t = [self.reg_trunk(f, stochastic=False) for f in feats]
+        return cls_t, reg_t
+
+    def __call__(
+        self, feats: Sequence[jnp.ndarray], *, stochastic: bool
+    ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+        """feats: list of NHWC pyramid levels -> (logits [B, A, C+1],
+        deltas [B, A, 4], log_vars [B, A, 4]) in fp32."""
+        cls_lvls: List[jnp.ndarray] = []
         reg_lvls: List[jnp.ndarray] = []
         for feat in feats:
-            b, h, w, _ = feat.shape
-            cls = cls_final(cls_trunk(feat, stochastic=stochastic))
-            reg = reg_final(reg_trunk(feat, stochastic=stochastic))
-            logits_lvls.append(cls.reshape(b, h * w * k, n_cls))
-            reg_lvls.append(reg.reshape(b, h * w * k, 8))
-
-        logits = jnp.concatenate(logits_lvls, axis=1).astype(jnp.float32)
-        reg = jnp.concatenate(reg_lvls, axis=1).astype(jnp.float32)
-        return logits, reg[..., :4], reg[..., 4:]
+            cls_lvls.append(self.cls_out(self.cls_trunk(feat, stochastic=stochastic)))
+            reg_lvls.append(self.reg_out(self.reg_trunk(feat, stochastic=stochastic)))
+        return self.flatten_levels(cls_lvls, reg_lvls)

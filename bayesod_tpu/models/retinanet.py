@@ -71,6 +71,13 @@ class RetinaNet(nn.Module):
         """Stochastic heads on precomputed features (the vmap seam)."""
         return self.heads(feats, stochastic=stochastic)
 
+    def head_trunk_outputs(self, feats: Sequence[jnp.ndarray]):
+        """Deterministic per-level trunk activations (fused-kernel input)."""
+        return self.heads.trunk_outputs(feats)
+
+    def flatten_head_levels(self, cls_lvls, reg_lvls):
+        return self.heads.flatten_levels(cls_lvls, reg_lvls)
+
     def __call__(self, images: jnp.ndarray, *, stochastic: bool = False):
         return self.predict_heads(self.features(images), stochastic=stochastic)
 
@@ -99,6 +106,22 @@ def mc_forward(
     The incoming key's impl is preserved if the caller already chose one.
     """
     feats = model.apply(variables, images, method=RetinaNet.features)
+
+    backend = model.cfg.head_final_backend
+    if backend == "auto":
+        backend = (
+            "pallas"
+            if jax.default_backend() == "tpu"
+            and model.cfg.dropout_layers == "last"
+            else "xla"
+        )
+    if backend == "pallas":
+        if model.cfg.dropout_layers != "last":
+            raise ValueError(
+                "head_final_backend='pallas' requires dropout_layers='last'"
+            )
+        return _mc_heads_fused(model, variables, feats, rng, num_samples)
+
     if jax.dtypes.issubdtype(rng.dtype, jax.dtypes.prng_key):
         base = rng  # caller chose an impl; respect it
     else:
@@ -113,6 +136,67 @@ def mc_forward(
         )
 
     return jax.vmap(sample)(keys)
+
+
+def _mc_heads_fused(model, variables, feats, rng, num_samples):
+    """Fused-kernel MC heads: deterministic trunks once, then one Pallas
+    dropout+final-conv launch per (level, subnet) producing all N samples
+    (ops/pallas/fused_final.py). Distributionally identical Bernoulli
+    dropout; RNG stream differs from the flax path."""
+    from bayesod_tpu.ops.pallas.fused_final import dropout_final_conv
+
+    cls_t, reg_t = model.apply(
+        variables, feats, method=RetinaNet.head_trunk_outputs
+    )
+    params = variables["params"]["heads"]
+    cls_k = params["cls_out"]["kernel"]
+    cls_b = params["cls_out"]["bias"]
+    reg_k = params["reg_out"]["kernel"]
+    reg_b = params["reg_out"]["bias"]
+    keep = 1.0 - model.cfg.dropout_rate
+
+    if jax.dtypes.issubdtype(rng.dtype, jax.dtypes.prng_key):
+        words = jax.random.key_data(rng).astype(jnp.int32)
+        seed0 = words.ravel()[0] ^ (words.ravel()[-1] << 1)
+    else:
+        seed0 = (rng[0] ^ (rng[1] << 1)).astype(jnp.int32)
+
+    def level_vmem_bytes(t):
+        h, w, c = t.shape[1:]
+        # x block (bf16) + masked copy + fp32 accumulator + window staging.
+        return (h + 2) * (w + 2) * c * 2 * 2 + h * w * 128 * 4 * 2
+
+    def xla_level(t, kernel, bias, seed):
+        # Oversized-level fallback: plain vmapped mask+conv (hardware-RNG
+        # keys); only triggers when a level's block would blow VMEM.
+        keys = jax.random.split(
+            jax.random.key(seed, impl="rbg"), num_samples
+        )
+
+        def one(key):
+            mask = jax.random.bernoulli(key, keep, t.shape)
+            xt = jnp.where(mask, t / keep, 0.0).astype(t.dtype)
+            return jax.lax.conv_general_dilated(
+                xt, kernel.astype(t.dtype), (1, 1), "SAME",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            ) + bias.astype(t.dtype)
+
+        return jax.vmap(one)(keys)
+
+    vmem_budget = 12 * 1024 * 1024
+    cls_lvls, reg_lvls = [], []
+    for lvl, (ct, rt) in enumerate(zip(cls_t, reg_t)):
+        if level_vmem_bytes(ct) <= vmem_budget:
+            run = lambda t, k_, b_, s: dropout_final_conv(
+                t, k_, b_, s, num_samples, keep
+            )
+        else:
+            run = lambda t, k_, b_, s: xla_level(t, k_, b_, s)
+        cls_lvls.append(run(ct, cls_k, cls_b, seed0 + 2 * lvl))
+        reg_lvls.append(run(rt, reg_k, reg_b, seed0 + 2 * lvl + 1))
+    return model.apply(
+        variables, cls_lvls, reg_lvls, method=RetinaNet.flatten_head_levels
+    )
 
 
 def single_forward(

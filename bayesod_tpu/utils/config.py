@@ -33,6 +33,10 @@ class ModelConfig:
     # MC-dropout site: in both subnet trunks (SURVEY.md §2 "Classification
     # subnet"), active at inference for sampling.
     dropout_rate: float = 0.3
+    # Final-layer MC execution: "xla" = vmap over dropout rngs (portable);
+    # "pallas" = fused on-chip dropout+final-conv kernel (TPU; requires
+    # dropout_layers="last"); "auto" = pallas on TPU else xla.
+    head_final_backend: str = "auto"
     # Dropout placement: "last" = one dropout after the final trunk conv
     # (MC samples share the whole deterministic trunk; ~10x cheaper sampling
     # — the TPU-first flagship default), "all" = dropout after every trunk

@@ -1,0 +1,134 @@
+"""Fused dropout+final-conv kernel tests (interpret mode on CPU)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from bayesod_tpu.ops.pallas.fused_final import dropout_final_conv
+
+
+def ref_conv(x, kernel, bias):
+    out = jax.lax.conv_general_dilated(
+        x.astype(jnp.float32),
+        kernel.astype(jnp.float32),
+        window_strides=(1, 1),
+        padding="SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    return out + bias
+
+
+@pytest.mark.parametrize("shape", [(2, 8, 16, 128), (1, 6, 10, 256)])
+@pytest.mark.parametrize("cout", [36, 72])
+def test_rate_zero_matches_exact_conv(shape, cout):
+    key = jax.random.PRNGKey(0)
+    x = jax.random.normal(key, shape, jnp.float32)
+    kernel = jax.random.normal(jax.random.fold_in(key, 1), (3, 3, shape[-1], cout)) * 0.05
+    bias = jax.random.normal(jax.random.fold_in(key, 2), (cout,))
+    out = dropout_final_conv(
+        x, kernel, bias, jnp.int32(7), num_samples=3, keep_prob=1.0,
+        interpret=True,
+    )
+    assert out.shape == (3, *shape[:-1], cout)
+    expect = ref_conv(x, kernel, bias)
+    for n in range(3):
+        np.testing.assert_allclose(
+            np.asarray(out[n], np.float32), np.asarray(expect), atol=0.15, rtol=0.05
+        )  # bf16 inputs vs fp32 reference
+
+
+def test_dropout_statistics():
+    """Mask rate and scaling: E[out] ~ conv(x) and zero-rate ~ dropout rate."""
+    key = jax.random.PRNGKey(3)
+    shape = (1, 8, 16, 128)
+    x = jnp.abs(jax.random.normal(key, shape)) + 0.5  # strictly positive
+    cout = 36
+    # Identity-ish kernel: center tap only, first cout channels summed.
+    kernel = jnp.zeros((3, 3, 128, cout)).at[1, 1, :cout, :].set(jnp.eye(cout))
+    bias = jnp.zeros((cout,))
+    n = 64
+    out = dropout_final_conv(
+        x, kernel, bias, jnp.int32(11), num_samples=n, keep_prob=0.7,
+        interpret=True,
+    )
+    # With the center-tap identity kernel, out[n,b,h,w,c] = mask*x/keep for
+    # channel c -> fraction of zeros ~ 0.3, mean over samples ~ x.
+    vals = np.asarray(out, np.float32)
+    zero_frac = (vals == 0).mean()
+    assert 0.25 < zero_frac < 0.35, zero_frac
+    mean = vals.mean(axis=0)
+    expect = np.asarray(x[..., :cout], np.float32)
+    np.testing.assert_allclose(mean, expect, rtol=0.25, atol=0.25)
+
+
+def test_samples_differ_and_deterministic():
+    key = jax.random.PRNGKey(5)
+    x = jax.random.normal(key, (2, 4, 8, 128))
+    kernel = jax.random.normal(jax.random.fold_in(key, 1), (3, 3, 128, 36)) * 0.1
+    bias = jnp.zeros((36,))
+    o1 = dropout_final_conv(
+        x, kernel, bias, jnp.int32(1), num_samples=2, keep_prob=0.5,
+        interpret=True,
+    )
+    o2 = dropout_final_conv(
+        x, kernel, bias, jnp.int32(1), num_samples=2, keep_prob=0.5,
+        interpret=True,
+    )
+    np.testing.assert_array_equal(np.asarray(o1), np.asarray(o2))  # same seed
+    assert not np.allclose(np.asarray(o1[0]), np.asarray(o1[1]))  # diff samples
+    o3 = dropout_final_conv(
+        x, kernel, bias, jnp.int32(2), num_samples=2, keep_prob=0.5,
+        interpret=True,
+    )
+    assert not np.allclose(np.asarray(o1), np.asarray(o3))  # diff seeds
+
+
+class TestFusedModelPath:
+    """mc_forward with head_final_backend=pallas (interpret mode on CPU)."""
+
+    def _setup(self, backend):
+        from bayesod_tpu.models.retinanet import RetinaNet, init_variables
+        from bayesod_tpu.utils.config import ModelConfig
+
+        cfg = ModelConfig(
+            num_classes=3, backbone="resnet18", fpn_channels=32,
+            head_depth=1, head_channels=128, norm="groupnorm",
+            compute_dtype="float32", dropout_layers="last",
+            head_final_backend=backend,
+        )
+        model = RetinaNet(cfg=cfg, train=False)
+        variables = init_variables(model, jax.random.PRNGKey(0), (128, 128))
+        return model, variables
+
+    def test_shapes_and_sampling(self):
+        from bayesod_tpu.models.retinanet import mc_forward
+
+        model, variables = self._setup("pallas")
+        img = jnp.ones((2, 128, 128, 3))
+        logits, deltas, log_vars = mc_forward(
+            model, variables, img, jax.random.PRNGKey(1), 3
+        )
+        assert logits.shape[0] == 3 and logits.shape[1] == 2
+        assert logits.shape[-1] == 4 and deltas.shape[-1] == 4
+        assert bool(jnp.all(jnp.isfinite(logits)))
+        # samples differ (dropout active in the kernel)
+        assert not np.allclose(np.asarray(logits[0]), np.asarray(logits[1]))
+
+    def test_statistically_matches_xla_path(self):
+        """Mean over many samples must agree between pallas and xla MC paths
+        (identical distribution, different RNG streams)."""
+        from bayesod_tpu.models.retinanet import mc_forward
+
+        model_p, variables = self._setup("pallas")
+        model_x, _ = self._setup("xla")
+        img = jnp.ones((1, 128, 128, 3))
+        n = 48
+        lp, dp_, _ = mc_forward(model_p, variables, img, jax.random.PRNGKey(1), n)
+        lx, dx_, _ = mc_forward(model_x, variables, img, jax.random.PRNGKey(2), n)
+        np.testing.assert_allclose(
+            np.asarray(lp.mean(0)), np.asarray(lx.mean(0)), atol=0.15
+        )
+        np.testing.assert_allclose(
+            np.asarray(dp_.mean(0)), np.asarray(dx_.mean(0)), atol=0.15
+        )
