@@ -188,7 +188,8 @@ def _mc_heads_fused(model, variables, feats, rng, num_samples):
     for lvl, (ct, rt) in enumerate(zip(cls_t, reg_t)):
         if level_vmem_bytes(ct) <= vmem_budget:
             run = lambda t, k_, b_, s: dropout_final_conv(
-                t, k_, b_, s, num_samples, keep
+                t, k_, b_, s, num_samples, keep,
+                dtype=model.cfg.head_final_dtype,
             )
         else:
             run = lambda t, k_, b_, s: xla_level(t, k_, b_, s)

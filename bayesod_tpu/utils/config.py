@@ -37,6 +37,10 @@ class ModelConfig:
     # "pallas" = fused on-chip dropout+final-conv kernel (TPU; requires
     # dropout_layers="last"); "auto" = pallas on TPU else xla.
     head_final_backend: str = "auto"
+    # Fused-final matmul precision: "bf16" (exact) or "int8" (2x MXU
+    # throughput; dynamic activation + per-channel weight scales, <1%
+    # relative logit error — negligible next to MC-dropout noise).
+    head_final_dtype: str = "bf16"
     # Dropout placement: "last" = one dropout after the final trunk conv
     # (MC samples share the whole deterministic trunk; ~10x cheaper sampling
     # — the TPU-first flagship default), "all" = dropout after every trunk

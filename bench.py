@@ -44,6 +44,14 @@ def main() -> None:
         help="force CPU backend (mechanics check; not a perf number)",
     )
     p.add_argument("--mode", default="bayes_od")
+    p.add_argument(
+        "--train", action="store_true",
+        help="measure the training step instead of inference",
+    )
+    p.add_argument(
+        "--head_dtype", default="bf16", choices=["bf16", "int8"],
+        help="fused final-conv matmul precision",
+    )
     args = p.parse_args()
 
     if args.cpu:
@@ -62,11 +70,14 @@ def main() -> None:
         model_cfg = ModelConfig(
             num_classes=3, backbone="resnet18", fpn_channels=32,
             head_depth=1, head_channels=32, norm="groupnorm",
-            compute_dtype="float32",
+            compute_dtype="float32", head_final_dtype=args.head_dtype,
         )
         image_hw = (128, 256)
     else:
-        model_cfg = ModelConfig(num_classes=3, backbone="resnet50", norm="batchnorm")
+        model_cfg = ModelConfig(
+            num_classes=3, backbone="resnet50", norm="batchnorm",
+            head_final_dtype=args.head_dtype,
+        )
         image_hw = (384, 1280)
 
     cfg = ExperimentConfig(
@@ -78,6 +89,10 @@ def main() -> None:
 
     dev = jax.devices()[0]
     print(f"[bench] device: {dev.device_kind} ({dev.platform})", file=sys.stderr)
+
+    if args.train:
+        _bench_train(cfg, args)
+        return
 
     model = RetinaNet(cfg=cfg.model, train=False)
     variables = init_variables(model, jax.random.PRNGKey(0), image_hw)
@@ -129,6 +144,67 @@ def main() -> None:
         f"[bench] batch={args.batch} iters={args.iters} "
         f"batch_latency={per_batch * 1e3:.1f}ms "
         f"per_image={per_batch / args.batch * 1e3:.2f}ms",
+        file=sys.stderr,
+    )
+    print(json.dumps(result))
+
+
+def _bench_train(cfg, args) -> None:
+    """Training-step throughput (BASELINE config #5): focal + attenuated-NLL
+    end-to-end on device, synthetic fixed batch, chained like inference."""
+    import dataclasses
+
+    from bayesod_tpu.data.synthetic import SyntheticDataset
+    from bayesod_tpu.data import Loader
+    from bayesod_tpu.models.retinanet import RetinaNet
+    from bayesod_tpu.ops import anchors as anchor_ops
+    from bayesod_tpu.train import build_train_step, create_train_state
+
+    cfg = dataclasses.replace(
+        cfg, train=dataclasses.replace(cfg.train, batch_size=args.batch)
+    )
+    model = RetinaNet(cfg=cfg.model, train=True)
+    anchors = anchor_ops.generate_anchors(cfg.data.image_hw, cfg.anchors)
+    state = create_train_state(
+        model, cfg.train, jax.random.PRNGKey(0), cfg.data.image_hw
+    )
+    ds = SyntheticDataset(size=args.batch, image_hw=cfg.data.image_hw)
+    batch = next(
+        iter(
+            Loader(
+                ds, batch_size=args.batch, image_hw=cfg.data.image_hw,
+                max_gt_boxes=cfg.data.max_gt_boxes, num_epochs=1,
+                num_workers=1,
+            )
+        )
+    )
+    batch = {k: jnp.asarray(v) for k, v in batch.items()}
+    step_fn = build_train_step(cfg, anchors, model)
+
+    def chained(state, batch, iters):
+        def body(_, s):
+            s2, metrics = step_fn(s, batch)
+            return s2
+        return jax.lax.fori_loop(0, iters, body, state)
+
+    run = jax.jit(chained)
+    t0 = time.time()
+    s = run(state, batch, 1)
+    np.asarray(s.step)
+    print(f"[bench] train compile+first: {time.time() - t0:.1f}s", file=sys.stderr)
+    np.asarray(run(s, batch, args.warmup).step)
+    t0 = time.time()
+    np.asarray(run(s, batch, args.iters).step)
+    elapsed = time.time() - t0
+    per_batch = elapsed / args.iters
+    result = {
+        "metric": "train_images_per_sec_per_chip",
+        "value": round(args.batch / per_batch, 2),
+        "unit": "images/sec/chip",
+        "vs_baseline": 0.0,
+    }
+    print(
+        f"[bench] train batch={args.batch} step_latency={per_batch * 1e3:.1f}ms",
         file=sys.stderr,
     )
     print(json.dumps(result))

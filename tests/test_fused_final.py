@@ -132,3 +132,41 @@ class TestFusedModelPath:
         np.testing.assert_allclose(
             np.asarray(dp_.mean(0)), np.asarray(dx_.mean(0)), atol=0.15
         )
+
+
+def test_int8_close_to_bf16():
+    """int8 path must track the bf16 path within quantization tolerance."""
+    key = jax.random.PRNGKey(8)
+    x = jax.random.normal(key, (1, 8, 16, 128))
+    kernel = jax.random.normal(jax.random.fold_in(key, 1), (3, 3, 128, 36)) * 0.05
+    bias = jax.random.normal(jax.random.fold_in(key, 2), (36,)) * 0.1
+    a = dropout_final_conv(
+        x, kernel, bias, jnp.int32(3), num_samples=2, keep_prob=1.0,
+        interpret=True, dtype="bf16",
+    )
+    b = dropout_final_conv(
+        x, kernel, bias, jnp.int32(3), num_samples=2, keep_prob=1.0,
+        interpret=True, dtype="int8",
+    )
+    av, bv = np.asarray(a, np.float32), np.asarray(b, np.float32)
+    # relative error wrt output scale
+    rel = np.abs(av - bv).max() / (np.abs(av).max() + 1e-9)
+    assert rel < 0.03, rel
+
+
+def test_int8_with_dropout_same_masks():
+    """Same seed => identical masks across dtypes (zeros in same places for
+    a center-tap identity kernel)."""
+    x = jnp.ones((1, 8, 16, 128))
+    cout = 36
+    kernel = jnp.zeros((3, 3, 128, cout)).at[1, 1, :cout, :].set(jnp.eye(cout))
+    bias = jnp.zeros((cout,))
+    a = dropout_final_conv(
+        x, kernel, bias, jnp.int32(5), num_samples=3, keep_prob=0.6,
+        interpret=True, dtype="bf16",
+    )
+    b = dropout_final_conv(
+        x, kernel, bias, jnp.int32(5), num_samples=3, keep_prob=0.6,
+        interpret=True, dtype="int8",
+    )
+    np.testing.assert_array_equal(np.asarray(a) == 0, np.asarray(b) == 0)
