@@ -28,6 +28,11 @@ def main(argv=None) -> None:
         "--allow_random", action="store_true",
         help="run with random-init weights when no checkpoint exists",
     )
+    p.add_argument(
+        "--visualize", default=None, metavar="PNG",
+        help="also render the first images' detections (boxes + covariance "
+        "ellipses) into a grid PNG",
+    )
     p.add_argument("overrides", nargs="*")
     args = p.parse_args(argv)
 
@@ -69,6 +74,14 @@ def main(argv=None) -> None:
         batch_size=args.batch_size,
     )
     print(f"wrote {len(records)} image records -> {out_path}")
+
+    if args.visualize:
+        from bayesod_tpu.data import make_dataset
+        from bayesod_tpu.utils.visualize import save_detection_grid
+
+        dataset = make_dataset(cfg.data, split=args.split)
+        save_detection_grid(records, dataset, args.visualize)
+        print(f"wrote visualization -> {args.visualize}")
 
 
 if __name__ == "__main__":

@@ -163,8 +163,8 @@ def _mc_heads_fused(model, variables, feats, rng, num_samples):
 
     def level_vmem_bytes(t):
         h, w, c = t.shape[1:]
-        # x block (bf16) + masked copy + fp32 accumulator + window staging.
-        return (h + 2) * (w + 2) * c * 2 * 2 + h * w * 128 * 4 * 2
+        # double-buffered x block (bf16) + row-block slab/mask/acc staging.
+        return (h + 2) * (w + 2) * c * 2 * 2 + 3 * 1024 * 1024
 
     def xla_level(t, kernel, bias, seed):
         # Oversized-level fallback: plain vmapped mask+conv (hardware-RNG

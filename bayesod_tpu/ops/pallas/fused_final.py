@@ -40,13 +40,13 @@ def _round_up(x: int, m: int) -> int:
 
 def _kernel(
     seed_ref,  # [1, 1] int32 SMEM
-    x_ref,  # [1, H+2, W+2, Cin] bf16 VMEM (zero-padded borders)
+    x_ref,  # [1, Hp+2, W+2, Cin] bf16 VMEM (zero-padded borders)
     w_ref,  # [9, Cin, Cp] bf16 or int8 VMEM
     b_ref,  # [1, Cp] fp32 VMEM
     wscale_ref,  # [1, Cp] fp32 VMEM (int8 path; ones otherwise)
-    out_ref,  # [1, 1, H, W, Cp] bf16 VMEM
+    out_ref,  # [1, 1, RB, W, Cp] bf16 VMEM (one row block)
     *,
-    h: int,
+    rb: int,
     w: int,
     cin: int,
     cp: int,
@@ -56,26 +56,30 @@ def _kernel(
 ):
     b_idx = pl.program_id(0)
     n_idx = pl.program_id(1)
+    r_idx = pl.program_id(2)
     n_total = pl.num_programs(1)
+    row0 = r_idx * rb
 
-    x = x_ref[0]  # [H+2, W+2, Cin]
-
-    if keep_prob < 1.0:
-        # Stateless counter-based mask: splitmix32-style integer mixer over
-        # (seed, image, sample, element index). Pure VPU integer ops — runs
-        # identically in interpret mode and on hardware, is reproducible
-        # across backends, and never touches HBM. Masks are consistent across
-        # all 9 conv taps because the whole padded block is masked once.
+    def keep_mask(row0, hb):
+        """Stateless counter-based dropout mask for padded rows
+        [row0, row0+hb): a splitmix32-style integer mixer over (seed, image,
+        sample, absolute element index). Pure VPU integer ops — identical in
+        interpret mode and on hardware, reproducible across backends, never
+        touches HBM — and because it is addressed by absolute index, the
+        overlapping halo rows of adjacent row blocks mask identically."""
         stream = (
             seed_ref[0, 0] * jnp.int32(1000003)
             + (b_idx * n_total + n_idx) * jnp.int32(-1640531527)  # 0x9E3779B9
         ).astype(jnp.uint32)
         idx = (
-            jax.lax.broadcasted_iota(jnp.int32, (h + 2, w + 2, cin), 0)
+            (
+                jax.lax.broadcasted_iota(jnp.int32, (hb, w + 2, cin), 0)
+                + jnp.int32(row0)
+            )
             * jnp.int32((w + 2) * cin)
-            + jax.lax.broadcasted_iota(jnp.int32, (h + 2, w + 2, cin), 1)
+            + jax.lax.broadcasted_iota(jnp.int32, (hb, w + 2, cin), 1)
             * jnp.int32(cin)
-            + jax.lax.broadcasted_iota(jnp.int32, (h + 2, w + 2, cin), 2)
+            + jax.lax.broadcasted_iota(jnp.int32, (hb, w + 2, cin), 2)
         ).astype(jnp.uint32)
         z = idx + stream
         z = z ^ (z >> jnp.uint32(16))
@@ -83,49 +87,53 @@ def _kernel(
         z = z ^ (z >> jnp.uint32(13))
         z = z * jnp.uint32(0xC2B2AE35)
         z = z ^ (z >> jnp.uint32(16))
-        keep = (z >> jnp.uint32(1)) < jnp.uint32(threshold)
-    else:
-        keep = None
+        return (z >> jnp.uint32(1)) < jnp.uint32(threshold)
+
+    # Row-blocked via the grid: each program computes RB output rows from the
+    # (RB+2)-row padded slab. Only the slab is ever loaded from the resident
+    # input block (ref indexing, not a full-map materialization), keeping the
+    # working set ~2 MB — the whole-map form blew the 16 MB VMEM budget at
+    # production shapes.
+    slab = x_ref[0, pl.ds(row0, rb + 2)]  # [RB+2, W+2, Cin]
 
     if quantized:
-        # Dynamic per-block activation scale; the mask multiplies int8 values
+        # Dynamic per-slab activation scale; the mask multiplies int8 values
         # by 0/1 and the Bernoulli 1/keep correction folds into the dequant
-        # scale, so quantization happens ONCE regardless of sample count.
-        xf = x.astype(jnp.float32)
-        x_scale = jnp.maximum(jnp.max(jnp.abs(xf)), 1e-6) / 127.0
-        x_q = jnp.clip(
-            jnp.round(xf * (1.0 / x_scale)), -127.0, 127.0
+        # scale, so quantization cost is one pass per slab.
+        sf = slab.astype(jnp.float32)
+        x_scale = jnp.maximum(jnp.max(jnp.abs(sf)), 1e-6) / 127.0
+        slab = jnp.clip(
+            jnp.round(sf * (1.0 / x_scale)), -127.0, 127.0
         ).astype(jnp.int8)
-        if keep is not None:
-            x_q = jnp.where(keep, x_q, jnp.int8(0))
-        acc = jnp.zeros((h * w, cp), jnp.int32)
-        for dy in range(3):
-            for dx in range(3):
-                window = jax.lax.slice(x_q, (dy, dx, 0), (dy + h, dx + w, cin))
-                acc = acc + jnp.dot(
-                    window.reshape(h * w, cin),
-                    w_ref[dy * 3 + dx],
-                    preferred_element_type=jnp.int32,
-                )
-        scale = (x_scale / keep_prob) * wscale_ref[0][None, :]
-        accf = acc.astype(jnp.float32) * scale + b_ref[0][None, :]
-        out_ref[0, 0] = accf.reshape(h, w, cp).astype(out_ref.dtype)
-        return
+        acc_dtype = jnp.int32
+    else:
+        acc_dtype = jnp.float32
 
-    if keep is not None:
-        x = jnp.where(keep, x * (1.0 / keep_prob), 0.0).astype(x_ref.dtype)
-    acc = jnp.zeros((h * w, cp), jnp.float32)
+    if keep_prob < 1.0:
+        keep = keep_mask(row0, rb + 2)
+        if quantized:
+            slab = jnp.where(keep, slab, jnp.int8(0))
+        else:
+            slab = jnp.where(keep, slab * (1.0 / keep_prob), 0.0).astype(
+                x_ref.dtype
+            )
+
+    acc = jnp.zeros((rb * w, cp), acc_dtype)
     for dy in range(3):
         for dx in range(3):
-            # out[i, j] += x[i+dy, j+dx] @ W[dy*3+dx]  (SAME padding, pad=1)
-            window = jax.lax.slice(x, (dy, dx, 0), (dy + h, dx + w, cin))
+            # out[i, j] += x[i+dy, j+dx] @ W[dy*3+dx] (SAME, pad=1)
+            window = jax.lax.slice(slab, (dy, dx, 0), (dy + rb, dx + w, cin))
             acc = acc + jnp.dot(
-                window.reshape(h * w, cin),
+                window.reshape(rb * w, cin),
                 w_ref[dy * 3 + dx],
-                preferred_element_type=jnp.float32,
+                preferred_element_type=acc_dtype,
             )
-    acc = acc + b_ref[0][None, :]
-    out_ref[0, 0] = acc.reshape(h, w, cp).astype(out_ref.dtype)
+    if quantized:
+        scale = (x_scale / keep_prob) * wscale_ref[0][None, :]
+        accf = acc.astype(jnp.float32) * scale + b_ref[0][None, :]
+    else:
+        accf = acc + b_ref[0][None, :]
+    out_ref[0, 0] = accf.reshape(rb, w, cp).astype(out_ref.dtype)
 
 
 @functools.partial(
@@ -158,9 +166,12 @@ def dropout_final_conv(
     b, h, w, cin = x.shape
     cout = kernel.shape[-1]
     cp = _round_up(cout, 128)
+    rb = min(16, _round_up(h, 8))  # output rows per program
+    hp = _round_up(h, rb)
 
     x_pad = jnp.pad(
-        x.astype(jnp.bfloat16), ((0, 0), (1, 1), (1, 1), (0, 0))
+        x.astype(jnp.bfloat16),
+        ((0, 0), (1, 1 + (hp - h)), (1, 1), (0, 0)),
     )
     kernel9 = kernel.reshape(9, cin, cout).astype(jnp.float32)
     if quantized:
@@ -186,40 +197,42 @@ def dropout_final_conv(
     out = pl.pallas_call(
         functools.partial(
             _kernel,
-            h=h, w=w, cin=cin, cp=cp,
+            rb=rb, w=w, cin=cin, cp=cp,
             keep_prob=float(keep_prob),
             threshold=threshold,
             quantized=quantized,
         ),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
-            grid=(b, num_samples),
+            grid=(b, num_samples, hp // rb),
             in_specs=[
                 pl.BlockSpec(
-                    (1, h + 2, w + 2, cin),
-                    lambda bi, ni, sref: (bi, 0, 0, 0),
+                    (1, hp + 2, w + 2, cin),
+                    lambda bi, ni, ri, sref: (bi, 0, 0, 0),
                     memory_space=pltpu.VMEM,
                 ),
                 pl.BlockSpec(
-                    (9, cin, cp), lambda bi, ni, sref: (0, 0, 0),
+                    (9, cin, cp), lambda bi, ni, ri, sref: (0, 0, 0),
                     memory_space=pltpu.VMEM,
                 ),
                 pl.BlockSpec(
-                    (1, cp), lambda bi, ni, sref: (0, 0), memory_space=pltpu.VMEM
+                    (1, cp), lambda bi, ni, ri, sref: (0, 0),
+                    memory_space=pltpu.VMEM,
                 ),
                 pl.BlockSpec(
-                    (1, cp), lambda bi, ni, sref: (0, 0), memory_space=pltpu.VMEM
+                    (1, cp), lambda bi, ni, ri, sref: (0, 0),
+                    memory_space=pltpu.VMEM,
                 ),
             ],
             out_specs=pl.BlockSpec(
-                (1, 1, h, w, cp),
-                lambda bi, ni, sref: (ni, bi, 0, 0, 0),
+                (1, 1, rb, w, cp),
+                lambda bi, ni, ri, sref: (ni, bi, ri, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
         ),
         out_shape=jax.ShapeDtypeStruct(
-            (num_samples, b, h, w, cp), jnp.bfloat16
+            (num_samples, b, hp, w, cp), jnp.bfloat16
         ),
         interpret=interpret,
     )(seed_arr, x_pad, w9, b_pad, wscale_pad)
-    return out[..., :cout]
+    return out[:, :, :h, :, :cout]
