@@ -103,14 +103,21 @@ def run_inference(
             idx = bi * batch_size + i
             scale = float(batch["scale"][i])
             valid = out.valid[i]
+            ex = dataset.example(idx)
+            oh, ow = ex["image"].shape[:2]
+            # Back to original image coordinates (reference dumps in original
+            # space): box/scale, clipped to the original frame (detections in
+            # the padded canvas region have no content behind them);
+            # covariance scales as 1/s^2.
+            boxes_orig = np.clip(
+                np.asarray(out.boxes[i][valid]) / scale,
+                0.0,
+                np.array([ow, oh, ow, oh], np.float32),
+            )
             records.append(
                 {
-                    "id": dataset.example(idx)["id"] if hasattr(
-                        dataset, "example"
-                    ) else str(idx),
-                    # Back to original image coordinates (reference dumps in
-                    # original space): box/scale; covariance scales as 1/s^2.
-                    "boxes": (out.boxes[i][valid] / scale).tolist(),
+                    "id": ex["id"],
+                    "boxes": boxes_orig.tolist(),
                     "covs": (out.covs[i][valid] / (scale * scale)).tolist(),
                     "probs": out.probs[i][valid].tolist(),
                     "scores": out.scores[i][valid].tolist(),

@@ -127,9 +127,15 @@ class Detector:
             for i in range(len(chunk)):
                 v = res.valid[i]
                 s = scales[i]
+                oh, ow = chunk[i].shape[:2]
+                boxes = np.clip(
+                    res.boxes[i][v] / s,
+                    0.0,
+                    np.array([ow, oh, ow, oh], np.float32),
+                )
                 out.append(
                     {
-                        "boxes": res.boxes[i][v] / s,
+                        "boxes": boxes,
                         "covs": res.covs[i][v] / (s * s),
                         "probs": res.probs[i][v],
                         "scores": res.scores[i][v],
