@@ -100,6 +100,29 @@ def gaussian_entropy(cov: np.ndarray, jitter: float = 1e-3) -> np.ndarray:
     return 0.5 * (4.0 * (_LOG_2PI + 1.0) + logdet)
 
 
+def expected_calibration_error(
+    confidence: np.ndarray, correct: np.ndarray, num_bins: int = 10
+) -> float:
+    """Detection-score ECE: |accuracy - mean confidence| averaged over
+    equal-width confidence bins, weighted by bin occupancy. 0 = perfectly
+    calibrated scores. Complements MUE (separability) with calibration —
+    BayesOD's fused posteriors should be better calibrated than raw scores
+    (paper §IV discussion)."""
+    conf = np.asarray(confidence, np.float64)
+    c = np.asarray(correct, bool)
+    if len(conf) == 0:
+        return 0.0
+    edges = np.linspace(0.0, 1.0, num_bins + 1)
+    ece = 0.0
+    for i in range(num_bins):
+        lo, hi = edges[i], edges[i + 1]
+        mask = (conf >= lo) & (conf < hi if i < num_bins - 1 else conf <= hi)
+        if not mask.any():
+            continue
+        ece += (mask.mean()) * abs(c[mask].mean() - conf[mask].mean())
+    return float(ece)
+
+
 def uncertainty_report(
     correct: np.ndarray,
     probs: np.ndarray,
@@ -125,6 +148,9 @@ def uncertainty_report(
         "mean_entropy_tp": float(ent[correct].mean()) if correct.any() else 0.0,
         "mean_entropy_fp": (
             float(ent[~correct].mean()) if (~correct).any() else 0.0
+        ),
+        "ece": expected_calibration_error(
+            np.max(probs[:, 1:], axis=-1), correct
         ),
     }
     if matched_gt_boxes is not None and mu is not None and correct.any():

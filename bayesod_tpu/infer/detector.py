@@ -51,7 +51,7 @@ class Detections(NamedTuple):
 
 
 def _preselect(
-    probs: jnp.ndarray, k: int, score_threshold: float
+    probs: jnp.ndarray, k: int, score_threshold: float, approx: bool = True
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Static top-k candidate selection by max foreground probability.
 
@@ -59,9 +59,17 @@ def _preselect(
     Fixed-shape replacement for the reference's boolean-mask preselect
     (SURVEY.md §7 step 4): top-k always returns k indices; candidates below
     the score threshold are carried along but masked invalid.
+
+    approx=True uses the TPU-native approx_max_k (recall 0.99 against the
+    exact top-k) instead of the sort-based exact top-k — preselection is a
+    heuristic candidate filter, and any anchor good enough to matter is far
+    above the recall boundary.
     """
     fg = jnp.max(probs[:, 1:], axis=-1)  # [A]
-    top_scores, idx = jax.lax.top_k(fg, k)
+    if approx:
+        top_scores, idx = jax.lax.approx_max_k(fg, k, recall_target=0.99)
+    else:
+        top_scores, idx = jax.lax.top_k(fg, k)
     return idx, top_scores >= score_threshold
 
 
@@ -75,7 +83,10 @@ def _postprocess_single(
     """Shared per-image post-processing; runs inside jit/vmap."""
     bayes = cfg.bayes
     probs_all = mom.mean_categorical(logits)  # [A, C+1]
-    idx, valid = _preselect(probs_all, bayes.pre_cluster_topk, bayes.score_threshold)
+    idx, valid = _preselect(
+        probs_all, bayes.pre_cluster_topk, bayes.score_threshold,
+        approx=bayes.approx_topk,
+    )
 
     # Gather the k candidates' per-sample raw outputs, then aggregate moments
     # on k anchors instead of all ~100k (SURVEY.md §7 step 4).

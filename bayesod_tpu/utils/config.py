@@ -58,6 +58,9 @@ class BayesConfig:
     num_mc_samples: int = 10
     score_threshold: float = 0.5
     pre_cluster_topk: int = 512  # static k kept after score preselect
+    # TPU-native approximate top-k for the candidate preselect (recall 0.99
+    # vs exact; preselection is a heuristic filter). False = exact sort.
+    approx_topk: bool = True
     affinity_threshold: float = 0.7  # IoU to join a cluster (paper §III.B)
     max_detections: int = 100  # static cluster/output count
     nms_iou_threshold: float = 0.5  # greedy-NMS baseline mode

@@ -238,3 +238,27 @@ def test_data_parallel_inference_matches_single(cpu_devices):
         np.testing.assert_allclose(
             np.asarray(a["boxes"]), np.asarray(b["boxes"]), atol=2e-2,
         )
+
+
+class TestCalibration:
+    def test_ece_perfect(self):
+        from bayesod_tpu.eval.uncertainty import expected_calibration_error
+
+        # Confidence exactly matches empirical accuracy in each bin.
+        conf = np.array([0.25] * 4 + [0.75] * 4)
+        correct = np.array([True, False, False, False, True, True, True, False])
+        ece = expected_calibration_error(conf, correct, num_bins=2)
+        assert ece == pytest.approx(0.0, abs=1e-9)
+
+    def test_ece_overconfident(self):
+        from bayesod_tpu.eval.uncertainty import expected_calibration_error
+
+        conf = np.full(10, 0.9)
+        correct = np.zeros(10, bool)  # all wrong at 0.9 confidence
+        ece = expected_calibration_error(conf, correct)
+        assert ece == pytest.approx(0.9, abs=1e-9)
+
+    def test_ece_empty(self):
+        from bayesod_tpu.eval.uncertainty import expected_calibration_error
+
+        assert expected_calibration_error(np.zeros(0), np.zeros(0, bool)) == 0.0
