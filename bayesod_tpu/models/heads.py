@@ -28,8 +28,43 @@ from __future__ import annotations
 from typing import Any, List, Sequence, Tuple
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 import numpy as np
+
+
+class QuantConv3x3(nn.Module):
+    """3x3 SAME conv on the MXU's int8 path: dynamic per-tensor activation
+    scale, per-output-channel weight scale, int32 accumulation. v5e int8
+    doubles MXU throughput; the dequant chain is elementwise and fuses.
+    Parameters are fp32 (trainable / checkpoint-compatible); quantization
+    happens at execution, so the same weights serve bf16 and int8 paths."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        cin = x.shape[-1]
+        kernel = self.param(
+            "kernel", nn.initializers.normal(0.01),
+            (3, 3, cin, self.features), jnp.float32,
+        )
+        bias = self.param(
+            "bias", nn.initializers.zeros, (self.features,), jnp.float32
+        )
+        xf = x.astype(jnp.float32)
+        x_scale = jnp.maximum(jnp.max(jnp.abs(xf)), 1e-6) / 127.0
+        xq = jnp.clip(jnp.round(xf / x_scale), -127, 127).astype(jnp.int8)
+        w_scale = (
+            jnp.maximum(jnp.max(jnp.abs(kernel), axis=(0, 1, 2)), 1e-8) / 127.0
+        )
+        wq = jnp.clip(jnp.round(kernel / w_scale), -127, 127).astype(jnp.int8)
+        acc = jax.lax.conv_general_dilated(
+            xq, wq, (1, 1), "SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.int32,
+        )
+        return acc.astype(jnp.float32) * (x_scale * w_scale) + bias
 
 
 class SubnetTrunk(nn.Module):
@@ -43,6 +78,9 @@ class SubnetTrunk(nn.Module):
         sample-independent, so `vmap` computes it ONCE and only the final
         prediction convs replicate per sample — the TPU-first default
         (measured ~4x faster end-to-end at N=10 on v5e).
+
+    `trunk_dtype="int8"` runs the 3x3 convs on the MXU's int8 path
+    (dynamic activation / per-channel weight scales); "bf16" is exact.
     """
 
     depth: int
@@ -50,18 +88,22 @@ class SubnetTrunk(nn.Module):
     dropout_rate: float
     dropout_layers: str = "last"
     dtype: Any = jnp.bfloat16
+    trunk_dtype: str = "bf16"
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, *, stochastic: bool) -> jnp.ndarray:
         if self.dropout_layers not in ("all", "last"):
             raise ValueError(f"unknown dropout_layers '{self.dropout_layers}'")
         for i in range(self.depth):
-            x = nn.Conv(
-                self.channels, (3, 3), padding="SAME",
-                dtype=self.dtype, param_dtype=jnp.float32,
-                kernel_init=nn.initializers.normal(0.01),
-                name=f"conv{i}",
-            )(x)
+            if self.trunk_dtype == "int8":
+                x = QuantConv3x3(self.channels, name=f"conv{i}")(x)
+            else:
+                x = nn.Conv(
+                    self.channels, (3, 3), padding="SAME",
+                    dtype=self.dtype, param_dtype=jnp.float32,
+                    kernel_init=nn.initializers.normal(0.01),
+                    name=f"conv{i}",
+                )(x)
             x = nn.relu(x)
             if self.dropout_layers == "all" or i == self.depth - 1:
                 x = nn.Dropout(
@@ -80,6 +122,7 @@ class RetinaNetHeads(nn.Module):
     channels: int = 256
     dropout_rate: float = 0.3
     dropout_layers: str = "last"
+    trunk_dtype: str = "bf16"
     prior_prob: float = 0.01
     dtype: Any = jnp.bfloat16
 
@@ -88,11 +131,11 @@ class RetinaNetHeads(nn.Module):
         n_cls = self.num_classes + 1  # + background
         self.cls_trunk = SubnetTrunk(
             self.depth, self.channels, self.dropout_rate,
-            self.dropout_layers, self.dtype,
+            self.dropout_layers, self.dtype, self.trunk_dtype,
         )
         self.reg_trunk = SubnetTrunk(
             self.depth, self.channels, self.dropout_rate,
-            self.dropout_layers, self.dtype,
+            self.dropout_layers, self.dtype, self.trunk_dtype,
         )
         # Background starts near-certain: foreground logits biased to
         # -log((1-pi)/pi) so initial softmax fg mass ~ pi (focal convention).
@@ -126,6 +169,10 @@ class RetinaNetHeads(nn.Module):
             h, w = cls_map.shape[-3:-1]
             logits.append(cls_map.reshape(*lead, h * w * k, n_cls))
             reg.append(reg_map.reshape(*lead, h * w * k, 8))
+        # fp32 here is deliberate: a bf16 variant (to halve HBM traffic of
+        # these ~GB tensors) measured 20.5 img/s vs 418.9 — the bf16 layouts
+        # poison the downstream softmax-mean/top-k/gather lowering. Do not
+        # "optimize" this cast without re-benching end to end.
         logits = jnp.concatenate(logits, axis=-2).astype(jnp.float32)
         reg = jnp.concatenate(reg, axis=-2).astype(jnp.float32)
         return logits, reg[..., :4], reg[..., 4:]

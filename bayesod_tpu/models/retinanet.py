@@ -56,6 +56,7 @@ class RetinaNet(nn.Module):
             channels=self.cfg.head_channels,
             dropout_rate=self.cfg.dropout_rate,
             dropout_layers=self.cfg.dropout_layers,
+            trunk_dtype=self.cfg.head_trunk_dtype,
             prior_prob=self.cfg.prior_prob,
             dtype=dtype,
             name="heads",

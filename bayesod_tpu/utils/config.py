@@ -37,6 +37,9 @@ class ModelConfig:
     # "pallas" = fused on-chip dropout+final-conv kernel (TPU; requires
     # dropout_layers="last"); "auto" = pallas on TPU else xla.
     head_final_backend: str = "auto"
+    # Head-trunk conv precision: "bf16" (exact) or "int8" (XLA-native int8
+    # convs; dynamic activation + per-channel weight scales).
+    head_trunk_dtype: str = "bf16"
     # Fused-final matmul precision: "bf16" (exact) or "int8" (2x MXU
     # throughput; dynamic activation + per-channel weight scales, <1%
     # relative logit error — negligible next to MC-dropout noise).

@@ -52,6 +52,10 @@ def main() -> None:
         "--head_dtype", default="bf16", choices=["bf16", "int8"],
         help="fused final-conv matmul precision",
     )
+    p.add_argument(
+        "--trunk_dtype", default="bf16", choices=["bf16", "int8"],
+        help="head-trunk conv precision",
+    )
     args = p.parse_args()
 
     if args.cpu:
@@ -71,12 +75,14 @@ def main() -> None:
             num_classes=3, backbone="resnet18", fpn_channels=32,
             head_depth=1, head_channels=32, norm="groupnorm",
             compute_dtype="float32", head_final_dtype=args.head_dtype,
+            head_trunk_dtype=args.trunk_dtype,
         )
         image_hw = (128, 256)
     else:
         model_cfg = ModelConfig(
             num_classes=3, backbone="resnet50", norm="batchnorm",
             head_final_dtype=args.head_dtype,
+            head_trunk_dtype=args.trunk_dtype,
         )
         image_hw = (384, 1280)
 
