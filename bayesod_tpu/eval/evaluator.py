@@ -15,7 +15,6 @@ import os
 from typing import Dict, List, Optional, Sequence
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 
 from bayesod_tpu.data import Loader, make_dataset, normalize_images

@@ -18,7 +18,7 @@ Host-side NumPy over dumped detections, like the reference's offline eval.
 
 from __future__ import annotations
 
-from typing import Dict, Optional, Sequence, Tuple
+from typing import Dict, Optional, Tuple
 
 import numpy as np
 

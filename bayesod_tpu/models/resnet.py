@@ -16,7 +16,7 @@ TPU-motivated:
 
 from __future__ import annotations
 
-from typing import Any, Callable, Dict, Sequence, Tuple
+from typing import Any, Callable, Dict
 
 import flax.linen as nn
 import jax.numpy as jnp

@@ -17,7 +17,7 @@ the subnets), ~N-fold less backbone compute.
 
 from __future__ import annotations
 
-from typing import Any, List, Sequence, Tuple
+from typing import List, Sequence, Tuple
 
 import flax.linen as nn
 import jax

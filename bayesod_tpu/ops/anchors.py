@@ -12,7 +12,7 @@ graph as a constant — no host<->device traffic per image.
 from __future__ import annotations
 
 import dataclasses
-from typing import Sequence, Tuple
+from typing import Tuple
 
 import numpy as np
 import jax.numpy as jnp

@@ -26,7 +26,7 @@ moment statistics at rate>0.
 from __future__ import annotations
 
 import functools
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

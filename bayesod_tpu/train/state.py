@@ -8,7 +8,7 @@ Orbax call.
 
 from __future__ import annotations
 
-from typing import Any, Dict, Optional
+from typing import Any, Dict
 
 import flax.struct
 import jax

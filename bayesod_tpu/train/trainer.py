@@ -13,7 +13,6 @@ import time
 from typing import Callable, Dict, Optional
 
 import jax
-import jax.numpy as jnp
 
 from bayesod_tpu.data import Loader, make_dataset
 from bayesod_tpu.models.retinanet import RetinaNet
