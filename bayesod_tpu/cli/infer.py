@@ -29,6 +29,10 @@ def main(argv=None) -> None:
         help="run with random-init weights when no checkpoint exists",
     )
     p.add_argument(
+        "--kitti_results_dir", default=None,
+        help="also dump detections in official KITTI results txt format",
+    )
+    p.add_argument(
         "--visualize", default=None, metavar="PNG",
         help="also render the first images' detections (boxes + covariance "
         "ellipses) into a grid PNG",
@@ -74,6 +78,14 @@ def main(argv=None) -> None:
         batch_size=args.batch_size,
     )
     print(f"wrote {len(records)} image records -> {out_path}")
+
+    if args.kitti_results_dir:
+        from bayesod_tpu.data import make_dataset
+        from bayesod_tpu.data.kitti import write_kitti_results
+
+        dataset = make_dataset(cfg.data, split=args.split)
+        write_kitti_results(records, dataset, args.kitti_results_dir)
+        print(f"wrote KITTI-format results -> {args.kitti_results_dir}")
 
     if args.visualize:
         from bayesod_tpu.data import make_dataset

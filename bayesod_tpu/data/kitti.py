@@ -162,3 +162,41 @@ class KittiDataset:
         return parse_label_file(
             os.path.join(self.label_dir, f"{self.ids[index]}.txt")
         )
+
+
+def write_kitti_results(
+    records,
+    dataset: "KittiDataset",
+    out_dir: str,
+    score_threshold: float = 0.0,
+) -> str:
+    """Dump detections in the official KITTI results format (one txt per
+    frame, consumable by the KITTI devkit — the reference's native output
+    for cross-tool evaluation):
+
+      type trunc occl alpha x1 y1 x2 y2 h w l x y z ry score
+
+    2D-only fields are filled with the devkit's "unknown" sentinels
+    (-1 / -10 / -1000), exactly like 2D detectors submitting to the server.
+    """
+    import os as _os
+
+    _os.makedirs(out_dir, exist_ok=True)
+    names = {i + 1: n.capitalize() for i, n in enumerate(KITTI_CLASSES)}
+    for idx, rec in enumerate(records):
+        frame_id = rec.get("id", f"{idx:06d}")
+        lines = []
+        for box, cls, score in zip(
+            rec["boxes"], rec["classes"], rec["scores"]
+        ):
+            if score < score_threshold or int(cls) not in names:
+                continue
+            x1, y1, x2, y2 = [float(v) for v in box]
+            lines.append(
+                f"{names[int(cls)]} -1 -1 -10 "
+                f"{x1:.2f} {y1:.2f} {x2:.2f} {y2:.2f} "
+                f"-1 -1 -1 -1000 -1000 -1000 -10 {float(score):.4f}"
+            )
+        with open(_os.path.join(out_dir, f"{frame_id}.txt"), "w") as f:
+            f.write("\n".join(lines) + ("\n" if lines else ""))
+    return out_dir

@@ -218,3 +218,38 @@ class TestLoaderAndSynthetic:
         b2 = [b["image"] for b in mk()]
         for x, y in zip(b1, b2):
             np.testing.assert_array_equal(x, y)
+
+
+class TestKittiResultsWriter:
+    def test_roundtrip_through_parser(self, tmp_path):
+        """Dumped results must re-parse with the same classes and boxes."""
+        from bayesod_tpu.data.kitti import (
+            KittiDataset,
+            parse_label_file,
+            write_kitti_results,
+        )
+
+        records = [
+            {
+                "id": "000042",
+                "boxes": [[10.0, 20.0, 110.5, 90.25], [5.0, 5.0, 25.0, 45.0]],
+                "classes": [1, 3],
+                "scores": [0.91, 0.33],
+            }
+        ]
+        out = write_kitti_results(records, None, str(tmp_path / "res"))
+        annos = parse_label_file(str(tmp_path / "res" / "000042.txt"))
+        assert [a.class_id for a in annos] == [1, 3]
+        np.testing.assert_allclose(annos[0].box, [10, 20, 110.5, 90.25])
+        # score is the 16th field
+        line = open(tmp_path / "res" / "000042.txt").readline().split()
+        assert len(line) == 16 and float(line[15]) == pytest.approx(0.91)
+
+    def test_threshold_filters(self, tmp_path):
+        from bayesod_tpu.data.kitti import write_kitti_results
+
+        records = [
+            {"id": "0", "boxes": [[0, 0, 1, 1]], "classes": [1], "scores": [0.1]}
+        ]
+        write_kitti_results(records, None, str(tmp_path / "r"), score_threshold=0.5)
+        assert open(tmp_path / "r" / "0.txt").read() == ""
