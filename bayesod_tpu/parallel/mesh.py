@@ -65,8 +65,19 @@ def sample_sharding(mesh: Mesh, mesh_cfg: MeshConfig) -> NamedSharding:
 
 def shard_batch(batch: Dict, mesh: Mesh, mesh_cfg: MeshConfig) -> Dict:
     """device_put a loader batch with the data-parallel layout (overlaps the
-    H2D copy of the next batch with compute on the current one)."""
+    H2D copy of the next batch with compute on the current one).
+
+    Multi-host (multi-process) meshes: each process passes its LOCAL shard
+    of the global batch; `jax.make_array_from_process_local_data` assembles
+    the logically-global array (SURVEY.md §5.8 — the TPU-native equivalent
+    of a distributed data loader; DCN never sees activation data).
+    """
     sharding = batch_sharding(mesh, mesh_cfg)
+    if jax.process_count() > 1:
+        return jax.tree_util.tree_map(
+            lambda x: jax.make_array_from_process_local_data(sharding, x),
+            batch,
+        )
     return jax.tree_util.tree_map(
         lambda x: jax.device_put(x, sharding), batch
     )
