@@ -259,14 +259,23 @@ def evaluate(
         gt_lab_all.append(gt_lab)
 
     if correct_all:
+        correct = np.concatenate(correct_all)
+        probs = np.concatenate(probs_all)
+        covs = np.concatenate(covs_all)
+        gt_boxes = np.concatenate(gt_box_all)
+        gt_labels = np.concatenate(gt_lab_all)
+        mu = np.concatenate(mu_all)
         metrics.update(
             unc_lib.uncertainty_report(
-                np.concatenate(correct_all),
-                np.concatenate(probs_all),
-                np.concatenate(covs_all),
-                np.concatenate(gt_box_all),
-                np.concatenate(gt_lab_all),
-                np.concatenate(mu_all),
+                correct, probs, covs, gt_boxes, gt_labels, mu
             )
         )
+        # Per-class MUE (paper §IV reports uncertainty quality per category).
+        det_cls = np.argmax(probs[:, 1:], axis=-1) + 1
+        for ci, name in enumerate(class_names, start=1):
+            mask = det_cls == ci
+            if mask.sum() >= 2:
+                ent = unc_lib.entropy(probs[mask])
+                mue, _ = unc_lib.minimum_uncertainty_error(ent, correct[mask])
+                metrics[f"categorical_mue_{name}"] = mue
     return metrics
