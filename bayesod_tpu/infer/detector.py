@@ -32,7 +32,12 @@ import jax.numpy as jnp
 from bayesod_tpu.bayes import clustering as clus
 from bayesod_tpu.bayes import fusion as fus
 from bayesod_tpu.bayes import moments as mom
-from bayesod_tpu.models.retinanet import RetinaNet, mc_forward, single_forward
+from bayesod_tpu.models.retinanet import (
+    RetinaNet,
+    mc_forward,
+    mc_forward_probs,
+    single_forward,
+)
 from bayesod_tpu.ops import anchors as anchor_ops
 from bayesod_tpu.ops import boxes as box_ops
 from bayesod_tpu.utils.config import ExperimentConfig
@@ -74,29 +79,35 @@ def _preselect(
 
 
 def _postprocess_single(
-    logits: jnp.ndarray,  # [N, A, C+1] (N=1 for single-pass mode)
+    probs_all: jnp.ndarray,  # [A, C+1] mean categorical (fp32)
     deltas: jnp.ndarray,  # [N, A, 4]
     log_vars: jnp.ndarray,  # [N, A, 4]
     anchors: jnp.ndarray,  # [A, 4]
     cfg: ExperimentConfig,
 ) -> fus.FusedDetections:
-    """Shared per-image post-processing; runs inside jit/vmap."""
+    """Shared per-image post-processing; runs inside jit/vmap.
+
+    Takes the sample-MEAN categorical (the only statistic BayesOD uses of
+    the class logits) so the [N, A, C+1] per-sample logits never reach this
+    stage — see models.retinanet.mc_forward_probs.
+    """
     bayes = cfg.bayes
-    probs_all = mom.mean_categorical(logits)  # [A, C+1]
     idx, valid = _preselect(
         probs_all, bayes.pre_cluster_topk, bayes.score_threshold,
         approx=bayes.approx_topk,
     )
 
-    # Gather the k candidates' per-sample raw outputs, then aggregate moments
-    # on k anchors instead of all ~100k (SURVEY.md §7 step 4).
-    cand = mom.aggregate(
-        logits[:, idx],
-        deltas[:, idx],
-        log_vars[:, idx],
+    # Gather the k candidates' per-sample box outputs, then aggregate
+    # moments on k anchors instead of all ~100k (SURVEY.md §7 step 4).
+    boxes_c, covs_c = mom.mc_box_moments(
+        deltas[:, idx].astype(jnp.float32),
+        log_vars[:, idx].astype(jnp.float32),
         anchors[idx],
         bayes.box_scale_factors,
         bayes.log_var_clip,
+    )
+    cand = mom.AnchorPosteriors(
+        boxes=boxes_c, covs=covs_c, probs=probs_all[idx]
     )
     boxes_px = box_ops.clip_boxes(cand.boxes, cfg.data.image_hw)
     scores = jnp.max(cand.probs[:, 1:], axis=-1)
@@ -171,19 +182,16 @@ def build_detect_fn(cfg: ExperimentConfig, model: Optional[RetinaNet] = None):
             )
         if single_pass:
             logits, deltas, log_vars = single_forward(model, variables, images)
-            logits, deltas, log_vars = (
-                logits[None],
-                deltas[None],
-                log_vars[None],
-            )  # fake N=1 sample axis
+            probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+            deltas, log_vars = deltas[None], log_vars[None]  # N=1 sample axis
         else:
-            logits, deltas, log_vars = mc_forward(
+            probs, deltas, log_vars = mc_forward_probs(
                 model, variables, images, rng, n_mc
-            )  # [N, B, A, .]
+            )  # probs [B, A, C+1]; deltas/log_vars [N, B, A, 4]
 
         # vmap the per-image post-processing over the batch axis.
         per_image = functools.partial(_postprocess_single, anchors=anchors, cfg=cfg)
-        fused = jax.vmap(per_image, in_axes=(1, 1, 1))(logits, deltas, log_vars)
+        fused = jax.vmap(per_image, in_axes=(0, 1, 1))(probs, deltas, log_vars)
         return _as_detections(fused, cfg.data.image_hw)
 
     return detect

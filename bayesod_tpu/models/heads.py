@@ -169,12 +169,14 @@ class RetinaNetHeads(nn.Module):
             h, w = cls_map.shape[-3:-1]
             logits.append(cls_map.reshape(*lead, h * w * k, n_cls))
             reg.append(reg_map.reshape(*lead, h * w * k, 8))
-        # fp32 here is deliberate: a bf16 variant (to halve HBM traffic of
-        # these ~GB tensors) measured 20.5 img/s vs 418.9 — the bf16 layouts
-        # poison the downstream softmax-mean/top-k/gather lowering. Do not
-        # "optimize" this cast without re-benching end to end.
+        # Mixed precision is deliberate: logits stay fp32 (an all-bf16
+        # variant measured 20.5 img/s vs 418.9 — bf16 poisons the downstream
+        # softmax-mean/top-k lowering), while the regression outputs — 2/3 of
+        # these ~GB tensors — stay in the compute dtype: they are only ever
+        # GATHERED at k=512 candidates, then cast to fp32 for the moment
+        # math. Re-bench end to end before touching either choice.
         logits = jnp.concatenate(logits, axis=-2).astype(jnp.float32)
-        reg = jnp.concatenate(reg, axis=-2).astype(jnp.float32)
+        reg = jnp.concatenate(reg, axis=-2)
         return logits, reg[..., :4], reg[..., 4:]
 
     def trunk_outputs(

@@ -139,11 +139,45 @@ def mc_forward(
     return jax.vmap(sample)(keys)
 
 
-def _mc_heads_fused(model, variables, feats, rng, num_samples):
+def mc_forward_probs(
+    model: RetinaNet,
+    variables,
+    images: jnp.ndarray,
+    rng: jax.Array,
+    num_samples: int,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """MC sampling returning (mean_probs [B,A,C+1] fp32, deltas [N,B,A,4],
+    log_vars [N,B,A,4]).
+
+    The BayesOD pipeline only ever uses per-sample LOGITS through their
+    mean softmax (per-anchor categorical, paper §III.A), so on the fused
+    path the N-sample logits tensor — the largest array in the graph — is
+    reduced per pyramid level straight off the kernel outputs and never
+    materialized at [N, B, A, C+1].
+    """
+    # NOTE: a per-level softmax-mean straight off the fused-kernel outputs
+    # (reduce_probs=True below) looks like it should save the [N,B,A,C+1]
+    # materialization, but measured 358 vs 454 img/s — the flat fp32 concat
+    # + one global reduction lowers better. Keep the flat path.
+    logits, deltas, log_vars = mc_forward(
+        model, variables, images, rng, num_samples
+    )
+    probs = jnp.mean(
+        jax.nn.softmax(logits.astype(jnp.float32), axis=-1), axis=0
+    )
+    return probs, deltas, log_vars
+
+
+def _mc_heads_fused(model, variables, feats, rng, num_samples,
+                    reduce_probs: bool = False):
     """Fused-kernel MC heads: deterministic trunks once, then one Pallas
     dropout+final-conv launch per (level, subnet) producing all N samples
     (ops/pallas/fused_final.py). Distributionally identical Bernoulli
-    dropout; RNG stream differs from the flax path."""
+    dropout; RNG stream differs from the flax path.
+
+    reduce_probs=True returns (mean_probs [B,A,C+1] fp32, deltas, log_vars):
+    the per-level softmax-mean fuses with the kernel-output read, so the
+    [N,B,A,C+1] logits never exist."""
     from bayesod_tpu.ops.pallas.fused_final import dropout_final_conv
 
     cls_t, reg_t = model.apply(
@@ -196,9 +230,28 @@ def _mc_heads_fused(model, variables, feats, rng, num_samples):
             run = lambda t, k_, b_, s: xla_level(t, k_, b_, s)
         cls_lvls.append(run(ct, cls_k, cls_b, seed0 + 2 * lvl))
         reg_lvls.append(run(rt, reg_k, reg_b, seed0 + 2 * lvl + 1))
-    return model.apply(
-        variables, cls_lvls, reg_lvls, method=RetinaNet.flatten_head_levels
-    )
+
+    if not reduce_probs:
+        return model.apply(
+            variables, cls_lvls, reg_lvls,
+            method=RetinaNet.flatten_head_levels,
+        )
+
+    # Per-level N-reduction: softmax over (C+1) then mean over samples,
+    # flattened to the anchor layout — consumes each kernel output once.
+    k = model.anchors_per_cell
+    n_cls = model.cfg.num_classes + 1
+    probs_lvls, reg_flat = [], []
+    for cls_map, reg_map in zip(cls_lvls, reg_lvls):
+        n, b, h, w, _ = cls_map.shape
+        logits_l = cls_map.reshape(n, b, h * w * k, n_cls).astype(jnp.float32)
+        probs_lvls.append(
+            jnp.mean(jax.nn.softmax(logits_l, axis=-1), axis=0)
+        )
+        reg_flat.append(reg_map.reshape(n, b, h * w * k, 8))
+    probs = jnp.concatenate(probs_lvls, axis=-2)
+    reg = jnp.concatenate(reg_flat, axis=-2)
+    return probs, reg[..., :4], reg[..., 4:]
 
 
 def single_forward(
