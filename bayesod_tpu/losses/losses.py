@@ -64,20 +64,33 @@ def attenuated_regression_loss(
     targets: AnchorTargets,
     residual: str = "l2",
     log_var_clip: float = 10.0,
+    variance_weight: jnp.ndarray | float = 1.0,
 ) -> jnp.ndarray:
     """Aleatoric NLL on positive anchors, normalized by #positives.
 
     deltas/log_vars: [..., A, 4] predictions in encoded space.
+
+    variance_weight w in [0, 1] interpolates between the plain residual loss
+    (w=0: no attenuation, the variance head gets zero gradient) and the full
+    Kendall-Gal NLL (w=1). Early in training the residuals are huge, so the
+    ds gradient of the NLL (-0.5*exp(-s)*err^2 + 0.5 per coordinate for l2)
+    dwarfs everything else and forces global grad clipping every step; the
+    trainer ramps w linearly over `variance_warmup_steps` so box regression
+    settles before the variance head starts absorbing error.
     """
     deltas = deltas.astype(jnp.float32)
     s = jnp.clip(log_vars.astype(jnp.float32), -log_var_clip, log_var_clip)
+    w = jnp.asarray(variance_weight, jnp.float32)
     err = targets.box_targets - deltas
     if residual == "l2":
-        per_coord = 0.5 * jnp.exp(-s) * err * err + 0.5 * s
+        plain = 0.5 * err * err
+        atten = 0.5 * jnp.exp(-s) * err * err + 0.5 * s
     elif residual == "huber":
-        per_coord = jnp.exp(-s) * _huber(err) + 0.5 * s
+        plain = _huber(err)
+        atten = jnp.exp(-s) * _huber(err) + 0.5 * s
     else:
         raise ValueError(f"unknown residual '{residual}'")
+    per_coord = (1.0 - w) * plain + w * atten
     per_anchor = jnp.sum(per_coord, axis=-1)
     per_anchor = jnp.where(targets.positive, per_anchor, 0.0)
     num_pos = jnp.maximum(jnp.sum(targets.positive.astype(jnp.float32)), 1.0)
@@ -93,10 +106,13 @@ def detection_loss(
     gamma: float = 2.0,
     regression_weight: float = 1.0,
     residual: str = "l2",
+    variance_weight: jnp.ndarray | float = 1.0,
 ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
     """Total loss and a metrics dict (SURVEY.md §3.1 train_step objective)."""
     cls = focal_loss(logits, targets, alpha, gamma)
-    reg = attenuated_regression_loss(deltas, log_vars, targets, residual)
+    reg = attenuated_regression_loss(
+        deltas, log_vars, targets, residual, variance_weight=variance_weight
+    )
     total = cls + regression_weight * reg
     metrics = {
         "loss": total,

@@ -51,7 +51,7 @@ def build_train_step(cfg: ExperimentConfig, anchors: jnp.ndarray, model=None):
         in_axes=(None, 0, 0, 0),
     )
 
-    def loss_fn(params, batch_stats, images, targets, dropout_rng):
+    def loss_fn(params, batch_stats, images, targets, dropout_rng, var_w):
         variables = {"params": params}
         if use_bn:
             variables["batch_stats"] = batch_stats
@@ -77,6 +77,7 @@ def build_train_step(cfg: ExperimentConfig, anchors: jnp.ndarray, model=None):
             gamma=tc.focal_gamma,
             regression_weight=tc.regression_weight,
             residual=tc.residual,
+            variance_weight=var_w,
         )
         return total, (metrics, new_stats)
 
@@ -94,13 +95,23 @@ def build_train_step(cfg: ExperimentConfig, anchors: jnp.ndarray, model=None):
         images = normalize_images(images, cfg.data.mean, cfg.data.std)
         targets = assign(anchors, gt_boxes, batch["gt_classes"], batch["gt_valid"])
 
+        if tc.variance_warmup_steps > 0:
+            var_w = jnp.clip(
+                state.step.astype(jnp.float32) / tc.variance_warmup_steps,
+                0.0,
+                1.0,
+            )
+        else:
+            var_w = jnp.float32(1.0)
+
         grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
         (loss, (metrics, new_stats)), grads = grad_fn(
-            state.params, state.batch_stats, images, targets, dropout_rng
+            state.params, state.batch_stats, images, targets, dropout_rng, var_w
         )
         updates, new_opt_state = opt.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
         metrics = dict(metrics)
+        metrics["variance_weight"] = var_w
         metrics["grad_norm"] = jnp.sqrt(
             sum(
                 jnp.sum(jnp.square(g.astype(jnp.float32)))

@@ -113,6 +113,11 @@ class TrainConfig:
     # Kendall-Gal Gaussian NLL). SURVEY.md §2 "Regression NLL" notes the
     # reference's exact residual is unverifiable; both ship.
     residual: str = "huber"
+    # Linear ramp of the loss-attenuation weight from plain residual (step 0)
+    # to the full Kendall-Gal NLL (this step). Early residuals are large, so
+    # the NLL's ds gradient otherwise dominates and trips grad clipping every
+    # step; 0 disables the ramp (attenuation on from step 0).
+    variance_warmup_steps: int = 2000
     grad_clip_norm: float = 10.0
     checkpoint_every: int = 2500
     checkpoint_dir: str = "data/outputs/default/checkpoints"

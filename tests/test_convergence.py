@@ -41,6 +41,9 @@ def test_training_learns_detection_and_uncertainty(tmp_path):
             batch_size=16, optimizer="adamw", base_lr=1e-3, warmup_steps=30,
             total_steps=150, lr_decay_steps=(10_000,), weight_decay=1e-4,
             checkpoint_every=10_000, log_every=50,
+            # 150-step run: ramp attenuation in fast so the variance head
+            # still trains (default 2000-step warmup would keep w <= 0.075).
+            variance_warmup_steps=40,
         ),
     )
     state = train(cfg, max_steps=150, out_dir=str(tmp_path / "run"))

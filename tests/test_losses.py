@@ -184,6 +184,54 @@ class TestAttenuatedRegression:
         )
         assert float(sopt) < float(s0)
 
+    def test_variance_warmup_weight_zero_is_plain_residual(self):
+        # w=0: loss is the plain residual — no s terms, no ds gradient.
+        t = _targets([1], [True], [False], box_t=jnp.full((1, 4), 2.0))
+        deltas = jnp.zeros((1, 4))
+        log_vars = jnp.full((1, 4), 3.0)
+        loss = attenuated_regression_loss(
+            deltas, log_vars, t, residual="l2", variance_weight=0.0
+        )
+        np.testing.assert_allclose(float(loss), 4 * 0.5 * 4.0, rtol=1e-6)
+        ds = jax.grad(
+            lambda s: attenuated_regression_loss(
+                deltas, s, t, residual="l2", variance_weight=0.0
+            )
+        )(log_vars)
+        np.testing.assert_allclose(np.array(ds), 0.0, atol=1e-8)
+
+    def test_variance_warmup_interpolates_linearly(self):
+        t = _targets([1], [True], [False], box_t=jnp.full((1, 4), 2.0))
+        deltas = jnp.zeros((1, 4))
+        log_vars = jnp.full((1, 4), 1.5)
+        vals = {
+            w: float(
+                attenuated_regression_loss(
+                    deltas, log_vars, t, residual="huber", variance_weight=w
+                )
+            )
+            for w in (0.0, 0.5, 1.0)
+        }
+        np.testing.assert_allclose(
+            vals[0.5], 0.5 * (vals[0.0] + vals[1.0]), rtol=1e-6
+        )
+
+    def test_variance_warmup_caps_ds_gradient(self):
+        # Huge residuals: the ds gradient scales with w, so warmup caps it.
+        t = _targets([1], [True], [False], box_t=jnp.full((1, 4), 50.0))
+        deltas = jnp.zeros((1, 4))
+        log_vars = jnp.zeros((1, 4))
+
+        def g(w):
+            ds = jax.grad(
+                lambda s: attenuated_regression_loss(
+                    deltas, s, t, residual="l2", variance_weight=w
+                )
+            )(log_vars)
+            return float(jnp.max(jnp.abs(ds)))
+
+        assert g(0.1) < 0.11 * g(1.0)
+
     def test_only_positives_count(self):
         t = _targets(
             [1, 0], [True, False], [False, False],
