@@ -10,6 +10,7 @@ from bayesod_tpu.eval.ap import (
     match_image,
     pr_curve,
 )
+from bayesod_tpu.eval.pdq import image_pdq, pdq_score, ppdq
 from bayesod_tpu.eval.uncertainty import (
     categorical_nll,
     entropy,
@@ -29,8 +30,11 @@ __all__ = [
     "entropy",
     "gaussian_entropy",
     "gaussian_nll",
+    "image_pdq",
     "match_image",
     "minimum_uncertainty_error",
+    "pdq_score",
+    "ppdq",
     "pr_curve",
     "uncertainty_report",
 ]

@@ -187,9 +187,11 @@ def evaluate(
     split: str = "val",
     min_score: float = 0.05,
     iou_threshold: float = 0.5,
+    compute_pdq: bool = True,
 ) -> Dict[str, float]:
     """Score dumped detections: per-class AP (+KITTI difficulty bins), mAP,
-    and the uncertainty metrics over all matched detections."""
+    the uncertainty metrics over all matched detections, and PDQ
+    (probability-based detection quality; eval/pdq.py)."""
     dataset = make_dataset(cfg.data, split=split)
     class_names = list(dataset.class_names)
     is_kitti = cfg.data.dataset == "kitti"
@@ -219,6 +221,7 @@ def evaluate(
     # ---- uncertainty metrics over all classes pooled -----------------------
     correct_all, probs_all, covs_all, mu_all = [], [], [], []
     gt_box_all, gt_lab_all = [], []
+    pdq_images = []
     for idx, rec in enumerate(records):
         ex = dataset.example(idx)
         det_boxes = np.asarray(rec["boxes"], np.float32).reshape(-1, 4)
@@ -251,6 +254,17 @@ def evaluate(
                 correct[d] = True
                 gt_box[d] = ex["boxes"][g]
                 gt_lab[d] = ex["classes"][g]
+        if compute_pdq:
+            pdq_images.append(
+                {
+                    "det_boxes": det_boxes,
+                    "det_covs": covs,
+                    "det_probs": probs,
+                    "gt_boxes": ex["boxes"],
+                    "gt_labels": ex["classes"],
+                    "hw": ex["image"].shape[:2],
+                }
+            )
         correct_all.append(correct)
         probs_all.append(probs)
         covs_all.append(covs)
@@ -270,6 +284,10 @@ def evaluate(
                 correct, probs, covs, gt_boxes, gt_labels, mu
             )
         )
+        if compute_pdq:
+            from bayesod_tpu.eval import pdq as pdq_lib
+
+            metrics.update(pdq_lib.pdq_score(pdq_images))
         # Per-class MUE (paper §IV reports uncertainty quality per category).
         det_cls = np.argmax(probs[:, 1:], axis=-1) + 1
         for ci, name in enumerate(class_names, start=1):

@@ -196,6 +196,7 @@ class TestEndToEndEval:
         assert len(records) == 4
         metrics = evaluate(cfg, records, split="val", min_score=0.0)
         assert "map" in metrics and "categorical_mue" in metrics
+        assert "pdq" in metrics and 0.0 <= metrics["pdq"] <= 1.0
         for v in metrics.values():
             assert np.isfinite(v)
 
