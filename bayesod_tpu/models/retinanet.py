@@ -196,14 +196,18 @@ def _mc_heads_fused(model, variables, feats, rng, num_samples,
     else:
         seed0 = (rng[0] ^ (rng[1] << 1)).astype(jnp.int32)
 
-    def level_vmem_bytes(t):
+    def slab_vmem_bytes(t):
+        # The kernel needs only a double-buffered (rb+2)-row slab in VMEM
+        # (input_mode="dma" when the whole image doesn't fit; fused_final.py)
+        # + weights/out/mask staging.
         h, w, c = t.shape[1:]
-        # double-buffered x block (bf16) + row-block slab/mask/acc staging.
-        return (h + 2) * (w + 2) * c * 2 * 2 + 3 * 1024 * 1024
+        rb = min(16, h)
+        return 2 * (rb + 2) * (w + 18) * c * 2 + 4 * 1024 * 1024
 
     def xla_level(t, kernel, bias, seed):
-        # Oversized-level fallback: plain vmapped mask+conv (hardware-RNG
-        # keys); only triggers when a level's block would blow VMEM.
+        # Extreme-width fallback: plain vmapped mask+conv (hardware-RNG
+        # keys); only triggers when even a row slab would blow VMEM
+        # (w ~ 2500+ at 256ch — beyond any supported config).
         keys = jax.random.split(
             jax.random.key(seed, impl="rbg"), num_samples
         )
@@ -221,7 +225,7 @@ def _mc_heads_fused(model, variables, feats, rng, num_samples,
     vmem_budget = 12 * 1024 * 1024
     cls_lvls, reg_lvls = [], []
     for lvl, (ct, rt) in enumerate(zip(cls_t, reg_t)):
-        if level_vmem_bytes(ct) <= vmem_budget:
+        if slab_vmem_bytes(ct) <= vmem_budget:
             run = lambda t, k_, b_, s: dropout_final_conv(
                 t, k_, b_, s, num_samples, keep,
                 dtype=model.cfg.head_final_dtype,

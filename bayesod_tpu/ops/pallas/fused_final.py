@@ -38,14 +38,18 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-def _kernel(
-    seed_ref,  # [1, 1] int32 SMEM
-    x_ref,  # [1, Hp+2, W+2, Cin] bf16 VMEM (zero-padded borders)
-    w_ref,  # [9, Cin, Cp] bf16 or int8 VMEM
-    b_ref,  # [1, Cp] fp32 VMEM
-    wscale_ref,  # [1, Cp] fp32 VMEM (int8 path; ones otherwise)
-    out_ref,  # [1, 1, RB, W, Cp] bf16 VMEM (one row block)
+def _compute_block(
+    slab,  # [RB+2, W+2, Cin] padded input rows (bf16)
+    seed_ref,
+    w_ref,
+    b_ref,
+    wscale_ref,
+    out_ref,
     *,
+    b_idx,
+    n_idx,
+    n_total,
+    row0,
     rb: int,
     w: int,
     cin: int,
@@ -54,11 +58,18 @@ def _kernel(
     threshold: int,
     quantized: bool,
 ):
-    b_idx = pl.program_id(0)
-    n_idx = pl.program_id(1)
-    r_idx = pl.program_id(2)
-    n_total = pl.num_programs(1)
-    row0 = r_idx * rb
+    """Mask + (optional int8 quantize) + 9 shifted MXU matmuls + writeback.
+
+    Shared by the resident-input and DMA-slab kernels (their grids order
+    the axes differently, so the caller passes b/n/row indices explicitly);
+    the dropout mask is addressed by ABSOLUTE element index, so both produce
+    bit-identical outputs for the same (seed, image, sample, row block)."""
+
+    # DMA mode pads the slab's width axis to a DMA-tileable multiple of 8;
+    # the extra zero columns are outside every conv window and the mask
+    # keeps the logical (w+2)-stride addressing, so outputs stay
+    # bit-identical to the resident path.
+    wp = slab.shape[1]
 
     def keep_mask(row0, hb):
         """Stateless counter-based dropout mask for padded rows
@@ -73,13 +84,13 @@ def _kernel(
         ).astype(jnp.uint32)
         idx = (
             (
-                jax.lax.broadcasted_iota(jnp.int32, (hb, w + 2, cin), 0)
+                jax.lax.broadcasted_iota(jnp.int32, (hb, wp, cin), 0)
                 + jnp.int32(row0)
             )
             * jnp.int32((w + 2) * cin)
-            + jax.lax.broadcasted_iota(jnp.int32, (hb, w + 2, cin), 1)
+            + jax.lax.broadcasted_iota(jnp.int32, (hb, wp, cin), 1)
             * jnp.int32(cin)
-            + jax.lax.broadcasted_iota(jnp.int32, (hb, w + 2, cin), 2)
+            + jax.lax.broadcasted_iota(jnp.int32, (hb, wp, cin), 2)
         ).astype(jnp.uint32)
         z = idx + stream
         z = z ^ (z >> jnp.uint32(16))
@@ -88,13 +99,6 @@ def _kernel(
         z = z * jnp.uint32(0xC2B2AE35)
         z = z ^ (z >> jnp.uint32(16))
         return (z >> jnp.uint32(1)) < jnp.uint32(threshold)
-
-    # Row-blocked via the grid: each program computes RB output rows from the
-    # (RB+2)-row padded slab. Only the slab is ever loaded from the resident
-    # input block (ref indexing, not a full-map materialization), keeping the
-    # working set ~2 MB — the whole-map form blew the 16 MB VMEM budget at
-    # production shapes.
-    slab = x_ref[0, pl.ds(row0, rb + 2)]  # [RB+2, W+2, Cin]
 
     if quantized:
         # Dynamic per-slab activation scale; the mask multiplies int8 values
@@ -115,7 +119,7 @@ def _kernel(
             slab = jnp.where(keep, slab, jnp.int8(0))
         else:
             slab = jnp.where(keep, slab * (1.0 / keep_prob), 0.0).astype(
-                x_ref.dtype
+                slab.dtype
             )
 
     acc = jnp.zeros((rb * w, cp), acc_dtype)
@@ -136,9 +140,107 @@ def _kernel(
     out_ref[0, 0] = accf.reshape(rb, w, cp).astype(out_ref.dtype)
 
 
+def _kernel_resident(
+    seed_ref,  # [1, 1] int32 SMEM
+    x_ref,  # [1, Hp+2, W+2, Cin] bf16 VMEM (zero-padded borders)
+    w_ref,  # [9, Cin, Cp] bf16 or int8 VMEM
+    b_ref,  # [1, Cp] fp32 VMEM
+    wscale_ref,  # [1, Cp] fp32 VMEM (int8 path; ones otherwise)
+    out_ref,  # [1, 1, RB, W, Cp] bf16 VMEM (one row block)
+    *,
+    rb: int,
+    **kw,
+):
+    # Row-blocked via the grid: each program computes RB output rows from the
+    # (RB+2)-row padded slab. Only the slab is ever loaded from the resident
+    # input block (ref indexing, not a full-map materialization), keeping the
+    # working set ~2 MB — the whole-map form blew the 16 MB VMEM budget at
+    # production shapes. Grid: (image, sample, row block).
+    row0 = pl.program_id(2) * rb
+    slab = x_ref[0, pl.ds(row0, rb + 2)]  # [RB+2, W+2, Cin]
+    _compute_block(
+        slab, seed_ref, w_ref, b_ref, wscale_ref, out_ref,
+        b_idx=pl.program_id(0), n_idx=pl.program_id(1),
+        n_total=pl.num_programs(1), row0=row0, rb=rb, **kw,
+    )
+
+
+def _kernel_dma(
+    seed_ref,  # [1, 1] int32 SMEM
+    x_ref,  # [B, Hp+2, W+2, Cin] bf16 in HBM (memory_space=ANY)
+    w_ref,  # [9, Cin, Cp] VMEM
+    b_ref,  # [1, Cp] VMEM
+    wscale_ref,  # [1, Cp] VMEM
+    out_ref,  # [1, 1, RB, W, Cp] VMEM
+    slab_ref,  # [2, RB+2, W+2, Cin] VMEM scratch (double buffer)
+    sem,  # DMA semaphores (2,)
+    *,
+    rb: int,
+    **kw,
+):
+    """Large-image variant: the padded input never becomes VMEM-resident.
+
+    Grid (image, row block, SAMPLE) — samples innermost, because the slab
+    does not depend on the sample: it is DMA'd HBM->VMEM once per (image,
+    row block) and reused for all N masked convs, so HBM input traffic is
+    1x the feature map (like the resident path), not Nx. Double-buffered
+    across blocks: the n==0 program of each block prefetches the NEXT
+    block's slab into the other slot, giving it N compute steps to land.
+    Only the n==0 program waits on the semaphore — grid steps run
+    sequentially on the core, so later samples see the slab ready. Lifts
+    the whole-image VMEM bound that kept BDD-scale P3 levels (90x160x256
+    and up) on the vmapped-XLA fallback."""
+    b_idx = pl.program_id(0)
+    r_idx = pl.program_id(1)
+    n_idx = pl.program_id(2)
+    nb = pl.num_programs(0)
+    nr = pl.num_programs(1)
+    nn = pl.num_programs(2)
+    block = b_idx * nr + r_idx  # (image, row-block) serial index
+    slot = jax.lax.rem(block, 2)
+
+    def slab_dma(slot_i, bb, rr):
+        return pltpu.make_async_copy(
+            x_ref.at[bb, pl.ds(rr * rb, rb + 2)],
+            slab_ref.at[slot_i],
+            sem.at[slot_i],
+        )
+
+    @pl.when((block == 0) & (n_idx == 0))
+    def _():
+        slab_dma(0, b_idx, r_idx).start()
+
+    r_next = jnp.where(r_idx + 1 < nr, r_idx + 1, 0)
+    b_next = jnp.clip(b_idx + (r_idx + 1 == nr), 0, nb - 1)
+
+    @pl.when((n_idx == 0) & (block + 1 < nb * nr))
+    def _():
+        slab_dma(1 - slot, b_next, r_next).start()
+
+    @pl.when(n_idx == 0)
+    def _():
+        slab_dma(slot, b_idx, r_idx).wait()
+
+    _compute_block(
+        slab_ref[slot], seed_ref, w_ref, b_ref, wscale_ref, out_ref,
+        b_idx=b_idx, n_idx=n_idx, n_total=nn, row0=r_idx * rb, rb=rb, **kw,
+    )
+
+
+def vmem_resident_bytes(h: int, w: int, cin: int) -> int:
+    """VMEM footprint of the resident-input mode for an [h, w, cin] level:
+    double-buffered whole-image bf16 block + slab/mask/acc staging."""
+    return (h + 2) * (w + 2) * cin * 2 * 2 + 3 * 1024 * 1024
+
+
+VMEM_BUDGET = 12 * 1024 * 1024
+
+
 @functools.partial(
     jax.jit,
-    static_argnames=("num_samples", "keep_prob", "interpret", "dtype"),
+    static_argnames=(
+        "num_samples", "keep_prob", "interpret", "dtype", "input_mode",
+    ),
 )
 def dropout_final_conv(
     x: jnp.ndarray,  # [B, H, W, Cin] shared trunk activations
@@ -149,6 +251,7 @@ def dropout_final_conv(
     keep_prob: float,
     interpret: Optional[bool] = None,
     dtype: str = "bf16",
+    input_mode: str = "auto",
 ) -> jnp.ndarray:
     """[B,H,W,Cin] -> [N,B,H,W,Cout]: N dropout samples x 3x3 SAME conv.
 
@@ -157,6 +260,11 @@ def dropout_final_conv(
     dtype: "bf16" (exact) or "int8" — dynamic per-block activation scale +
     per-output-channel weight scale; the MXU's int8 path doubles throughput
     on the lane-padded final matmuls at <1% relative logit error.
+    input_mode: "resident" = whole padded image as a pipelined VMEM block;
+    "dma" = image stays in HBM, per-row-block slabs manually DMA'd (no
+    whole-image VMEM bound — BDD-scale P3 and larger); "auto" picks
+    resident when it fits the VMEM budget. Both produce BIT-IDENTICAL
+    outputs (same absolute-index dropout mask).
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
@@ -164,14 +272,26 @@ def dropout_final_conv(
         raise ValueError(f"unknown fused-final dtype '{dtype}'")
     quantized = dtype == "int8"
     b, h, w, cin = x.shape
+    if input_mode == "auto":
+        input_mode = (
+            "resident"
+            if vmem_resident_bytes(h, w, cin) <= VMEM_BUDGET
+            else "dma"
+        )
+    if input_mode not in ("resident", "dma"):
+        raise ValueError(f"unknown fused-final input_mode '{input_mode}'")
     cout = kernel.shape[-1]
     cp = _round_up(cout, 128)
     rb = min(16, _round_up(h, 8))  # output rows per program
     hp = _round_up(h, rb)
 
+    # DMA mode: Mosaic memref slices must be tile-aligned in the second-minor
+    # dim, so the slab's width axis is padded up to a multiple of 16; the
+    # extra zero columns sit beyond every conv window (see _compute_block).
+    wpad = _round_up(w + 2, 16) if input_mode == "dma" else w + 2
     x_pad = jnp.pad(
         x.astype(jnp.bfloat16),
-        ((0, 0), (1, 1 + (hp - h)), (1, 1), (0, 0)),
+        ((0, 0), (1, 1 + (hp - h)), (1, 1 + (wpad - (w + 2))), (0, 0)),
     )
     kernel9 = kernel.reshape(9, cin, cout).astype(jnp.float32)
     if quantized:
@@ -194,15 +314,28 @@ def dropout_final_conv(
     # P[keep] = threshold / 2^31
     threshold = min(int(keep_prob * 2147483648.0), 2147483647)
 
-    out = pl.pallas_call(
-        functools.partial(
-            _kernel,
-            rb=rb, w=w, cin=cin, cp=cp,
-            keep_prob=float(keep_prob),
-            threshold=threshold,
-            quantized=quantized,
+    kernel_kw = dict(
+        rb=rb, w=w, cin=cin, cp=cp,
+        keep_prob=float(keep_prob),
+        threshold=threshold,
+        quantized=quantized,
+    )
+    weight_specs = [
+        pl.BlockSpec(
+            (9, cin, cp), lambda bi, si, ti, sref: (0, 0, 0),
+            memory_space=pltpu.VMEM,
         ),
-        grid_spec=pltpu.PrefetchScalarGridSpec(
+        pl.BlockSpec(
+            (1, cp), lambda bi, si, ti, sref: (0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        pl.BlockSpec(
+            (1, cp), lambda bi, si, ti, sref: (0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+    ]
+    if input_mode == "resident":
+        grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(b, num_samples, hp // rb),
             in_specs=[
@@ -211,25 +344,37 @@ def dropout_final_conv(
                     lambda bi, ni, ri, sref: (bi, 0, 0, 0),
                     memory_space=pltpu.VMEM,
                 ),
-                pl.BlockSpec(
-                    (9, cin, cp), lambda bi, ni, ri, sref: (0, 0, 0),
-                    memory_space=pltpu.VMEM,
-                ),
-                pl.BlockSpec(
-                    (1, cp), lambda bi, ni, ri, sref: (0, 0),
-                    memory_space=pltpu.VMEM,
-                ),
-                pl.BlockSpec(
-                    (1, cp), lambda bi, ni, ri, sref: (0, 0),
-                    memory_space=pltpu.VMEM,
-                ),
+                *weight_specs,
             ],
             out_specs=pl.BlockSpec(
                 (1, 1, rb, w, cp),
                 lambda bi, ni, ri, sref: (ni, bi, ri, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
-        ),
+        )
+        kernel_fn = _kernel_resident
+    else:  # dma: grid (image, row block, sample) — see _kernel_dma
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(b, hp // rb, num_samples),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.ANY),
+                *weight_specs,
+            ],
+            out_specs=pl.BlockSpec(
+                (1, 1, rb, w, cp),
+                lambda bi, ri, ni, sref: (ni, bi, ri, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((2, rb + 2, wpad, cin), jnp.bfloat16),
+                pltpu.SemaphoreType.DMA((2,)),
+            ],
+        )
+        kernel_fn = _kernel_dma
+    out = pl.pallas_call(
+        functools.partial(kernel_fn, **kernel_kw),
+        grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct(
             (num_samples, b, hp, w, cp), jnp.bfloat16
         ),

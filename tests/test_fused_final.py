@@ -38,6 +38,49 @@ def test_rate_zero_matches_exact_conv(shape, cout):
         )  # bf16 inputs vs fp32 reference
 
 
+@pytest.mark.parametrize("dtype", ["bf16", "int8"])
+def test_dma_mode_bit_identical_to_resident(dtype):
+    """input_mode="dma" (HBM-resident input, manually DMA'd slabs) must
+    reproduce the resident path EXACTLY — same absolute-index mask hash."""
+    key = jax.random.PRNGKey(11)
+    x = jax.random.normal(key, (2, 20, 24, 128), jnp.float32)
+    kernel = (
+        jax.random.normal(jax.random.fold_in(key, 1), (3, 3, 128, 36)) * 0.05
+    )
+    bias = jax.random.normal(jax.random.fold_in(key, 2), (36,))
+    kw = dict(num_samples=3, keep_prob=0.7, interpret=True, dtype=dtype)
+    a = dropout_final_conv(x, kernel, bias, jnp.int32(5), input_mode="resident", **kw)
+    d = dropout_final_conv(x, kernel, bias, jnp.int32(5), input_mode="dma", **kw)
+    assert bool(jnp.all(a == d))
+
+
+def test_dma_mode_rate_zero_matches_exact_conv():
+    key = jax.random.PRNGKey(12)
+    x = jax.random.normal(key, (1, 18, 26, 128), jnp.float32)
+    kernel = (
+        jax.random.normal(jax.random.fold_in(key, 1), (3, 3, 128, 36)) * 0.05
+    )
+    bias = jax.random.normal(jax.random.fold_in(key, 2), (36,))
+    out = dropout_final_conv(
+        x, kernel, bias, jnp.int32(7), num_samples=2, keep_prob=1.0,
+        interpret=True, input_mode="dma",
+    )
+    np.testing.assert_allclose(
+        np.asarray(out[0], np.float32),
+        np.asarray(ref_conv(x, kernel, bias)),
+        atol=0.15, rtol=0.05,
+    )
+
+
+def test_input_mode_auto_selects_dma_for_large_levels():
+    from bayesod_tpu.ops.pallas import fused_final as ff
+
+    # BDD-P3 scale (90x160x256) exceeds the resident budget...
+    assert ff.vmem_resident_bytes(90, 160, 256) > ff.VMEM_BUDGET
+    # ...KITTI-P3 (48x160x256) fits.
+    assert ff.vmem_resident_bytes(48, 160, 256) <= ff.VMEM_BUDGET
+
+
 def test_dropout_statistics():
     """Mask rate and scaling: E[out] ~ conv(x) and zero-rate ~ dropout rate."""
     key = jax.random.PRNGKey(3)
