@@ -155,12 +155,28 @@ def _as_detections(f: fus.FusedDetections, image_hw) -> Detections:
     )
 
 
-def build_detect_fn(cfg: ExperimentConfig, model: Optional[RetinaNet] = None):
+def build_detect_fn(
+    cfg: ExperimentConfig,
+    model: Optional[RetinaNet] = None,
+    mesh=None,
+    mesh_cfg=None,
+):
     """Build `(variables, images [B,H,W,3], rng) -> Detections`, jittable.
 
     The returned function closes over static config + trace-time anchor
     constants; it contains no host round-trips (SURVEY.md §7 step 5, the
     minimum slice) and is the unit `bench.py` times.
+
+    mesh/mesh_cfg (optional): a `jax.sharding.Mesh` + MeshConfig for
+    latency-oriented serving — pins the MC-sample axis of the sampled head
+    outputs to the mesh's `sample` axis with sharding constraints, so GSPMD
+    splits the N stochastic head passes across devices instead of
+    replicating them (SURVEY.md §2 "Sample parallelism"). Requires the XLA
+    head path (`head_final_backend="xla"`): the fused Pallas kernel emits
+    all N samples from one opaque custom call GSPMD cannot partition.
+    Results are numerically identical to the unsharded graph up to
+    reduction order (the per-sample dropout masks depend only on the fold
+    index, not on placement).
     """
     if cfg.bayes.mode not in ("bayes_od", "nms", "single_pass_nms"):
         raise ValueError(
@@ -188,6 +204,20 @@ def build_detect_fn(cfg: ExperimentConfig, model: Optional[RetinaNet] = None):
             probs, deltas, log_vars = mc_forward_probs(
                 model, variables, images, rng, n_mc
             )  # probs [B, A, C+1]; deltas/log_vars [N, B, A, 4]
+            if mesh is not None:
+                from jax.sharding import NamedSharding, PartitionSpec
+
+                mc = mesh_cfg
+                sample_nb = NamedSharding(
+                    mesh, PartitionSpec(mc.sample_axis, mc.data_axis)
+                )
+                deltas = jax.lax.with_sharding_constraint(deltas, sample_nb)
+                log_vars = jax.lax.with_sharding_constraint(
+                    log_vars, sample_nb
+                )
+                probs = jax.lax.with_sharding_constraint(
+                    probs, NamedSharding(mesh, PartitionSpec(mc.data_axis))
+                )
 
         # vmap the per-image post-processing over the batch axis.
         per_image = functools.partial(_postprocess_single, anchors=anchors, cfg=cfg)

@@ -240,6 +240,7 @@ VMEM_BUDGET = 12 * 1024 * 1024
     jax.jit,
     static_argnames=(
         "num_samples", "keep_prob", "interpret", "dtype", "input_mode",
+        "row_block",
     ),
 )
 def dropout_final_conv(
@@ -252,6 +253,7 @@ def dropout_final_conv(
     interpret: Optional[bool] = None,
     dtype: str = "bf16",
     input_mode: str = "auto",
+    row_block: Optional[int] = None,
 ) -> jnp.ndarray:
     """[B,H,W,Cin] -> [N,B,H,W,Cout]: N dropout samples x 3x3 SAME conv.
 
@@ -282,7 +284,11 @@ def dropout_final_conv(
         raise ValueError(f"unknown fused-final input_mode '{input_mode}'")
     cout = kernel.shape[-1]
     cp = _round_up(cout, 128)
-    rb = min(16, _round_up(h, 8))  # output rows per program
+    # Output rows per program: rb*W rows of the 9 accumulated MXU matmuls.
+    # 16 measured best on v5e across KITTI/BDD level shapes (8 = launch
+    # overhead dominates, 32+ = no further MXU utilization gain, more VMEM);
+    # row_block overrides for tuning.
+    rb = row_block or min(16, _round_up(h, 8))
     hp = _round_up(h, rb)
 
     # DMA mode: Mosaic memref slices must be tile-aligned in the second-minor

@@ -45,6 +45,14 @@ def main() -> None:
     )
     p.add_argument("--mode", default="bayes_od")
     p.add_argument(
+        "--hw", type=int, nargs=2, default=None, metavar=("H", "W"),
+        help="padded image shape (default 384 1280 KITTI; 768 1280 = BDD)",
+    )
+    p.add_argument(
+        "--classes", type=int, default=3,
+        help="foreground classes (3 KITTI, 10 BDD)",
+    )
+    p.add_argument(
         "--train", action="store_true",
         help="measure the training step instead of inference",
     )
@@ -84,11 +92,13 @@ def main() -> None:
         image_hw = (128, 256)
     else:
         model_cfg = ModelConfig(
-            num_classes=3, backbone="resnet50", norm="batchnorm",
+            num_classes=args.classes, backbone="resnet50", norm="batchnorm",
             head_final_dtype=args.head_dtype,
             head_trunk_dtype=args.trunk_dtype,
         )
         image_hw = (384, 1280)
+    if args.hw:
+        image_hw = tuple(args.hw)
 
     cfg = ExperimentConfig(
         name="bench",

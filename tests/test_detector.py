@@ -119,6 +119,43 @@ class TestDetectEndToEnd:
         out = detect(variables, images, jax.random.PRNGKey(1))
         assert bool(jnp.all(jnp.isfinite(out.boxes)))
 
+    def test_sample_axis_sharding_matches_unsharded(
+        self, tiny_model_and_vars, cpu_devices
+    ):
+        """Latency-serving mode: MC-sample axis sharded over the mesh's
+        `sample` axis gives the same detections as the unsharded graph
+        (masks depend only on the rng fold index, not placement)."""
+        from bayesod_tpu.parallel import mesh as mesh_lib
+        from bayesod_tpu.utils.config import MeshConfig
+
+        cfg, model, variables = tiny_model_and_vars
+        images = jnp.ones((2, 128, 128, 3), jnp.float32)
+        rng = jax.random.PRNGKey(7)
+        base = jit_detect_fn(cfg, model)(variables, images, rng)
+
+        mesh_cfg = MeshConfig(data_parallel=2, sample_parallel=4)
+        mesh = mesh_lib.make_mesh(mesh_cfg)
+        detect = jax.jit(
+            build_detect_fn(cfg, model, mesh=mesh, mesh_cfg=mesh_cfg),
+            in_shardings=(
+                mesh_lib.replicated(mesh),
+                mesh_lib.batch_sharding(mesh, mesh_cfg),
+                mesh_lib.replicated(mesh),
+            ),
+        )
+        out = detect(
+            jax.device_put(variables, mesh_lib.replicated(mesh)), images, rng
+        )
+        np.testing.assert_allclose(
+            np.array(out.boxes), np.array(base.boxes), atol=1e-3, rtol=1e-4
+        )
+        np.testing.assert_allclose(
+            np.array(out.probs), np.array(base.probs), atol=1e-5
+        )
+        np.testing.assert_array_equal(
+            np.array(out.valid), np.array(base.valid)
+        )
+
     def test_single_pass_mode_ignores_rng(self, tiny_model_and_vars):
         cfg, model, variables = tiny_model_and_vars
         cfg_sp = tiny_config(mode="single_pass_nms")
