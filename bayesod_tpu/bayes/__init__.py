@@ -10,7 +10,12 @@ from bayesod_tpu.bayes.clustering import (
     greedy_nms_with,
     iou_affinity_clustering,
 )
-from bayesod_tpu.bayes.fusion import FusedDetections, fuse_clusters, inv4x4_psd
+from bayesod_tpu.bayes.fusion import (
+    FusedDetections,
+    category_prior_from_frequencies,
+    fuse_clusters,
+    inv4x4_psd,
+)
 
 __all__ = [
     "AnchorPosteriors",
@@ -22,6 +27,7 @@ __all__ = [
     "greedy_nms_with",
     "iou_affinity_clustering",
     "FusedDetections",
+    "category_prior_from_frequencies",
     "fuse_clusters",
     "inv4x4_psd",
 ]

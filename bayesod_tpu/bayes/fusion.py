@@ -58,6 +58,24 @@ def inv4x4_psd(m: jnp.ndarray, jitter: float = 0.0) -> jnp.ndarray:
     return _sym(inv)
 
 
+def category_prior_from_frequencies(
+    class_counts, background_weight: float = 1.0, eps: float = 1e-6
+):
+    """Informative category prior from training-set class frequencies
+    (paper §III.C: replacing the non-informative prior with dataset
+    statistics sharpens fused posteriors toward prevalent classes).
+
+    class_counts: [C] foreground occurrence counts (or frequencies).
+    Returns [C+1] log-probabilities (pass as BayesConfig.category_prior /
+    fuse_clusters prior_logits under "likelihood" fusion; exponentiate and
+    scale for "dirichlet" concentration offsets).
+    """
+    counts = jnp.asarray(class_counts, jnp.float32)
+    full = jnp.concatenate([jnp.asarray([background_weight]), counts])
+    p = jnp.maximum(full, eps) / jnp.sum(jnp.maximum(full, eps))
+    return jnp.log(p)
+
+
 def fuse_clusters(
     clusters: Clusters,
     boxes: jnp.ndarray,

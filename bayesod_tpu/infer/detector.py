@@ -134,9 +134,15 @@ def _postprocess_single(
             boxes_px, scores, valid, bayes.nms_iou_threshold,
             bayes.max_detections,
         )
+    prior = (
+        jnp.asarray(bayes.category_prior, jnp.float32)
+        if bayes.category_prior is not None
+        else None
+    )
     return fus.fuse_clusters(
         groups, boxes_px, cand.covs, cand.probs,
         cov_jitter=bayes.cov_jitter,
+        prior_logits=prior,
         category_fusion=bayes.category_fusion,
     )
 

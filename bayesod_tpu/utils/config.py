@@ -74,6 +74,12 @@ class BayesConfig:
     # Category fusion rule (paper §III.C): "likelihood" (conjugate product)
     # or "dirichlet" (pseudo-count sum -> Dirichlet mean).
     category_fusion: str = "likelihood"
+    # Informative category prior (paper §III.C): per-class values fused into
+    # every cluster posterior — log-probabilities for "likelihood" fusion,
+    # Dirichlet concentration offsets for "dirichlet". None = non-informative
+    # (uniform / unit). Use fusion.category_prior_from_frequencies to build
+    # one from training-set class counts.
+    category_prior: Optional[Tuple[float, ...]] = None
     box_scale_factors: Tuple[float, float, float, float] = (1.0, 1.0, 1.0, 1.0)
     cov_jitter: float = 1e-3  # fp32 jitter added before 4x4 precision inverse
     log_var_clip: float = 10.0

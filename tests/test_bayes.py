@@ -207,3 +207,32 @@ def test_single_member_fusion_is_identity():
     np.testing.assert_allclose(np.asarray(out.boxes[0]), np.asarray(box[0]), rtol=1e-4)
     np.testing.assert_allclose(np.asarray(out.covs[0]), np.asarray(cov[0]), rtol=1e-3, atol=1e-5)
     np.testing.assert_allclose(np.asarray(out.probs[0]), [0.3, 0.7], rtol=1e-4)
+
+
+def test_informative_prior_shifts_posterior():
+    """prior_logits tilts likelihood fusion exactly like an extra member
+    (paper §III.C: the prior multiplies into the categorical posterior)."""
+    from bayesod_tpu.bayes import category_prior_from_frequencies
+
+    p1 = np.array([0.2, 0.5, 0.3], np.float32)
+    prior_p = np.array([0.1, 0.2, 0.7], np.float32)
+    clusters = Clusters(
+        centers=jnp.array([0], jnp.int32),
+        membership=jnp.array([[True]]),
+        valid=jnp.array([True]),
+    )
+    boxes = jnp.array([[0.0, 0.0, 10.0, 10.0]])
+    covs = jnp.broadcast_to(jnp.eye(4), (1, 4, 4))
+    out = fuse_clusters(
+        clusters, boxes, covs, jnp.asarray(p1[None]),
+        prior_logits=jnp.log(jnp.asarray(prior_p)),
+    )
+    ref = p1 * prior_p
+    ref = ref / ref.sum()
+    np.testing.assert_allclose(np.asarray(out.probs[0]), ref, rtol=1e-4)
+
+    # Frequency helper: counts [30, 60] + bg weight 10 -> log [0.1, 0.3, 0.6].
+    lp = np.asarray(
+        category_prior_from_frequencies([30.0, 60.0], background_weight=10.0)
+    )
+    np.testing.assert_allclose(np.exp(lp), [0.1, 0.3, 0.6], rtol=1e-5)
