@@ -28,43 +28,19 @@ from __future__ import annotations
 from typing import Any, List, Sequence, Tuple
 
 import flax.linen as nn
-import jax
 import jax.numpy as jnp
 import numpy as np
 
 
-class QuantConv3x3(nn.Module):
-    """3x3 SAME conv on the MXU's int8 path: dynamic per-tensor activation
-    scale, per-output-channel weight scale, int32 accumulation. v5e int8
-    doubles MXU throughput; the dequant chain is elementwise and fuses.
-    Parameters are fp32 (trainable / checkpoint-compatible); quantization
-    happens at execution, so the same weights serve bf16 and int8 paths."""
+from bayesod_tpu.models.quant import QuantConv
 
-    features: int
 
-    @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        cin = x.shape[-1]
-        kernel = self.param(
-            "kernel", nn.initializers.normal(0.01),
-            (3, 3, cin, self.features), jnp.float32,
-        )
-        bias = self.param(
-            "bias", nn.initializers.zeros, (self.features,), jnp.float32
-        )
-        xf = x.astype(jnp.float32)
-        x_scale = jnp.maximum(jnp.max(jnp.abs(xf)), 1e-6) / 127.0
-        xq = jnp.clip(jnp.round(xf / x_scale), -127, 127).astype(jnp.int8)
-        w_scale = (
-            jnp.maximum(jnp.max(jnp.abs(kernel), axis=(0, 1, 2)), 1e-8) / 127.0
-        )
-        wq = jnp.clip(jnp.round(kernel / w_scale), -127, 127).astype(jnp.int8)
-        acc = jax.lax.conv_general_dilated(
-            xq, wq, (1, 1), "SAME",
-            dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            preferred_element_type=jnp.int32,
-        )
-        return acc.astype(jnp.float32) * (x_scale * w_scale) + bias
+class QuantConv3x3(QuantConv):
+    """3x3 int8 head-trunk conv (models/quant.py), fp32 output to match the
+    pre-refactor head numerics."""
+
+    kernel_size: Tuple[int, int] = (3, 3)
+    dtype: Any = jnp.float32
 
 
 class SubnetTrunk(nn.Module):

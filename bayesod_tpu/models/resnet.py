@@ -21,7 +21,33 @@ from typing import Any, Callable, Dict
 import flax.linen as nn
 import jax.numpy as jnp
 
+from bayesod_tpu.models.quant import QuantConv
+
 ModuleDef = Any
+
+
+def make_conv(
+    conv_dtype: str, dtype, act_scale=None
+) -> Callable[..., nn.Module]:
+    """Backbone conv factory: "bf16" -> nn.Conv (exact); "int8" -> QuantConv
+    (execution-time quantization — same param names/shapes, so a bf16-trained
+    checkpoint serves the int8 path; DESIGN.md §8: the flagship graph is
+    HBM-bound and int8 activations halve backbone bytes). act_scale: static
+    activation scale (see models/quant.py; None = dynamic absmax)."""
+    init = nn.initializers.variance_scaling(2.0, "fan_out", "normal")
+    if conv_dtype == "int8":
+        return lambda f, k, s, name: QuantConv(
+            f, kernel_size=(k, k), strides=(s, s), use_bias=False,
+            kernel_init=init, dtype=dtype, act_scale=act_scale, name=name,
+        )
+    if conv_dtype == "bf16":
+        return lambda f, k, s, name: nn.Conv(
+            f, (k, k), strides=(s, s), padding="SAME", use_bias=False,
+            dtype=dtype, param_dtype=jnp.float32,
+            kernel_init=init, name=name,
+        )
+    raise ValueError(f"unknown backbone conv dtype '{conv_dtype}'")
+
 
 STAGE_SIZES = {
     "resnet18": (2, 2, 2, 2),
@@ -66,16 +92,13 @@ class BottleneckBlock(nn.Module):
     norm: str
     dtype: Any = jnp.bfloat16
     train: bool = False
+    conv_dtype: str = "bf16"
+    act_scale: Any = None
 
     @nn.compact
     def __call__(self, x):
         norm = make_norm(self.norm, self.dtype, self.train)
-        conv = lambda f, k, s, name: nn.Conv(
-            f, (k, k), strides=(s, s), padding="SAME", use_bias=False,
-            dtype=self.dtype, param_dtype=jnp.float32,
-            kernel_init=nn.initializers.variance_scaling(2.0, "fan_out", "normal"),
-            name=name,
-        )
+        conv = make_conv(self.conv_dtype, self.dtype, self.act_scale)
         residual = x
         y = nn.relu(norm(name="bn1")(conv(self.features, 1, 1, "conv1")(x)))
         y = nn.relu(norm(name="bn2")(conv(self.features, 3, self.strides, "conv2")(y)))
@@ -95,16 +118,13 @@ class BasicBlock(nn.Module):
     norm: str
     dtype: Any = jnp.bfloat16
     train: bool = False
+    conv_dtype: str = "bf16"
+    act_scale: Any = None
 
     @nn.compact
     def __call__(self, x):
         norm = make_norm(self.norm, self.dtype, self.train)
-        conv = lambda f, k, s, name: nn.Conv(
-            f, (k, k), strides=(s, s), padding="SAME", use_bias=False,
-            dtype=self.dtype, param_dtype=jnp.float32,
-            kernel_init=nn.initializers.variance_scaling(2.0, "fan_out", "normal"),
-            name=name,
-        )
+        conv = make_conv(self.conv_dtype, self.dtype, self.act_scale)
         residual = x
         y = nn.relu(norm(name="bn1")(conv(self.features, 3, self.strides, "conv1")(x)))
         y = norm(name="bn2")(conv(self.features, 3, 1, "conv2")(y))
@@ -134,6 +154,11 @@ class ResNet(nn.Module):
     stem: str = "space_to_depth"
     dtype: Any = jnp.bfloat16
     train: bool = False
+    # Residual-block conv execution: "bf16" exact, "int8" dynamic-quantized
+    # MXU path (serving; the stem stays bf16 — 12-channel contraction gains
+    # nothing from int8 and pixel statistics quantize worst).
+    conv_dtype: str = "bf16"
+    act_scale: Any = None  # static int8 activation scale (None = dynamic)
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> Dict[str, jnp.ndarray]:
@@ -179,6 +204,8 @@ class ResNet(nn.Module):
                     norm=self.norm,
                     dtype=self.dtype,
                     train=self.train,
+                    conv_dtype=self.conv_dtype,
+                    act_scale=self.act_scale,
                     name=f"stage{stage + 2}_block{block}",
                 )(x)
             if stage >= 1:  # stages 3, 4, 5 -> strides 8, 16, 32

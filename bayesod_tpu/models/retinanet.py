@@ -46,7 +46,9 @@ class RetinaNet(nn.Module):
         self.backbone = ResNet(
             variant=self.cfg.backbone, norm=self.cfg.norm,
             stem=self.cfg.stem, dtype=dtype,
-            train=self.train, name="backbone",
+            train=self.train, conv_dtype=self.cfg.backbone_dtype,
+            act_scale=self.cfg.backbone_act_scale,
+            name="backbone",
         )
         self.fpn = FPN(channels=self.cfg.fpn_channels, dtype=dtype, name="fpn")
         self.heads = RetinaNetHeads(

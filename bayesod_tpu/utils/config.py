@@ -40,6 +40,14 @@ class ModelConfig:
     # Head-trunk conv precision: "bf16" (exact) or "int8" (XLA-native int8
     # convs; dynamic activation + per-channel weight scales).
     head_trunk_dtype: str = "bf16"
+    # Backbone residual-block conv precision: "bf16" (exact, training) or
+    # "int8" (dynamic-quantized serving path — same checkpoint; the graph is
+    # HBM-bound and int8 halves backbone activation traffic, DESIGN.md §8).
+    backbone_dtype: str = "bf16"
+    # Static int8 activation scale for the backbone (None = dynamic absmax).
+    # Dynamic is robust but costs an extra activation pass; a calibrated
+    # static scale keeps quantization fully fused (models/quant.py).
+    backbone_act_scale: Optional[float] = None
     # Fused-final matmul precision: "bf16" (exact) or "int8" (2x MXU
     # throughput; dynamic activation + per-channel weight scales, <1%
     # relative logit error — negligible next to MC-dropout noise).

@@ -70,6 +70,14 @@ def main() -> None:
         "--trunk_dtype", default="bf16", choices=["bf16", "int8"],
         help="head-trunk conv precision",
     )
+    p.add_argument(
+        "--backbone_dtype", default="bf16", choices=["bf16", "int8"],
+        help="backbone residual-block conv precision",
+    )
+    p.add_argument(
+        "--backbone_act_scale", type=float, default=None,
+        help="static int8 activation scale (None = dynamic absmax)",
+    )
     args = p.parse_args()
 
     if args.cpu:
@@ -90,6 +98,8 @@ def main() -> None:
             head_depth=1, head_channels=32, norm="groupnorm",
             compute_dtype="float32", head_final_dtype=args.head_dtype,
             head_trunk_dtype=args.trunk_dtype,
+            backbone_dtype=args.backbone_dtype,
+            backbone_act_scale=args.backbone_act_scale,
         )
         image_hw = (128, 256)
     else:
@@ -97,6 +107,8 @@ def main() -> None:
             num_classes=args.classes, backbone="resnet50", norm="batchnorm",
             head_final_dtype=args.head_dtype,
             head_trunk_dtype=args.trunk_dtype,
+            backbone_dtype=args.backbone_dtype,
+            backbone_act_scale=args.backbone_act_scale,
         )
         image_hw = (384, 1280)
     if args.hw:

@@ -85,3 +85,21 @@ def test_batchnorm_variant_initializes_batch_stats():
     assert "batch_stats" in variables
     logits, _, _ = single_forward(model, variables, jnp.zeros((1, 128, 128, 3)))
     assert logits.shape[1] == sum(level_anchor_counts((128, 128), AnchorConfig()))
+
+
+def test_int8_backbone_serves_bf16_checkpoint(model_and_vars):
+    """backbone_dtype="int8" uses the SAME parameter tree (names/shapes match
+    nn.Conv) and yields near-identical outputs — train bf16, serve int8."""
+    import dataclasses
+
+    model, variables = model_and_vars
+    m_q = RetinaNet(
+        cfg=dataclasses.replace(CFG, backbone_dtype="int8"), train=False
+    )
+    x = jax.random.uniform(jax.random.key(1), (2, *HW, 3))
+    logits_b, deltas_b, _ = single_forward(model, variables, x)
+    logits_q, deltas_q, _ = single_forward(m_q, variables, x)
+    probs_b = np.asarray(jax.nn.softmax(logits_b.astype(jnp.float32), -1))
+    probs_q = np.asarray(jax.nn.softmax(logits_q.astype(jnp.float32), -1))
+    assert np.abs(probs_b - probs_q).max() < 0.05
+    assert np.abs(np.asarray(deltas_b) - np.asarray(deltas_q)).mean() < 0.05
