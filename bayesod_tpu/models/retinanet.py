@@ -157,10 +157,27 @@ def mc_forward_probs(
     reduced per pyramid level straight off the kernel outputs and never
     materialized at [N, B, A, C+1].
     """
-    # NOTE: a per-level softmax-mean straight off the fused-kernel outputs
-    # (reduce_probs=True below) looks like it should save the [N,B,A,C+1]
-    # materialization, but measured 358 vs 454 img/s — the flat fp32 concat
-    # + one global reduction lowers better. Keep the flat path.
+    # Two reductions ship (cfg.probs_reduce):
+    #   "flat"  — flatten per-sample logits fp32 and reduce in XLA. (An
+    #     XLA-level per-level softmax-mean measured 358 vs 454 img/s — the
+    #     flat concat lowered better — so per-level reduction OUTSIDE the
+    #     kernel is a recorded dead end.)
+    #   "fused" — dropout_final_probs: softmax-mean accumulated inside the
+    #     Pallas kernel across the sample grid axis; the per-sample logits
+    #     never reach HBM.
+    backend = model.cfg.head_final_backend
+    if backend == "auto":
+        backend = (
+            "pallas"
+            if jax.default_backend() == "tpu"
+            and model.cfg.dropout_layers == "last"
+            else "xla"
+        )
+    if backend == "pallas" and model.cfg.probs_reduce == "fused":
+        feats = model.apply(variables, images, method=RetinaNet.features)
+        return _mc_heads_fused(
+            model, variables, feats, rng, num_samples, reduce_probs=True
+        )
     logits, deltas, log_vars = mc_forward(
         model, variables, images, rng, num_samples
     )
@@ -178,9 +195,15 @@ def _mc_heads_fused(model, variables, feats, rng, num_samples,
     dropout; RNG stream differs from the flax path.
 
     reduce_probs=True returns (mean_probs [B,A,C+1] fp32, deltas, log_vars):
-    the per-level softmax-mean fuses with the kernel-output read, so the
-    [N,B,A,C+1] logits never exist."""
-    from bayesod_tpu.ops.pallas.fused_final import dropout_final_conv
+    the cls finals run through dropout_final_probs — dropout + conv +
+    grouped softmax + mean over samples in ONE kernel with the output block
+    accumulated in VMEM across the sample grid axis — so the [N,B,A,C+1]
+    logits (the graph's largest tensor, ~3.4 GB/batch as kernel outputs)
+    never reach HBM at all."""
+    from bayesod_tpu.ops.pallas.fused_final import (
+        dropout_final_conv,
+        dropout_final_probs,
+    )
 
     cls_t, reg_t = model.apply(
         variables, feats, method=RetinaNet.head_trunk_outputs
@@ -225,36 +248,55 @@ def _mc_heads_fused(model, variables, feats, rng, num_samples,
         return jax.vmap(one)(keys)
 
     vmem_budget = 12 * 1024 * 1024
-    cls_lvls, reg_lvls = [], []
-    for lvl, (ct, rt) in enumerate(zip(cls_t, reg_t)):
-        if slab_vmem_bytes(ct) <= vmem_budget:
-            run = lambda t, k_, b_, s: dropout_final_conv(
-                t, k_, b_, s, num_samples, keep,
-                dtype=model.cfg.head_final_dtype,
-            )
-        else:
-            run = lambda t, k_, b_, s: xla_level(t, k_, b_, s)
-        cls_lvls.append(run(ct, cls_k, cls_b, seed0 + 2 * lvl))
-        reg_lvls.append(run(rt, reg_k, reg_b, seed0 + 2 * lvl + 1))
+    k = model.anchors_per_cell
+    n_cls = model.cfg.num_classes + 1
 
     if not reduce_probs:
+        cls_lvls, reg_lvls = [], []
+        for lvl, (ct, rt) in enumerate(zip(cls_t, reg_t)):
+            if slab_vmem_bytes(ct) <= vmem_budget:
+                run = lambda t, k_, b_, s: dropout_final_conv(
+                    t, k_, b_, s, num_samples, keep,
+                    dtype=model.cfg.head_final_dtype,
+                )
+            else:
+                run = lambda t, k_, b_, s: xla_level(t, k_, b_, s)
+            cls_lvls.append(run(ct, cls_k, cls_b, seed0 + 2 * lvl))
+            reg_lvls.append(run(rt, reg_k, reg_b, seed0 + 2 * lvl + 1))
         return model.apply(
             variables, cls_lvls, reg_lvls,
             method=RetinaNet.flatten_head_levels,
         )
 
-    # Per-level N-reduction: softmax over (C+1) then mean over samples,
-    # flattened to the anchor layout — consumes each kernel output once.
-    k = model.anchors_per_cell
-    n_cls = model.cfg.num_classes + 1
+    # Fused N-reduction: cls finals emit per-level MEAN-SOFTMAX maps
+    # directly (dropout_final_probs — the sample axis never leaves VMEM);
+    # reg finals still emit per-sample maps (the moments need them).
     probs_lvls, reg_flat = [], []
-    for cls_map, reg_map in zip(cls_lvls, reg_lvls):
-        n, b, h, w, _ = cls_map.shape
-        logits_l = cls_map.reshape(n, b, h * w * k, n_cls).astype(jnp.float32)
-        probs_lvls.append(
-            jnp.mean(jax.nn.softmax(logits_l, axis=-1), axis=0)
-        )
-        reg_flat.append(reg_map.reshape(n, b, h * w * k, 8))
+    for lvl, (ct, rt) in enumerate(zip(cls_t, reg_t)):
+        if slab_vmem_bytes(ct) <= vmem_budget:
+            p_map = dropout_final_probs(
+                ct, cls_k, cls_b, seed0 + 2 * lvl, num_samples, keep,
+                n_cls, dtype=model.cfg.head_final_dtype,
+            )  # [B, h, w, k*(C+1)] fp32
+            reg_map = dropout_final_conv(
+                rt, reg_k, reg_b, seed0 + 2 * lvl + 1, num_samples, keep,
+                dtype=model.cfg.head_final_dtype,
+            )
+        else:
+            logits_l = xla_level(ct, cls_k, cls_b, seed0 + 2 * lvl)
+            p_map = jnp.mean(
+                jax.nn.softmax(
+                    logits_l.astype(jnp.float32).reshape(
+                        num_samples, *logits_l.shape[1:4], k, n_cls
+                    ),
+                    axis=-1,
+                ),
+                axis=0,
+            ).reshape(*logits_l.shape[1:4], k * n_cls)
+            reg_map = xla_level(rt, reg_k, reg_b, seed0 + 2 * lvl + 1)
+        b, h, w = p_map.shape[:3]
+        probs_lvls.append(p_map.reshape(b, h * w * k, n_cls))
+        reg_flat.append(reg_map.reshape(num_samples, b, h * w * k, 8))
     probs = jnp.concatenate(probs_lvls, axis=-2)
     reg = jnp.concatenate(reg_flat, axis=-2)
     return probs, reg[..., :4], reg[..., 4:]

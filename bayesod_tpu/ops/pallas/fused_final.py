@@ -30,6 +30,7 @@ from typing import Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -44,7 +45,6 @@ def _compute_block(
     w_ref,
     b_ref,
     wscale_ref,
-    out_ref,
     *,
     b_idx,
     n_idx,
@@ -58,12 +58,14 @@ def _compute_block(
     threshold: int,
     quantized: bool,
 ):
-    """Mask + (optional int8 quantize) + 9 shifted MXU matmuls + writeback.
+    """Mask + (optional int8 quantize) + 9 shifted MXU matmuls.
 
-    Shared by the resident-input and DMA-slab kernels (their grids order
-    the axes differently, so the caller passes b/n/row indices explicitly);
-    the dropout mask is addressed by ABSOLUTE element index, so both produce
-    bit-identical outputs for the same (seed, image, sample, row block)."""
+    Returns the fp32 [RB*W, Cp] pre-activation block (callers write it back
+    or feed the softmax-mean epilogue). Shared by the resident-input and
+    DMA-slab kernels (their grids order the axes differently, so the caller
+    passes b/n/row indices explicitly); the dropout mask is addressed by
+    ABSOLUTE element index, so both produce bit-identical outputs for the
+    same (seed, image, sample, row block)."""
 
     # DMA mode pads the slab's width axis to a DMA-tileable multiple of 8;
     # the extra zero columns are outside every conv window and the mask
@@ -134,10 +136,8 @@ def _compute_block(
             )
     if quantized:
         scale = (x_scale / keep_prob) * wscale_ref[0][None, :]
-        accf = acc.astype(jnp.float32) * scale + b_ref[0][None, :]
-    else:
-        accf = acc + b_ref[0][None, :]
-    out_ref[0, 0] = accf.reshape(rb, w, cp).astype(out_ref.dtype)
+        return acc.astype(jnp.float32) * scale + b_ref[0][None, :]
+    return acc + b_ref[0][None, :]
 
 
 def _kernel_resident(
@@ -158,11 +158,14 @@ def _kernel_resident(
     # production shapes. Grid: (image, sample, row block).
     row0 = pl.program_id(2) * rb
     slab = x_ref[0, pl.ds(row0, rb + 2)]  # [RB+2, W+2, Cin]
-    _compute_block(
-        slab, seed_ref, w_ref, b_ref, wscale_ref, out_ref,
+    accf = _compute_block(
+        slab, seed_ref, w_ref, b_ref, wscale_ref,
         b_idx=pl.program_id(0), n_idx=pl.program_id(1),
         n_total=pl.num_programs(1), row0=row0, rb=rb, **kw,
     )
+    out_ref[0, 0] = accf.reshape(
+        rb, kw["w"], kw["cp"]
+    ).astype(out_ref.dtype)
 
 
 def _kernel_dma(
@@ -191,11 +194,26 @@ def _kernel_dma(
     the whole-image VMEM bound that kept BDD-scale P3 levels (90x160x256
     and up) on the vmapped-XLA fallback."""
     b_idx = pl.program_id(0)
+    n_idx = pl.program_id(2)
+    slab = _acquire_slab_dma(x_ref, slab_ref, sem, rb)
+    accf = _compute_block(
+        slab, seed_ref, w_ref, b_ref, wscale_ref,
+        b_idx=b_idx, n_idx=n_idx, n_total=pl.num_programs(2),
+        row0=pl.program_id(1) * rb, rb=rb, **kw,
+    )
+    out_ref[0, 0] = accf.reshape(
+        rb, kw["w"], kw["cp"]
+    ).astype(out_ref.dtype)
+
+
+def _acquire_slab_dma(x_ref, slab_ref, sem, rb: int):
+    """Double-buffered slab fetch for grid (image, row block, sample) — see
+    _kernel_dma. Returns the current program's [RB+2, Wp, Cin] slab."""
+    b_idx = pl.program_id(0)
     r_idx = pl.program_id(1)
     n_idx = pl.program_id(2)
     nb = pl.num_programs(0)
     nr = pl.num_programs(1)
-    nn = pl.num_programs(2)
     block = b_idx * nr + r_idx  # (image, row-block) serial index
     slot = jax.lax.rem(block, 2)
 
@@ -221,10 +239,69 @@ def _kernel_dma(
     def _():
         slab_dma(slot, b_idx, r_idx).wait()
 
-    _compute_block(
-        slab_ref[slot], seed_ref, w_ref, b_ref, wscale_ref, out_ref,
-        b_idx=b_idx, n_idx=n_idx, n_total=nn, row0=r_idx * rb, rb=rb, **kw,
-    )
+    return slab_ref[slot]
+
+
+def _kernel_probs(
+    seed_ref,  # [1, 1] int32 SMEM
+    x_ref,  # resident: [1, Hp+2, W+2, Cin] VMEM block; dma: [B, ...] HBM
+    w_ref,  # [9, Cin, Cp] VMEM
+    b_ref,  # [1, Cp] VMEM
+    wscale_ref,  # [1, Cp] VMEM
+    g_ref,  # [Cp, Cp] fp32 VMEM: block-diagonal group-sum matrix
+    out_ref,  # [1, RB, W, Cp] fp32 VMEM — REVISITED across the n axis
+    *scratch,  # dma mode: (slab_ref, sem)
+    rb: int,
+    dma: bool,
+    **kw,
+):
+    """Fused MC classification head: dropout + final conv + mean softmax.
+
+    Grid (image, row block, sample) with the OUTPUT block indexed by (image,
+    row block) only — consecutive sample steps accumulate mean softmax into
+    the same VMEM-resident block, so the [N, B, H, W, C] per-sample logits
+    NEVER reach HBM (at N=10/batch 128 that tensor plus its re-read is
+    ~5.4 GB of the graph's HBM traffic; DESIGN.md §8 — the graph is
+    HBM-bound, bytes are the budget).
+
+    Grouped softmax without minor-dim reshapes: channels are k anchors x
+    (C+1) classes packed in the lane dim; exp(logits - rowmax) is summed
+    per group by ONE [Cp, Cp] matmul with a block-diagonal 0/1 matrix
+    (rowmax is shared by every group in the row, so it cancels per group).
+    Padded lanes carry garbage and are masked to zero; the host slices them
+    off."""
+    cout = kw.pop("cout")
+    b_idx = pl.program_id(0)
+    n_idx = pl.program_id(2)
+    nn = pl.num_programs(2)
+    row0 = pl.program_id(1) * rb
+    if dma:
+        slab_ref, sem = scratch
+        slab = _acquire_slab_dma(x_ref, slab_ref, sem, rb)
+    else:
+        slab = x_ref[0, pl.ds(row0, rb + 2)]
+    accf = _compute_block(
+        slab, seed_ref, w_ref, b_ref, wscale_ref,
+        b_idx=b_idx, n_idx=n_idx, n_total=nn, row0=row0, rb=rb, **kw,
+    )  # [RB*W, Cp] fp32 logits (padded lanes: bias-only garbage)
+    cp = kw["cp"]
+    w = kw["w"]
+    lane = jax.lax.broadcasted_iota(jnp.int32, accf.shape, 1)
+    valid = lane < jnp.int32(cout)
+    x = jnp.where(valid, accf, -jnp.inf)
+    m = jnp.max(x, axis=1, keepdims=True)  # per-row max, cancels per group
+    e = jnp.where(valid, jnp.exp(x - m), 0.0)
+    denom = jnp.dot(e, g_ref[...], preferred_element_type=jnp.float32)
+    probs = jnp.where(denom > 0.0, e / denom, 0.0)
+    contrib = (probs * (1.0 / nn)).reshape(rb, w, cp)
+
+    @pl.when(n_idx == 0)
+    def _():
+        out_ref[0] = contrib
+
+    @pl.when(n_idx > 0)
+    def _():
+        out_ref[0] = out_ref[0] + contrib
 
 
 def vmem_resident_bytes(h: int, w: int, cin: int) -> int:
@@ -236,38 +313,11 @@ def vmem_resident_bytes(h: int, w: int, cin: int) -> int:
 VMEM_BUDGET = 12 * 1024 * 1024
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=(
-        "num_samples", "keep_prob", "interpret", "dtype", "input_mode",
-        "row_block",
-    ),
-)
-def dropout_final_conv(
-    x: jnp.ndarray,  # [B, H, W, Cin] shared trunk activations
-    kernel: jnp.ndarray,  # [3, 3, Cin, Cout] conv weights (HWIO)
-    bias: jnp.ndarray,  # [Cout]
-    seed: jnp.ndarray,  # scalar int32
-    num_samples: int,
-    keep_prob: float,
-    interpret: Optional[bool] = None,
-    dtype: str = "bf16",
-    input_mode: str = "auto",
-    row_block: Optional[int] = None,
-) -> jnp.ndarray:
-    """[B,H,W,Cin] -> [N,B,H,W,Cout]: N dropout samples x 3x3 SAME conv.
-
-    interpret=None auto-selects: compiled on TPU, interpreter elsewhere
-    (identical results — the mask is a stateless integer hash).
-    dtype: "bf16" (exact) or "int8" — dynamic per-block activation scale +
-    per-output-channel weight scale; the MXU's int8 path doubles throughput
-    on the lane-padded final matmuls at <1% relative logit error.
-    input_mode: "resident" = whole padded image as a pipelined VMEM block;
-    "dma" = image stays in HBM, per-row-block slabs manually DMA'd (no
-    whole-image VMEM bound — BDD-scale P3 and larger); "auto" picks
-    resident when it fits the VMEM budget. Both produce BIT-IDENTICAL
-    outputs (same absolute-index dropout mask).
-    """
+def _prep(x, kernel, bias, seed, keep_prob, dtype, input_mode, row_block,
+          interpret):
+    """Shared trace-time setup for the fused-final kernels: mode/shape
+    resolution, padded input, packed (and optionally int8-quantized)
+    weights, seed scalar, kernel kwargs."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     if dtype not in ("bf16", "int8"):
@@ -319,14 +369,18 @@ def dropout_final_conv(
     seed_arr = jnp.asarray(seed, jnp.int32).reshape(1, 1)
     # P[keep] = threshold / 2^31
     threshold = min(int(keep_prob * 2147483648.0), 2147483647)
-
     kernel_kw = dict(
         rb=rb, w=w, cin=cin, cp=cp,
         keep_prob=float(keep_prob),
         threshold=threshold,
         quantized=quantized,
     )
-    weight_specs = [
+    return (input_mode, interpret, b, h, w, cin, cout, cp, rb, hp, wpad,
+            x_pad, w9, b_pad, wscale_pad, seed_arr, kernel_kw)
+
+
+def _weight_specs(cin, cp):
+    return [
         pl.BlockSpec(
             (9, cin, cp), lambda bi, si, ti, sref: (0, 0, 0),
             memory_space=pltpu.VMEM,
@@ -340,6 +394,46 @@ def dropout_final_conv(
             memory_space=pltpu.VMEM,
         ),
     ]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "num_samples", "keep_prob", "interpret", "dtype", "input_mode",
+        "row_block",
+    ),
+)
+def dropout_final_conv(
+    x: jnp.ndarray,  # [B, H, W, Cin] shared trunk activations
+    kernel: jnp.ndarray,  # [3, 3, Cin, Cout] conv weights (HWIO)
+    bias: jnp.ndarray,  # [Cout]
+    seed: jnp.ndarray,  # scalar int32
+    num_samples: int,
+    keep_prob: float,
+    interpret: Optional[bool] = None,
+    dtype: str = "bf16",
+    input_mode: str = "auto",
+    row_block: Optional[int] = None,
+) -> jnp.ndarray:
+    """[B,H,W,Cin] -> [N,B,H,W,Cout]: N dropout samples x 3x3 SAME conv.
+
+    interpret=None auto-selects: compiled on TPU, interpreter elsewhere
+    (identical results — the mask is a stateless integer hash).
+    dtype: "bf16" (exact) or "int8" — dynamic per-block activation scale +
+    per-output-channel weight scale; the MXU's int8 path doubles throughput
+    on the lane-padded final matmuls at <1% relative logit error.
+    input_mode: "resident" = whole padded image as a pipelined VMEM block;
+    "dma" = image stays in HBM, per-row-block slabs manually DMA'd (no
+    whole-image VMEM bound — BDD-scale P3 and larger); "auto" picks
+    resident when it fits the VMEM budget. Both produce BIT-IDENTICAL
+    outputs (same absolute-index dropout mask).
+    """
+    (input_mode, interpret, b, h, w, cin, cout, cp, rb, hp, wpad,
+     x_pad, w9, b_pad, wscale_pad, seed_arr, kernel_kw) = _prep(
+        x, kernel, bias, seed, keep_prob, dtype, input_mode, row_block,
+        interpret,
+    )
+    weight_specs = _weight_specs(cin, cp)
     if input_mode == "resident":
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
@@ -387,3 +481,109 @@ def dropout_final_conv(
         interpret=interpret,
     )(seed_arr, x_pad, w9, b_pad, wscale_pad)
     return out[:, :, :h, :, :cout]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "num_samples", "keep_prob", "group_size", "interpret", "dtype",
+        "input_mode", "row_block",
+    ),
+)
+def dropout_final_probs(
+    x: jnp.ndarray,  # [B, H, W, Cin] shared cls-trunk activations
+    kernel: jnp.ndarray,  # [3, 3, Cin, K*(C+1)] final cls conv (HWIO)
+    bias: jnp.ndarray,  # [K*(C+1)]
+    seed: jnp.ndarray,  # scalar int32
+    num_samples: int,
+    keep_prob: float,
+    group_size: int,  # C+1 classes per anchor group
+    interpret: Optional[bool] = None,
+    dtype: str = "bf16",
+    input_mode: str = "auto",
+    row_block: Optional[int] = None,
+) -> jnp.ndarray:
+    """[B,H,W,Cin] -> [B,H,W,K*(C+1)] fp32 MEAN SOFTMAX over N dropout
+    samples — the fused MC classification head (see _kernel_probs).
+
+    Same dropout-mask stream as dropout_final_conv, so
+    mean(softmax(dropout_final_conv(...))) is the reference oracle.
+    """
+    if input_mode == "auto":
+        # Tighter resident budget than the plain conv kernel: the softmax
+        # epilogue adds several fp32 [RB*W, Cp] temporaries plus the fp32
+        # accumulated output block (KITTI-P3 resident measured 17.1 MB —
+        # over the 16 MB scoped-vmem limit).
+        bh, bw, bc = x.shape[1], x.shape[2], x.shape[3]
+        input_mode = (
+            "resident"
+            if vmem_resident_bytes(bh, bw, bc) <= 6 * 1024 * 1024
+            else "dma"
+        )
+    (input_mode, interpret, b, h, w, cin, cout, cp, rb, hp, wpad,
+     x_pad, w9, b_pad, wscale_pad, seed_arr, kernel_kw) = _prep(
+        x, kernel, bias, seed, keep_prob, dtype, input_mode, row_block,
+        interpret,
+    )
+    if cout % group_size:
+        raise ValueError(f"cout {cout} not divisible by C+1={group_size}")
+    kernel_kw["cout"] = cout
+    # Block-diagonal group-sum matrix: denom = exp(logits) @ G gives every
+    # channel its anchor-group's softmax normalizer in one MXU op.
+    lanes = np.arange(cp)
+    same_group = (lanes[:, None] // group_size == lanes[None, :] // group_size)
+    valid = (lanes < cout)
+    g = jnp.asarray(
+        same_group & valid[:, None] & valid[None, :], jnp.float32
+    )
+
+    weight_specs = _weight_specs(cin, cp)
+    g_spec = pl.BlockSpec(
+        (cp, cp), lambda bi, ri, ni, sref: (0, 0), memory_space=pltpu.VMEM
+    )
+    out_spec = pl.BlockSpec(
+        (1, rb, w, cp),
+        lambda bi, ri, ni, sref: (bi, ri, 0, 0),  # revisited across n
+        memory_space=pltpu.VMEM,
+    )
+    if input_mode == "resident":
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(b, hp // rb, num_samples),
+            in_specs=[
+                pl.BlockSpec(
+                    (1, hp + 2, w + 2, cin),
+                    lambda bi, ri, ni, sref: (bi, 0, 0, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+                *weight_specs,
+                g_spec,
+            ],
+            out_specs=out_spec,
+        )
+        scratch = []
+    else:
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(b, hp // rb, num_samples),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.ANY),
+                *weight_specs,
+                g_spec,
+            ],
+            out_specs=out_spec,
+            scratch_shapes=[
+                pltpu.VMEM((2, rb + 2, wpad, cin), jnp.bfloat16),
+                pltpu.SemaphoreType.DMA((2,)),
+            ],
+        )
+        scratch = None  # carried via scratch_shapes
+    out = pl.pallas_call(
+        functools.partial(
+            _kernel_probs, dma=(input_mode == "dma"), **kernel_kw
+        ),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((b, hp, w, cp), jnp.float32),
+        interpret=interpret,
+    )(seed_arr, x_pad, w9, b_pad, wscale_pad, g)
+    return out[:, :h, :, :cout]

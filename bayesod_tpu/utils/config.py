@@ -52,6 +52,11 @@ class ModelConfig:
     # throughput; dynamic activation + per-channel weight scales, <1%
     # relative logit error — negligible next to MC-dropout noise).
     head_final_dtype: str = "bf16"
+    # MC class-probability reduction on the pallas backend: "flat" =
+    # materialize per-sample logits, reduce in XLA; "fused" = mean softmax
+    # accumulated inside the final-conv kernel (the [N,B,A,C+1] tensor never
+    # reaches HBM — models/retinanet.py mc_forward_probs).
+    probs_reduce: str = "fused"
     # Dropout placement: "last" = one dropout after the final trunk conv
     # (MC samples share the whole deterministic trunk; ~10x cheaper sampling
     # — the TPU-first flagship default), "all" = dropout after every trunk

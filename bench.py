@@ -78,6 +78,10 @@ def main() -> None:
         "--backbone_act_scale", type=float, default=None,
         help="static int8 activation scale (None = dynamic absmax)",
     )
+    p.add_argument(
+        "--probs_reduce", default="fused", choices=["flat", "fused"],
+        help="MC class-prob reduction: XLA flat or in-kernel softmax-mean",
+    )
     args = p.parse_args()
 
     if args.cpu:
@@ -100,6 +104,7 @@ def main() -> None:
             head_trunk_dtype=args.trunk_dtype,
             backbone_dtype=args.backbone_dtype,
             backbone_act_scale=args.backbone_act_scale,
+            probs_reduce=args.probs_reduce,
         )
         image_hw = (128, 256)
     else:
@@ -109,6 +114,7 @@ def main() -> None:
             head_trunk_dtype=args.trunk_dtype,
             backbone_dtype=args.backbone_dtype,
             backbone_act_scale=args.backbone_act_scale,
+            probs_reduce=args.probs_reduce,
         )
         image_hw = (384, 1280)
     if args.hw:

@@ -177,6 +177,73 @@ class TestFusedModelPath:
         )
 
 
+@pytest.mark.parametrize("mode", ["resident", "dma"])
+def test_probs_kernel_matches_softmax_mean_oracle(mode):
+    """dropout_final_probs == mean(grouped softmax(dropout_final_conv))
+    with the same seed (identical mask streams)."""
+    from bayesod_tpu.ops.pallas.fused_final import dropout_final_probs
+
+    key = jax.random.PRNGKey(9)
+    K, GS = 9, 4
+    x = jax.random.normal(key, (2, 20, 24, 128))
+    kernel = (
+        jax.random.normal(jax.random.fold_in(key, 1), (3, 3, 128, K * GS))
+        * 0.1
+    )
+    bias = jax.random.normal(jax.random.fold_in(key, 2), (K * GS,))
+    n, keep = 3, 0.7
+    samples = np.asarray(
+        dropout_final_conv(
+            x, kernel, bias, jnp.int32(5), n, keep,
+            interpret=True, input_mode=mode,
+        ),
+        np.float32,
+    ).reshape(n, 2, 20, 24, K, GS)
+    e = np.exp(samples - samples.max(-1, keepdims=True))
+    oracle = (e / e.sum(-1, keepdims=True)).mean(0).reshape(2, 20, 24, K * GS)
+    got = np.asarray(
+        dropout_final_probs(
+            x, kernel, bias, jnp.int32(5), n, keep, GS,
+            interpret=True, input_mode=mode,
+        )
+    )
+    np.testing.assert_allclose(got, oracle, atol=2e-2)
+    # proper distributions per anchor group
+    g = got.reshape(2, 20, 24, K, GS)
+    np.testing.assert_allclose(g.sum(-1), 1.0, atol=1e-5)
+
+
+def test_probs_reduce_fused_matches_flat_through_model():
+    """mc_forward_probs with probs_reduce=fused tracks the flat reduction
+    (same pallas masks -> same samples -> close probs)."""
+    import dataclasses
+
+    from bayesod_tpu.models.retinanet import RetinaNet, init_variables, mc_forward_probs
+    from bayesod_tpu.utils.config import ModelConfig
+
+    cfg = ModelConfig(
+        num_classes=3, backbone="resnet18", fpn_channels=32,
+        head_depth=1, head_channels=128, norm="groupnorm",
+        compute_dtype="float32", dropout_layers="last",
+        head_final_backend="pallas", probs_reduce="fused",
+    )
+    model_f = RetinaNet(cfg=cfg, train=False)
+    variables = init_variables(model_f, jax.random.PRNGKey(0), (128, 128))
+    model_flat = RetinaNet(
+        cfg=dataclasses.replace(cfg, probs_reduce="flat"), train=False
+    )
+    img = jnp.ones((1, 128, 128, 3))
+    pf, df, sf = mc_forward_probs(
+        model_f, variables, img, jax.random.PRNGKey(1), 4
+    )
+    pl_, dl, sl = mc_forward_probs(
+        model_flat, variables, img, jax.random.PRNGKey(1), 4
+    )
+    assert pf.shape == pl_.shape
+    np.testing.assert_allclose(np.asarray(pf), np.asarray(pl_), atol=2e-2)
+    np.testing.assert_allclose(np.asarray(df), np.asarray(dl), atol=1e-5)
+
+
 def test_int8_close_to_bf16():
     """int8 path must track the bf16 path within quantization tolerance."""
     key = jax.random.PRNGKey(8)
