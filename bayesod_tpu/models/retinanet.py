@@ -173,7 +173,10 @@ def mc_forward_probs(
             and model.cfg.dropout_layers == "last"
             else "xla"
         )
-    if backend == "pallas" and model.cfg.probs_reduce == "fused":
+    reduce = model.cfg.probs_reduce
+    if reduce == "auto":
+        reduce = "fused" if images.shape[0] >= 8 else "flat"
+    if backend == "pallas" and reduce == "fused":
         feats = model.apply(variables, images, method=RetinaNet.features)
         return _mc_heads_fused(
             model, variables, feats, rng, num_samples, reduce_probs=True

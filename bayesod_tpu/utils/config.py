@@ -55,8 +55,12 @@ class ModelConfig:
     # MC class-probability reduction on the pallas backend: "flat" =
     # materialize per-sample logits, reduce in XLA; "fused" = mean softmax
     # accumulated inside the final-conv kernel (the [N,B,A,C+1] tensor never
-    # reaches HBM — models/retinanet.py mc_forward_probs).
-    probs_reduce: str = "fused"
+    # reaches HBM — models/retinanet.py mc_forward_probs). Measured on v5e:
+    # fused wins throughput (598.5 vs 560.9 img/s @ batch 128; +33% at BDD
+    # shapes) but loses batch-1 latency (4.8 vs 3.8 ms — the output-block
+    # accumulation serializes samples with no batch to overlap). "auto"
+    # (default) picks fused for batch >= 8, flat below.
+    probs_reduce: str = "auto"
     # Dropout placement: "last" = one dropout after the final trunk conv
     # (MC samples share the whole deterministic trunk; ~10x cheaper sampling
     # — the TPU-first flagship default), "all" = dropout after every trunk

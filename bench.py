@@ -79,7 +79,7 @@ def main() -> None:
         help="static int8 activation scale (None = dynamic absmax)",
     )
     p.add_argument(
-        "--probs_reduce", default="fused", choices=["flat", "fused"],
+        "--probs_reduce", default="auto", choices=["auto", "flat", "fused"],
         help="MC class-prob reduction: XLA flat or in-kernel softmax-mean",
     )
     args = p.parse_args()

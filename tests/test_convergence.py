@@ -56,3 +56,6 @@ def test_training_learns_detection_and_uncertainty(tmp_path):
     assert metrics["categorical_mue"] < 0.45, metrics
     # Correct detections should carry less entropy than false positives.
     assert metrics["mean_entropy_tp"] < metrics["mean_entropy_fp"], metrics
+    # Probabilistic detection quality must clear the random-weights floor
+    # (~0; a 400-step run reaches ~0.43 with avg TP pPDQ ~0.69).
+    assert metrics["pdq"] > 0.02, metrics
