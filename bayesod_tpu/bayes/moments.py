@@ -73,6 +73,77 @@ def mc_box_moments(
     return mean_boxes, epistemic + aleatoric
 
 
+def moments_from_stats(
+    stats: jnp.ndarray,
+    anchors: jnp.ndarray,
+    scale_factors=(1.0, 1.0, 1.0, 1.0),
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Decoded-corner moments from per-anchor MC sufficient statistics.
+
+    `stats` [..., K, 18] are sample averages accumulated by the fused
+    regression kernel (ops/pallas/fused_final.dropout_final_reg_stats, lane
+    order in its REG_STATS comment) over u = (tx, ty, ew, eh) with
+    ew = exp(min(tw/sw, CLIP)), plus the aleatoric exponential moments.
+    The decoded corner box is AFFINE in u for a fixed anchor:
+
+        centroid = (ax, ay, 0, 0) + diag(wa/sx, ha/sy, wa, ha) @ u
+        corners  = L @ centroid            (L = _CENTROID_TO_CORNER)
+
+    so the sample mean/covariance of decoded corners — exactly what
+    mc_box_moments computes from per-sample outputs — equals the affine
+    push of (E[u], E[uu^T] - E[u]E[u]^T); and the per-sample aleatoric term
+    J_n diag(exp(s_n)) J_n^T averages to the E[v*...] statistics. Same
+    math, reordered — mc_box_moments over the same samples is the oracle.
+    """
+    s = stats.astype(jnp.float32)
+    anch_c = box_ops.corners_to_centroid(anchors.astype(jnp.float32))
+    sx, sy, sw, sh = scale_factors
+    wa, ha = anch_c[..., 2], anch_c[..., 3]
+
+    e_u = s[..., 0:4]  # E[tx], E[ty], E[ew], E[eh]
+    # Second-moment matrix M = E[u u^T] from lanes 4..13.
+    m = jnp.stack(
+        [
+            jnp.stack([s[..., 4], s[..., 8], s[..., 9], s[..., 10]], -1),
+            jnp.stack([s[..., 8], s[..., 5], s[..., 11], s[..., 12]], -1),
+            jnp.stack([s[..., 9], s[..., 11], s[..., 6], s[..., 13]], -1),
+            jnp.stack([s[..., 10], s[..., 12], s[..., 13], s[..., 7]], -1),
+        ],
+        axis=-2,
+    )
+    cov_u = m - e_u[..., :, None] * e_u[..., None, :]
+
+    d = jnp.stack([wa / sx, ha / sy, wa, ha], axis=-1)  # affine scale diag
+    mean_centroid = jnp.stack(
+        [
+            anch_c[..., 0] + d[..., 0] * e_u[..., 0],
+            anch_c[..., 1] + d[..., 1] * e_u[..., 1],
+            wa * e_u[..., 2],
+            ha * e_u[..., 3],
+        ],
+        axis=-1,
+    )
+    mean_boxes = box_ops.centroid_to_corners(mean_centroid)
+    cov_centroid = cov_u * d[..., :, None] * d[..., None, :]
+    l = box_ops._CENTROID_TO_CORNER
+    epistemic = jnp.einsum(
+        "ik,...kl,jl->...ij", l, cov_centroid, l
+    )
+
+    var_centroid = jnp.stack(
+        [
+            (wa / sx) ** 2 * s[..., 14],
+            (ha / sy) ** 2 * s[..., 15],
+            (wa / sw) ** 2 * s[..., 16],
+            (ha / sh) ** 2 * s[..., 17],
+        ],
+        axis=-1,
+    )
+    lv = l * var_centroid[..., None, :]
+    aleatoric = jnp.einsum("...ik,jk->...ij", lv, l)
+    return mean_boxes, epistemic + aleatoric
+
+
 def aggregate(
     logits: jnp.ndarray,
     deltas: jnp.ndarray,

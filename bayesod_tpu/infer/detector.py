@@ -85,7 +85,7 @@ def _postprocess_single(
     anchors: jnp.ndarray,  # [A, 4]
     cfg: ExperimentConfig,
 ) -> fus.FusedDetections:
-    """Shared per-image post-processing; runs inside jit/vmap.
+    """Per-image post-processing from DENSE per-sample outputs.
 
     Takes the sample-MEAN categorical (the only statistic BayesOD uses of
     the class logits) so the [N, A, C+1] per-sample logits never reach this
@@ -96,19 +96,50 @@ def _postprocess_single(
         probs_all, bayes.pre_cluster_topk, bayes.score_threshold,
         approx=bayes.approx_topk,
     )
-
     # Gather the k candidates' per-sample box outputs, then aggregate
     # moments on k anchors instead of all ~100k (SURVEY.md §7 step 4).
-    boxes_c, covs_c = mom.mc_box_moments(
-        deltas[:, idx].astype(jnp.float32),
-        log_vars[:, idx].astype(jnp.float32),
+    return _postprocess_candidates(
+        probs_all[idx],
+        deltas[:, idx],
+        log_vars[:, idx],
         anchors[idx],
+        valid,
+        cfg,
+    )
+
+
+def _postprocess_candidates(
+    probs_sel: jnp.ndarray,  # [k, C+1] candidate mean categoricals
+    deltas_c: jnp.ndarray,  # [N, k, 4] per-sample deltas at candidates
+    log_vars_c: jnp.ndarray,  # [N, k, 4]
+    anchors_sel: jnp.ndarray,  # [k, 4]
+    valid: jnp.ndarray,  # [k] bool
+    cfg: ExperimentConfig,
+) -> fus.FusedDetections:
+    """Moments -> clustering -> fusion on pre-gathered candidates; shared
+    by the dense route (gathers from [N, A, .] tensors) and the
+    candidates-only route (models.retinanet.mc_forward_candidates, which
+    never materializes the dense tensors)."""
+    bayes = cfg.bayes
+    boxes_c, covs_c = mom.mc_box_moments(
+        deltas_c.astype(jnp.float32),
+        log_vars_c.astype(jnp.float32),
+        anchors_sel,
         bayes.box_scale_factors,
         bayes.log_var_clip,
     )
-    cand = mom.AnchorPosteriors(
-        boxes=boxes_c, covs=covs_c, probs=probs_all[idx]
-    )
+    cand = mom.AnchorPosteriors(boxes=boxes_c, covs=covs_c, probs=probs_sel)
+    return _postprocess_posteriors(cand, valid, cfg)
+
+
+def _postprocess_posteriors(
+    cand: mom.AnchorPosteriors,  # [k, ...] candidate posteriors
+    valid: jnp.ndarray,  # [k] bool
+    cfg: ExperimentConfig,
+) -> fus.FusedDetections:
+    """Clustering + fusion on per-candidate posteriors (all reg routes end
+    here: dense / candidates-only / in-kernel stats)."""
+    bayes = cfg.bayes
     boxes_px = box_ops.clip_boxes(cand.boxes, cfg.data.image_hw)
     scores = jnp.max(cand.probs[:, 1:], axis=-1)
 
@@ -145,6 +176,21 @@ def _postprocess_single(
         prior_logits=prior,
         category_fusion=bayes.category_fusion,
     )
+
+
+def _reg_route(cfg, images) -> str:
+    """Resolve ModelConfig.reg_finals at trace time. "auto" resolves dense:
+    the fused finals are MXU-compute-bound, so the reduced-HBM "stats" /
+    "candidates" routes measured at or below dense on v5e (ModelConfig
+    docstring); they remain explicitly selectable. Sample-axis mesh
+    sharding (build_detect_fn mesh arg) always uses the dense route — the
+    reduced paths have no shardable sample tensor."""
+    mode = cfg.model.reg_finals
+    if mode == "auto":
+        return "dense"
+    if mode in ("dense", "candidates", "stats"):
+        return mode
+    raise ValueError(f"unknown reg_finals '{mode}'")
 
 
 def _as_detections(f: fus.FusedDetections, image_hw) -> Detections:
@@ -206,6 +252,68 @@ def build_detect_fn(
             logits, deltas, log_vars = single_forward(model, variables, images)
             probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
             deltas, log_vars = deltas[None], log_vars[None]  # N=1 sample axis
+        elif mesh is None and _reg_route(cfg, images) == "stats":
+            # In-kernel moment accumulation on both heads: no per-sample
+            # tensor reaches HBM (models.retinanet.mc_forward_stats).
+            from bayesod_tpu.models.retinanet import mc_forward_stats
+
+            probs, stats = mc_forward_stats(
+                model, variables, images, rng, n_mc,
+                cfg.bayes.box_scale_factors, cfg.bayes.log_var_clip,
+            )
+
+            def per_image_stats(probs_b, stats_b):
+                idx, valid = _preselect(
+                    probs_b, cfg.bayes.pre_cluster_topk,
+                    cfg.bayes.score_threshold, approx=cfg.bayes.approx_topk,
+                )
+                boxes_c, covs_c = mom.moments_from_stats(
+                    stats_b[idx], anchors[idx], cfg.bayes.box_scale_factors
+                )
+                cand = mom.AnchorPosteriors(
+                    boxes=boxes_c, covs=covs_c, probs=probs_b[idx]
+                )
+                return _postprocess_posteriors(cand, valid, cfg)
+
+            fused = jax.vmap(per_image_stats)(probs, stats)
+            return _as_detections(fused, cfg.data.image_hw)
+        elif mesh is None and _reg_route(cfg, images) == "candidates":
+            # Candidates-only reg finals: per-sample reg outputs exist ONLY
+            # at the preselected anchors (models.retinanet.
+            # mc_forward_candidates) — the dense [N, B, A, 8] tensors never
+            # reach HBM. (Measured SLOWER than dense end-to-end on v5e —
+            # the XLA window gather dominates; kept as an option, the
+            # "stats" route is the production reduced path.)
+            from bayesod_tpu.models.retinanet import mc_forward_candidates
+            from bayesod_tpu.ops.anchors import feature_shapes
+            from bayesod_tpu.ops.candidate_reg import LevelTables
+
+            tables = LevelTables(
+                feature_shapes(cfg.data.image_hw, cfg.anchors),
+                model.anchors_per_cell,
+            )
+            preselect = lambda p: _preselect(
+                p, cfg.bayes.pre_cluster_topk, cfg.bayes.score_threshold,
+                approx=cfg.bayes.approx_topk,
+            )
+            probs, idx, valid_sel, cand_reg = mc_forward_candidates(
+                model, variables, images, rng, n_mc, preselect, tables
+            )
+
+            def per_image_cand(probs_b, idx_b, valid_b, cand_b):
+                return _postprocess_candidates(
+                    probs_b[idx_b],
+                    cand_b[..., :4],
+                    cand_b[..., 4:],
+                    anchors[idx_b],
+                    valid_b,
+                    cfg,
+                )
+
+            fused = jax.vmap(per_image_cand, in_axes=(0, 0, 0, 1))(
+                probs, idx, valid_sel, cand_reg
+            )
+            return _as_detections(fused, cfg.data.image_hw)
         else:
             probs, deltas, log_vars = mc_forward_probs(
                 model, variables, images, rng, n_mc

@@ -274,17 +274,44 @@ def _mc_heads_fused(model, variables, feats, rng, num_samples,
     # Fused N-reduction: cls finals emit per-level MEAN-SOFTMAX maps
     # directly (dropout_final_probs — the sample axis never leaves VMEM);
     # reg finals still emit per-sample maps (the moments need them).
-    probs_lvls, reg_flat = [], []
-    for lvl, (ct, rt) in enumerate(zip(cls_t, reg_t)):
+    probs = _fused_mean_probs(
+        model, cls_t, cls_k, cls_b, seed0, num_samples, keep,
+        slab_vmem_bytes, xla_level,
+    )
+    reg_flat = []
+    for lvl, rt in enumerate(reg_t):
+        if slab_vmem_bytes(rt) <= vmem_budget:
+            reg_map = dropout_final_conv(
+                rt, reg_k, reg_b, seed0 + 2 * lvl + 1, num_samples, keep,
+                dtype=model.cfg.head_final_dtype,
+            )
+        else:
+            reg_map = xla_level(rt, reg_k, reg_b, seed0 + 2 * lvl + 1)
+        b, h, w = reg_map.shape[1:4]
+        reg_flat.append(reg_map.reshape(num_samples, b, h * w * k, 8))
+    reg = jnp.concatenate(reg_flat, axis=-2)
+    return probs, reg[..., :4], reg[..., 4:]
+
+
+def _fused_mean_probs(
+    model, cls_t, cls_k, cls_b, seed0, num_samples, keep,
+    slab_vmem_bytes, xla_level,
+):
+    """Per-level fused mean-softmax cls maps, flattened and concatenated
+    to [B, A, C+1] fp32 (shared by the dense-reg and candidates-reg
+    routes)."""
+    from bayesod_tpu.ops.pallas.fused_final import dropout_final_probs
+
+    vmem_budget = 12 * 1024 * 1024
+    k = model.anchors_per_cell
+    n_cls = model.cfg.num_classes + 1
+    probs_lvls = []
+    for lvl, ct in enumerate(cls_t):
         if slab_vmem_bytes(ct) <= vmem_budget:
             p_map = dropout_final_probs(
                 ct, cls_k, cls_b, seed0 + 2 * lvl, num_samples, keep,
                 n_cls, dtype=model.cfg.head_final_dtype,
             )  # [B, h, w, k*(C+1)] fp32
-            reg_map = dropout_final_conv(
-                rt, reg_k, reg_b, seed0 + 2 * lvl + 1, num_samples, keep,
-                dtype=model.cfg.head_final_dtype,
-            )
         else:
             logits_l = xla_level(ct, cls_k, cls_b, seed0 + 2 * lvl)
             p_map = jnp.mean(
@@ -296,13 +323,186 @@ def _mc_heads_fused(model, variables, feats, rng, num_samples,
                 ),
                 axis=0,
             ).reshape(*logits_l.shape[1:4], k * n_cls)
-            reg_map = xla_level(rt, reg_k, reg_b, seed0 + 2 * lvl + 1)
         b, h, w = p_map.shape[:3]
         probs_lvls.append(p_map.reshape(b, h * w * k, n_cls))
-        reg_flat.append(reg_map.reshape(num_samples, b, h * w * k, 8))
-    probs = jnp.concatenate(probs_lvls, axis=-2)
-    reg = jnp.concatenate(reg_flat, axis=-2)
-    return probs, reg[..., :4], reg[..., 4:]
+    return jnp.concatenate(probs_lvls, axis=-2)
+
+
+def mc_forward_stats(
+    model: RetinaNet,
+    variables,
+    images: jnp.ndarray,
+    rng: jax.Array,
+    num_samples: int,
+    scale_factors=(1.0, 1.0, 1.0, 1.0),
+    log_var_clip: float = 10.0,
+):
+    """MC forward with in-kernel moment accumulation on BOTH heads:
+
+      probs [B, A, C+1] fp32 — fused mean softmax (dropout_final_probs),
+      stats [B, A, 18] fp32  — per-anchor regression sufficient statistics
+        (dropout_final_reg_stats; bayes.moments.moments_from_stats turns
+        them into exactly mc_box_moments' decoded mean/covariance).
+
+    NO per-sample tensor ever reaches HBM: the N axis lives entirely inside
+    the two kernels' VMEM-accumulated output blocks. This removes the
+    [N, B, cells, 128-lane] reg kernel outputs and the flat [N, B, A, 8]
+    concat — the waste a bench experiment bounded at 801.7 vs 598.5 img/s
+    (DESIGN.md §8)."""
+    from bayesod_tpu.ops.pallas.fused_final import dropout_final_reg_stats
+
+    feats = model.apply(variables, images, method=RetinaNet.features)
+    cls_t, reg_t = model.apply(
+        variables, feats, method=RetinaNet.head_trunk_outputs
+    )
+    params = variables["params"]["heads"]
+    cls_k = params["cls_out"]["kernel"]
+    cls_b = params["cls_out"]["bias"]
+    reg_k = params["reg_out"]["kernel"]
+    reg_b = params["reg_out"]["bias"]
+    keep = 1.0 - model.cfg.dropout_rate
+    k = model.anchors_per_cell
+
+    if jax.dtypes.issubdtype(rng.dtype, jax.dtypes.prng_key):
+        words = jax.random.key_data(rng).astype(jnp.int32)
+        seed0 = words.ravel()[0] ^ (words.ravel()[-1] << 1)
+    else:
+        seed0 = (rng[0] ^ (rng[1] << 1)).astype(jnp.int32)
+
+    def slab_vmem_bytes(t):
+        h, w, c = t.shape[1:]
+        rb = min(16, h)
+        return 2 * (rb + 2) * (w + 18) * c * 2 + 4 * 1024 * 1024
+
+    def xla_level(t, kernel, bias, seed):
+        keys = jax.random.split(jax.random.key(seed, impl="rbg"), num_samples)
+
+        def one(key):
+            mask = jax.random.bernoulli(key, keep, t.shape)
+            xt = jnp.where(mask, t / keep, 0.0).astype(t.dtype)
+            return jax.lax.conv_general_dilated(
+                xt, kernel.astype(t.dtype), (1, 1), "SAME",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            ) + bias.astype(t.dtype)
+
+        return jax.vmap(one)(keys)
+
+    probs = _fused_mean_probs(
+        model, cls_t, cls_k, cls_b, seed0, num_samples, keep,
+        slab_vmem_bytes, xla_level,
+    )
+    vmem_budget = 12 * 1024 * 1024
+    stats_lvls = []
+    for lvl, rt in enumerate(reg_t):
+        if slab_vmem_bytes(rt) <= vmem_budget:
+            s_map = dropout_final_reg_stats(
+                rt, reg_k, reg_b, seed0 + 2 * lvl + 1, num_samples, keep,
+                k, scale_factors=tuple(scale_factors),
+                log_var_clip=log_var_clip,
+                dtype=model.cfg.head_final_dtype,
+            )  # [B, h, w, k*18]
+        else:
+            reg_map = xla_level(rt, reg_k, reg_b, seed0 + 2 * lvl + 1)
+            s_map = _stats_from_samples(
+                reg_map.astype(jnp.float32), k, scale_factors, log_var_clip
+            )
+        b, h, w = s_map.shape[:3]
+        stats_lvls.append(s_map.reshape(b, h * w * k, 18))
+    return probs, jnp.concatenate(stats_lvls, axis=-2)
+
+
+def _stats_from_samples(reg_map, k, scale_factors, log_var_clip):
+    """[N, B, h, w, k*8] per-sample reg maps -> [B, h, w, k*18] statistics
+    (the fused kernel's REG_STATS layout; oversized-level fallback)."""
+    from bayesod_tpu.ops.boxes import BBOX_XFORM_CLIP
+
+    n, b, h, w, _ = reg_map.shape
+    r = reg_map.reshape(n, b, h, w, k, 8)
+    sx, sy, sw, sh = scale_factors
+    tx, ty = r[..., 0], r[..., 1]
+    ew = jnp.exp(jnp.minimum(r[..., 2] / sw, BBOX_XFORM_CLIP))
+    eh = jnp.exp(jnp.minimum(r[..., 3] / sh, BBOX_XFORM_CLIP))
+    v = jnp.exp(jnp.clip(r[..., 4:8], -log_var_clip, log_var_clip))
+    stats = jnp.stack(
+        [
+            tx, ty, ew, eh, tx * tx, ty * ty, ew * ew, eh * eh,
+            tx * ty, tx * ew, tx * eh, ty * ew, ty * eh, ew * eh,
+            v[..., 0], v[..., 1], v[..., 2] * ew * ew, v[..., 3] * eh * eh,
+        ],
+        axis=-1,
+    ).mean(0)  # [B, h, w, k, 18]
+    return stats.reshape(b, h, w, k * 18)
+
+
+def mc_forward_candidates(
+    model: RetinaNet,
+    variables,
+    images: jnp.ndarray,
+    rng: jax.Array,
+    num_samples: int,
+    preselect_fn,
+    tables,
+):
+    """Candidates-only MC forward (ops/candidate_reg.py):
+
+      probs [B, A, C+1] fp32  — fused mean softmax (dropout_final_probs),
+      idx   [B, K] int32      — preselect_fn(probs) per image,
+      valid [B, K] bool,
+      cand_reg [N, B, K, 8]   — per-sample reg outputs at the candidates.
+
+    The dense [N, B, cells, pad-128] reg kernel outputs and the flat
+    [N, B, A, 8] concat never exist: a bench experiment bounding this waste
+    measured 801.7 vs 598.5 img/s (DESIGN.md §8). The reg RNG stream is
+    distinct from the dense kernels' — distributionally identical
+    Bernoulli, exactly equal at dropout 0.
+    """
+    from bayesod_tpu.ops.candidate_reg import candidate_reg_outputs
+
+    feats = model.apply(variables, images, method=RetinaNet.features)
+    cls_t, reg_t = model.apply(
+        variables, feats, method=RetinaNet.head_trunk_outputs
+    )
+    params = variables["params"]["heads"]
+    cls_k = params["cls_out"]["kernel"]
+    cls_b = params["cls_out"]["bias"]
+    reg_k = params["reg_out"]["kernel"]
+    reg_b = params["reg_out"]["bias"]
+    keep = 1.0 - model.cfg.dropout_rate
+
+    if jax.dtypes.issubdtype(rng.dtype, jax.dtypes.prng_key):
+        words = jax.random.key_data(rng).astype(jnp.int32)
+        seed0 = words.ravel()[0] ^ (words.ravel()[-1] << 1)
+    else:
+        seed0 = (rng[0] ^ (rng[1] << 1)).astype(jnp.int32)
+
+    def slab_vmem_bytes(t):
+        h, w, c = t.shape[1:]
+        rb = min(16, h)
+        return 2 * (rb + 2) * (w + 18) * c * 2 + 4 * 1024 * 1024
+
+    def xla_level(t, kernel, bias, seed):
+        keys = jax.random.split(jax.random.key(seed, impl="rbg"), num_samples)
+
+        def one(key):
+            mask = jax.random.bernoulli(key, keep, t.shape)
+            xt = jnp.where(mask, t / keep, 0.0).astype(t.dtype)
+            return jax.lax.conv_general_dilated(
+                xt, kernel.astype(t.dtype), (1, 1), "SAME",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            ) + bias.astype(t.dtype)
+
+        return jax.vmap(one)(keys)
+
+    probs = _fused_mean_probs(
+        model, cls_t, cls_k, cls_b, seed0, num_samples, keep,
+        slab_vmem_bytes, xla_level,
+    )
+    idx, valid = jax.vmap(preselect_fn)(probs)
+    cand_reg = candidate_reg_outputs(
+        list(reg_t), reg_k, reg_b, idx, seed0 + jnp.int32(7919),
+        num_samples, keep, tables,
+    )
+    return probs, idx, valid, cand_reg
 
 
 def single_forward(

@@ -1,0 +1,174 @@
+"""Candidates-only MC regression finals.
+
+The dense fused path computes per-sample regression outputs for EVERY anchor
+cell ([N, B, cells, 72->128 lanes] in HBM, then a flat [N, B, A, 8] concat)
+— yet BayesOD's moment stage only ever reads the `pre_cluster_topk` (~512)
+preselected candidates per image, 0.6% of the anchors. On an HBM-bound graph
+(DESIGN.md §8) those dense tensors are pure waste: a bench experiment that
+faked the reg finals at one sample ran 801.7 vs 598.5 img/s — a 34% ceiling.
+
+This module computes the per-sample reg outputs ONLY at the preselected
+candidates:
+
+  1. candidate global anchor index -> (level, cell y/x, anchor-in-cell a)
+     by static level boundaries (pure int32 arithmetic, no branches);
+  2. ONE gather of the 3x3 trunk windows [B, K, 9, C] from the levels
+     flattened row-major into a single [B, R, C] view (out-of-map window
+     taps are clamped + zeroed — SAME-conv border semantics);
+  3. per-sample dropout masks from the same stateless splitmix32 hash the
+     Pallas kernels use, addressed by ABSOLUTE (row, channel) index — so
+     overlapping candidate windows mask consistently within a sample;
+  4. 9 masked [K, C] @ [C, 72] contractions per sample, then the
+     candidate's own anchor slice (8 of 72) via take_along_axis.
+
+Cost: ~0.3 GB of gathers + ~0.2 TFLOP per batch-128 step — versus the
+~3.4 GB of dense kernel writes plus the [N, B, A, 8] concat it replaces.
+
+RNG: a distinct stream from the dense kernels (masks are statistically
+equivalent Bernoulli draws, not bit-identical to the dense path — at
+keep_prob=1.0 the two paths agree exactly, which is what the parity tests
+pin).
+"""
+
+from __future__ import annotations
+
+from typing import List, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+class LevelTables:
+    """Static per-level index tables for a fixed image shape."""
+
+    def __init__(self, level_hw: Sequence[Tuple[int, int]], anchors_per_cell: int):
+        self.level_hw = tuple((int(h), int(w)) for h, w in level_hw)
+        self.k = int(anchors_per_cell)
+        cells = [h * w for h, w in self.level_hw]
+        # Anchor-index boundaries (level-major layout, matching
+        # ops/anchors.generate_anchors and heads.flatten_levels).
+        self.anchor_bounds = np.cumsum([c * self.k for c in cells])
+        # Row offsets of each level's cells in the flattened [R, C] view.
+        self.row_offsets = np.concatenate([[0], np.cumsum(cells)[:-1]])
+        self.total_rows = int(np.sum(cells))
+
+    def decompose(self, idx: jnp.ndarray):
+        """Global anchor idx [..] -> (level, cy, cx, a, row_global)."""
+        bounds = jnp.asarray(self.anchor_bounds[:-1], jnp.int32)
+        level = jnp.sum(idx[..., None] >= bounds[None, :], axis=-1)
+        starts = jnp.asarray(
+            np.concatenate([[0], self.anchor_bounds[:-1]]), jnp.int32
+        )
+        local = idx - starts[level]
+        cell = local // self.k
+        a = local - cell * self.k
+        ws = jnp.asarray([w for _, w in self.level_hw], jnp.int32)
+        hs = jnp.asarray([h for h, _ in self.level_hw], jnp.int32)
+        w_l = ws[level]
+        cy = cell // w_l
+        cx = cell - cy * w_l
+        row = jnp.asarray(self.row_offsets, jnp.int32)[level] + cell
+        return level, cy, cx, a, hs[level], w_l
+
+
+def _splitmix(z: jnp.ndarray) -> jnp.ndarray:
+    z = z ^ (z >> jnp.uint32(16))
+    z = z * jnp.uint32(0x85EBCA6B)
+    z = z ^ (z >> jnp.uint32(13))
+    z = z * jnp.uint32(0xC2B2AE35)
+    z = z ^ (z >> jnp.uint32(16))
+    return z
+
+
+def candidate_reg_outputs(
+    reg_t_levels: List[jnp.ndarray],  # per level [B, h, w, C] trunk acts
+    kernel: jnp.ndarray,  # [3, 3, C, k*8] final reg conv (HWIO)
+    bias: jnp.ndarray,  # [k*8]
+    idx: jnp.ndarray,  # [B, K] global anchor indices (preselected)
+    seed: jnp.ndarray,  # scalar int32
+    num_samples: int,
+    keep_prob: float,
+    tables: LevelTables,
+) -> jnp.ndarray:
+    """[N, B, K, 8] per-sample (deltas, log_vars) at the candidates."""
+    b = reg_t_levels[0].shape[0]
+    c = reg_t_levels[0].shape[-1]
+    kk = idx.shape[1]
+    n_a = tables.k
+
+    # One flat [B*R, C] row table: the gather below is then a plain
+    # embedding-style row lookup over the major axis, which XLA lowers
+    # efficiently on TPU (the batched take_along_axis form lowers to a
+    # serial dynamic-slice loop).
+    flat = jnp.concatenate(
+        [t.reshape(b, -1, c) for t in reg_t_levels], axis=1
+    ).reshape(-1, c)  # [B*R, C]
+
+    level, cy, cx, a_idx, h_l, w_l = tables.decompose(idx)
+    row_off = jnp.asarray(tables.row_offsets, jnp.int32)[level]  # [B, K]
+
+    # 3x3 window rows in the flat view; taps outside the level map are
+    # clamped for the gather and zeroed afterwards (SAME-conv borders).
+    dy = jnp.arange(-1, 2, dtype=jnp.int32)
+    dx = jnp.arange(-1, 2, dtype=jnp.int32)
+    wy = cy[..., None, None] + dy[None, None, :, None]  # [B, K, 3, 3]
+    wx = cx[..., None, None] + dx[None, None, None, :]
+    in_map = (
+        (wy >= 0) & (wy < h_l[..., None, None])
+        & (wx >= 0) & (wx < w_l[..., None, None])
+    )
+    rows = (
+        row_off[..., None, None]
+        + jnp.clip(wy, 0, h_l[..., None, None] - 1) * w_l[..., None, None]
+        + jnp.clip(wx, 0, w_l[..., None, None] - 1)
+    ).reshape(b, kk * 9)
+
+    rows_flat = (
+        rows + jnp.arange(b, dtype=jnp.int32)[:, None] * tables.total_rows
+    )
+    win = jnp.take(flat, rows_flat.reshape(-1), axis=0).reshape(
+        b, kk * 9, c
+    )
+    win = jnp.where(in_map.reshape(b, kk * 9, 1), win, 0)
+
+    # Stateless per-sample dropout mask on absolute (row, channel) indices:
+    # overlapping windows of different candidates mask identically.
+    elem = (
+        rows[..., None].astype(jnp.uint32) * jnp.uint32(c)
+        + jnp.arange(c, dtype=jnp.uint32)[None, None, :]
+    )  # [B, K*9, C]
+    b_ids = jnp.arange(b, dtype=jnp.int32)
+    threshold = jnp.uint32(min(int(keep_prob * 2147483648.0), 2147483647))
+    w9 = kernel.reshape(9, c, -1)  # [9, C, k*8]
+    compute_dtype = reg_t_levels[0].dtype
+
+    def one_sample(n):
+        stream = (
+            jnp.asarray(seed, jnp.int32) * jnp.int32(1000003)
+            + jnp.int32(-1640531527)
+            * (b_ids * jnp.int32(num_samples) + jnp.int32(n))
+        ).astype(jnp.uint32)[:, None, None]
+        keep = (_splitmix(elem + stream) >> jnp.uint32(1)) < threshold
+        if keep_prob < 1.0:
+            xw = jnp.where(keep, win * (1.0 / keep_prob), 0).astype(
+                compute_dtype
+            )
+        else:
+            xw = win
+        out = jnp.einsum(
+            "bkpc,pcd->bkd",
+            xw.reshape(b, kk, 9, c),
+            w9.astype(compute_dtype),
+            preferred_element_type=jnp.float32,
+        )
+        return out + bias.astype(jnp.float32)[None, None, :]
+
+    all_out = jax.lax.map(one_sample, jnp.arange(num_samples))  # [N,B,K,k*8]
+
+    # Each candidate keeps only its own anchor's 8 outputs.
+    del n_a
+    sel = a_idx[..., None] * 8 + jnp.arange(8, dtype=jnp.int32)  # [B, K, 8]
+    return jnp.take_along_axis(
+        all_out, jnp.broadcast_to(sel[None], (num_samples, b, kk, 8)), axis=-1
+    )

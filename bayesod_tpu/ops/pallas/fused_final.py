@@ -304,6 +304,143 @@ def _kernel_probs(
         out_ref[0] = out_ref[0] + contrib
 
 
+# Per-anchor regression sufficient statistics (see dropout_final_reg_stats):
+# order matters — bayes/moments.moments_from_stats indexes by position.
+REG_STATS = 18
+# 0:tx 1:ty 2:ew 3:eh | 4:tx2 5:ty2 6:ew2 7:eh2 | 8:txty 9:txew 10:txeh
+# 11:tyew 12:tyeh 13:eweh | 14:v1 15:v2 16:v3ew2 17:v4eh2
+# where ew=exp(tw/sw), eh=exp(th/sh), vj=exp(clip(lv_j)).
+
+
+def _reg_stat_matrices(k: int, cp_in: int, cp_out: int, one_lane: int):
+    """Constant [Cp_in, Cp_out] selectors for the stats epilogue:
+    contrib = (X @ P1) * (X @ P2) * exp(Xc @ E). Input lanes a*8+j
+    (j<4 deltas, j>=4 log-vars); output lanes a*REG_STATS+s. The kernel
+    pre-divides the tw/th lanes by their scale factors, so every matrix
+    entry is in {0, 1, 2} — EXACT in bf16, letting the three epilogue
+    matmuls run on the MXU's fast bf16 path (fp32 selector matmuls
+    measured away the whole win)."""
+    p1 = np.zeros((cp_in, cp_out), np.float32)
+    p2 = np.zeros((cp_in, cp_out), np.float32)
+    e = np.zeros((cp_in, cp_out), np.float32)
+    for a in range(k):
+        tx, ty, tw, th = (a * 8 + j for j in range(4))
+        lv = [a * 8 + 4 + j for j in range(4)]
+        o = a * REG_STATS
+
+        def put(s, f1=None, f2=None, exps=()):
+            p1[f1 if f1 is not None else one_lane, o + s] = 1.0
+            p2[f2 if f2 is not None else one_lane, o + s] = 1.0
+            for lane, coef in exps:
+                e[lane, o + s] = coef
+
+        put(0, f1=tx)
+        put(1, f1=ty)
+        put(2, exps=[(tw, 1.0)])
+        put(3, exps=[(th, 1.0)])
+        put(4, f1=tx, f2=tx)
+        put(5, f1=ty, f2=ty)
+        put(6, exps=[(tw, 2.0)])
+        put(7, exps=[(th, 2.0)])
+        put(8, f1=tx, f2=ty)
+        put(9, f1=tx, exps=[(tw, 1.0)])
+        put(10, f1=tx, exps=[(th, 1.0)])
+        put(11, f1=ty, exps=[(tw, 1.0)])
+        put(12, f1=ty, exps=[(th, 1.0)])
+        put(13, exps=[(tw, 1.0), (th, 1.0)])
+        put(14, exps=[(lv[0], 1.0)])
+        put(15, exps=[(lv[1], 1.0)])
+        put(16, exps=[(lv[2], 1.0), (tw, 2.0)])
+        put(17, exps=[(lv[3], 1.0), (th, 2.0)])
+    return p1, p2, e
+
+
+def _kernel_reg_stats(
+    seed_ref,
+    x_ref,
+    w_ref,
+    b_ref,
+    wscale_ref,
+    p1_ref,  # [Cp_in, Cp_out] fp32 VMEM
+    p2_ref,
+    e_ref,
+    out_ref,  # [1, RB, W, Cp_out] fp32 VMEM — REVISITED across the n axis
+    *scratch,
+    rb: int,
+    dma: bool,
+    **kw,
+):
+    """Fused MC regression head: dropout + final conv + per-anchor moment
+    accumulation. Like _kernel_probs, the grid is (image, row block,
+    sample) with the output block revisited across n — the per-sample
+    [N, B, cells, 8k] regression maps NEVER reach HBM; only the REG_STATS
+    sufficient statistics do, once, in fp32. The decoded-corner moments
+    (bayes/moments.moments_from_stats) are EXACTLY mc_box_moments on the
+    same samples: corners are affine in (tx, ty, exp(tw/sw), exp(th/sh))
+    per anchor, so sample moments commute with the decode."""
+    cout = kw.pop("cout")
+    lv_clip = kw.pop("lv_clip")
+    tw_clip = kw.pop("tw_clip")
+    th_clip = kw.pop("th_clip")
+    inv_sw = kw.pop("inv_sw")
+    inv_sh = kw.pop("inv_sh")
+    b_idx = pl.program_id(0)
+    n_idx = pl.program_id(2)
+    nn = pl.num_programs(2)
+    row0 = pl.program_id(1) * rb
+    if dma:
+        slab_ref, sem = scratch
+        slab = _acquire_slab_dma(x_ref, slab_ref, sem, rb)
+    else:
+        slab = x_ref[0, pl.ds(row0, rb + 2)]
+    accf = _compute_block(
+        slab, seed_ref, w_ref, b_ref, wscale_ref,
+        b_idx=b_idx, n_idx=n_idx, n_total=nn, row0=row0, rb=rb, **kw,
+    )  # [RB*W, Cp_in] fp32 head outputs (padded lanes: bias garbage)
+    cp = kw["cp"]
+    w = kw["w"]
+    lane = jax.lax.broadcasted_iota(jnp.int32, accf.shape, 1)
+    valid = lane < jnp.int32(cout)
+    # Lane `cout` is forced to exactly 1 — the constant factor for stats
+    # with fewer than two polynomial terms (see _reg_stat_matrices).
+    x = jnp.where(valid, accf, 0.0)
+    x = jnp.where(lane == jnp.int32(cout), 1.0, x)
+    j8 = jax.lax.rem(lane, 8)
+    # Per-lane pre-transforms matching ops/boxes decode EXACTLY:
+    # log-variances clip to +-log_var_clip; tw/th upper-clamp at
+    # scale*BBOX_XFORM_CLIP then divide by the scale (min(tw, s*C)/s =
+    # min(tw/s, C); the clamps distribute over the exponent's linear
+    # combination because each term is transformed before the matmul).
+    xc = jnp.where(valid & (j8 >= 4), jnp.clip(x, -lv_clip, lv_clip), x)
+    xc = jnp.where(
+        valid & (j8 == 2), jnp.minimum(xc, tw_clip) * inv_sw, xc
+    )
+    xc = jnp.where(
+        valid & (j8 == 3), jnp.minimum(xc, th_clip) * inv_sh, xc
+    )
+    # bf16 selector matmuls: P/E entries are {0,1,2} (bf16-exact) and the
+    # bf16 rounding of x matches the dense kernel's bf16 outputs.
+    xb = x.astype(jnp.bfloat16)
+    xcb = xc.astype(jnp.bfloat16)
+    f1 = jnp.dot(xb, p1_ref[...], preferred_element_type=jnp.float32)
+    f2 = jnp.dot(xb, p2_ref[...], preferred_element_type=jnp.float32)
+    ec = jnp.dot(xcb, e_ref[...], preferred_element_type=jnp.float32)
+    # exp guard: legitimate exponents are <= lv_clip + O(|deltas|); 40 only
+    # truncates absurd boxes (decoded w ~ anchor * e^20+) the image clip
+    # discards anyway.
+    contrib = f1 * f2 * jnp.exp(jnp.clip(ec, -40.0, 40.0))
+    cp_out = out_ref.shape[-1]
+    contrib = (contrib * (1.0 / nn)).reshape(rb, w, cp_out)
+
+    @pl.when(n_idx == 0)
+    def _():
+        out_ref[0] = contrib
+
+    @pl.when(n_idx > 0)
+    def _():
+        out_ref[0] = out_ref[0] + contrib
+
+
 def vmem_resident_bytes(h: int, w: int, cin: int) -> int:
     """VMEM footprint of the resident-input mode for an [h, w, cin] level:
     double-buffered whole-image bf16 block + slab/mask/acc staging."""
@@ -587,3 +724,122 @@ def dropout_final_probs(
         interpret=interpret,
     )(seed_arr, x_pad, w9, b_pad, wscale_pad, g)
     return out[:, :h, :, :cout]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "num_samples", "keep_prob", "anchors_per_cell", "scale_factors",
+        "log_var_clip", "interpret", "dtype", "input_mode", "row_block",
+    ),
+)
+def dropout_final_reg_stats(
+    x: jnp.ndarray,  # [B, H, W, Cin] shared reg-trunk activations
+    kernel: jnp.ndarray,  # [3, 3, Cin, K*8] final reg conv (HWIO)
+    bias: jnp.ndarray,  # [K*8]
+    seed: jnp.ndarray,  # scalar int32
+    num_samples: int,
+    keep_prob: float,
+    anchors_per_cell: int,
+    scale_factors=(1.0, 1.0, 1.0, 1.0),
+    log_var_clip: float = 10.0,
+    interpret: Optional[bool] = None,
+    dtype: str = "bf16",
+    input_mode: str = "auto",
+    row_block: Optional[int] = None,
+) -> jnp.ndarray:
+    """[B,H,W,Cin] -> [B,H,W,K*REG_STATS] fp32 per-anchor regression
+    sufficient statistics averaged over N dropout samples (_kernel_reg_stats;
+    consumed by bayes.moments.moments_from_stats).
+
+    Same dropout-mask stream as dropout_final_conv with the same seed, so
+    mc_box_moments over dropout_final_conv's samples is the exact oracle.
+    """
+    if input_mode == "auto":
+        bh, bw, bc = x.shape[1], x.shape[2], x.shape[3]
+        # Tighter than the conv kernel: the epilogue holds several fp32
+        # [RB*W, 256] temporaries (cf. dropout_final_probs).
+        input_mode = (
+            "resident"
+            if vmem_resident_bytes(bh, bw, bc) <= 6 * 1024 * 1024
+            else "dma"
+        )
+    if row_block is None and x.shape[1] >= 8:
+        row_block = 8  # halve the fp32 epilogue temporaries
+    (input_mode, interpret, b, h, w, cin, cout, cp, rb, hp, wpad,
+     x_pad, w9, b_pad, wscale_pad, seed_arr, kernel_kw) = _prep(
+        x, kernel, bias, seed, keep_prob, dtype, input_mode, row_block,
+        interpret,
+    )
+    k = anchors_per_cell
+    if cout != k * 8:
+        raise ValueError(f"reg cout {cout} != anchors_per_cell*8 = {k * 8}")
+    if cout >= cp:
+        raise ValueError("stats kernel needs a free lane for the constant 1")
+    s_out = k * REG_STATS
+    cp_out = _round_up(s_out, 128)
+    p1, p2, e = _reg_stat_matrices(k, cp, cp_out, cout)
+    kernel_kw["cout"] = cout
+    kernel_kw["lv_clip"] = float(log_var_clip)
+    from bayesod_tpu.ops.boxes import BBOX_XFORM_CLIP
+
+    sx, sy, sw, sh = (float(s) for s in scale_factors)
+    kernel_kw["tw_clip"] = sw * float(BBOX_XFORM_CLIP)
+    kernel_kw["th_clip"] = sh * float(BBOX_XFORM_CLIP)
+    kernel_kw["inv_sw"] = 1.0 / sw
+    kernel_kw["inv_sh"] = 1.0 / sh
+
+    weight_specs = _weight_specs(cin, cp)
+    mat_spec = lambda: pl.BlockSpec(
+        (cp, cp_out), lambda bi, ri, ni, sref: (0, 0),
+        memory_space=pltpu.VMEM,
+    )
+    out_spec = pl.BlockSpec(
+        (1, rb, w, cp_out),
+        lambda bi, ri, ni, sref: (bi, ri, 0, 0),  # revisited across n
+        memory_space=pltpu.VMEM,
+    )
+    common = dict(
+        num_scalar_prefetch=1,
+        grid=(b, hp // rb, num_samples),
+        out_specs=out_spec,
+    )
+    if input_mode == "resident":
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            in_specs=[
+                pl.BlockSpec(
+                    (1, hp + 2, w + 2, cin),
+                    lambda bi, ri, ni, sref: (bi, 0, 0, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+                *weight_specs,
+                mat_spec(), mat_spec(), mat_spec(),
+            ],
+            **common,
+        )
+    else:
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.ANY),
+                *weight_specs,
+                mat_spec(), mat_spec(), mat_spec(),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((2, rb + 2, wpad, cin), jnp.bfloat16),
+                pltpu.SemaphoreType.DMA((2,)),
+            ],
+            **common,
+        )
+    out = pl.pallas_call(
+        functools.partial(
+            _kernel_reg_stats, dma=(input_mode == "dma"), **kernel_kw
+        ),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((b, hp, w, cp_out), jnp.float32),
+        interpret=interpret,
+    )(
+        seed_arr, x_pad, w9, b_pad, wscale_pad,
+        jnp.asarray(p1, jnp.bfloat16), jnp.asarray(p2, jnp.bfloat16),
+        jnp.asarray(e, jnp.bfloat16),
+    )
+    return out[:, :h, :, :s_out]

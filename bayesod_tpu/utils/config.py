@@ -52,6 +52,20 @@ class ModelConfig:
     # throughput; dynamic activation + per-channel weight scales, <1%
     # relative logit error — negligible next to MC-dropout noise).
     head_final_dtype: str = "bf16"
+    # Regression-final execution:
+    #   "dense"      — per-sample reg maps for every anchor cell;
+    #   "stats"      — per-anchor moment statistics accumulated INSIDE the
+    #     fused kernel across samples (dropout_final_reg_stats +
+    #     moments_from_stats; exactly mc_box_moments' math, no per-sample
+    #     tensor in HBM);
+    #   "candidates" — per-sample outputs only at the preselected top-k
+    #     anchors (ops/candidate_reg.py; measured slower than dense on v5e
+    #     — XLA window gathers dominate — kept as an option);
+    #   "auto" (default) — dense: the fused finals are MXU-compute-bound
+    #     (9 taps x N samples at 128 padded lanes), so the reduced-HBM
+    #     routes measured at or below dense on v5e (593/474 vs 598 img/s);
+    #     both ship for memory-constrained or future-hardware use.
+    reg_finals: str = "auto"
     # MC class-probability reduction on the pallas backend: "flat" =
     # materialize per-sample logits, reduce in XLA; "fused" = mean softmax
     # accumulated inside the final-conv kernel (the [N,B,A,C+1] tensor never

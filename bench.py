@@ -82,6 +82,11 @@ def main() -> None:
         "--probs_reduce", default="auto", choices=["auto", "flat", "fused"],
         help="MC class-prob reduction: XLA flat or in-kernel softmax-mean",
     )
+    p.add_argument(
+        "--reg_finals", default="auto",
+        choices=["auto", "dense", "stats", "candidates"],
+        help="regression-final execution strategy",
+    )
     args = p.parse_args()
 
     if args.cpu:
@@ -105,6 +110,7 @@ def main() -> None:
             backbone_dtype=args.backbone_dtype,
             backbone_act_scale=args.backbone_act_scale,
             probs_reduce=args.probs_reduce,
+            reg_finals=args.reg_finals,
         )
         image_hw = (128, 256)
     else:
@@ -115,6 +121,7 @@ def main() -> None:
             backbone_dtype=args.backbone_dtype,
             backbone_act_scale=args.backbone_act_scale,
             probs_reduce=args.probs_reduce,
+            reg_finals=args.reg_finals,
         )
         image_hw = (384, 1280)
     if args.hw:

@@ -1,0 +1,158 @@
+"""Candidates-only regression finals (ops/candidate_reg.py).
+
+Oracles per SURVEY.md §4: exact parity against a dense SAME-conv at
+dropout 0, MC-mean convergence at dropout > 0, hash-mask determinism, and
+end-to-end detect() parity between the dense and candidates routes.
+"""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from bayesod_tpu.ops.candidate_reg import LevelTables, candidate_reg_outputs
+
+LEVEL_HW = [(8, 12), (4, 6), (2, 3)]
+C, KA = 32, 9
+A_TOTAL = sum(h * w * KA for h, w in LEVEL_HW)
+
+
+@pytest.fixture(scope="module")
+def fixture():
+    rng = np.random.RandomState(0)
+    levels = [
+        jnp.asarray(rng.randn(2, h, w, C), jnp.float32) for h, w in LEVEL_HW
+    ]
+    kernel = jnp.asarray(rng.randn(3, 3, C, KA * 8) * 0.1, jnp.float32)
+    bias = jnp.asarray(rng.randn(KA * 8), jnp.float32)
+    idx = jnp.asarray(rng.choice(A_TOTAL, size=(2, 50), replace=False), jnp.int32)
+    tables = LevelTables(LEVEL_HW, KA)
+
+    def dense():
+        outs = []
+        for t in levels:
+            o = jax.lax.conv_general_dilated(
+                t, kernel, (1, 1), "SAME",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            ) + bias
+            b, h, w, _ = o.shape
+            outs.append(o.reshape(b, h * w * KA, 8))
+        return np.asarray(jnp.concatenate(outs, axis=1))
+
+    ref = dense()
+    gathered = np.stack([ref[b][np.asarray(idx)[b]] for b in range(2)])
+    return levels, kernel, bias, idx, tables, gathered
+
+
+def test_keep1_matches_dense_conv(fixture):
+    levels, kernel, bias, idx, tables, gathered = fixture
+    out = np.asarray(
+        candidate_reg_outputs(levels, kernel, bias, idx, jnp.int32(3), 2, 1.0, tables)
+    )
+    np.testing.assert_allclose(out[0], gathered, atol=1e-4)
+    np.testing.assert_allclose(out[1], gathered, atol=1e-4)  # no dropout
+
+
+def test_mc_mean_converges_to_dense(fixture):
+    levels, kernel, bias, idx, tables, gathered = fixture
+    out = np.asarray(
+        candidate_reg_outputs(
+            levels, kernel, bias, idx, jnp.int32(3), 256, 0.7, tables
+        )
+    )
+    scale = np.abs(gathered).max()
+    assert np.abs(out.mean(0) - gathered).max() / scale < 0.06
+    assert not np.allclose(out[0], out[1])  # samples differ
+
+
+def test_deterministic_and_seed_sensitive(fixture):
+    levels, kernel, bias, idx, tables, _ = fixture
+    a = candidate_reg_outputs(levels, kernel, bias, idx, jnp.int32(3), 2, 0.7, tables)
+    b = candidate_reg_outputs(levels, kernel, bias, idx, jnp.int32(3), 2, 0.7, tables)
+    c = candidate_reg_outputs(levels, kernel, bias, idx, jnp.int32(4), 2, 0.7, tables)
+    assert np.array_equal(np.asarray(a), np.asarray(b))
+    assert not np.allclose(np.asarray(a), np.asarray(c))
+
+
+def test_detect_candidates_route_matches_dense_at_rate0():
+    from bayesod_tpu.infer import jit_detect_fn
+    from bayesod_tpu.models.retinanet import RetinaNet, init_variables
+    from bayesod_tpu.utils.config import (
+        BayesConfig,
+        DataConfig,
+        ExperimentConfig,
+        ModelConfig,
+    )
+
+    def mk(reg):
+        return ExperimentConfig(
+            model=ModelConfig(
+                num_classes=3, backbone="resnet18", fpn_channels=32,
+                head_depth=1, head_channels=128, norm="groupnorm",
+                compute_dtype="float32", dropout_rate=0.0,
+                head_final_backend="pallas", dropout_layers="last",
+                probs_reduce="fused", reg_finals=reg,
+            ),
+            bayes=BayesConfig(
+                num_mc_samples=3, score_threshold=0.0,
+                pre_cluster_topk=32, max_detections=8,
+            ),
+            data=DataConfig(image_hw=(128, 128)),
+        )
+
+    cfg_d = mk("dense")
+    model_d = RetinaNet(cfg=cfg_d.model, train=False)
+    v = init_variables(model_d, jax.random.PRNGKey(0), (128, 128))
+    img = jax.random.uniform(jax.random.PRNGKey(2), (2, 128, 128, 3))
+    rng = jax.random.PRNGKey(1)
+    out_d = jit_detect_fn(cfg_d, model_d)(v, img, rng)
+    cfg_c = mk("candidates")
+    out_c = jit_detect_fn(cfg_c, RetinaNet(cfg=cfg_c.model, train=False))(
+        v, img, rng
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_d.boxes), np.asarray(out_c.boxes), atol=5e-2
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_d.probs), np.asarray(out_c.probs), atol=1e-4
+    )
+    np.testing.assert_array_equal(
+        np.asarray(out_d.valid), np.asarray(out_c.valid)
+    )
+
+
+def test_detect_candidates_route_stochastic_finite():
+    from bayesod_tpu.infer import jit_detect_fn
+    from bayesod_tpu.models.retinanet import RetinaNet, init_variables
+    from bayesod_tpu.utils.config import (
+        BayesConfig,
+        DataConfig,
+        ExperimentConfig,
+        ModelConfig,
+    )
+
+    cfg = ExperimentConfig(
+        model=ModelConfig(
+            num_classes=3, backbone="resnet18", fpn_channels=32,
+            head_depth=1, head_channels=128, norm="groupnorm",
+            compute_dtype="float32", dropout_rate=0.3,
+            head_final_backend="pallas", dropout_layers="last",
+            reg_finals="candidates",
+        ),
+        bayes=BayesConfig(
+            num_mc_samples=4, score_threshold=0.0,
+            pre_cluster_topk=32, max_detections=8,
+        ),
+        data=DataConfig(image_hw=(128, 128)),
+    )
+    model = RetinaNet(cfg=cfg.model, train=False)
+    v = init_variables(model, jax.random.PRNGKey(0), (128, 128))
+    out = jit_detect_fn(cfg, model)(
+        v, jnp.ones((1, 128, 128, 3)), jax.random.PRNGKey(1)
+    )
+    assert bool(jnp.all(jnp.isfinite(out.boxes)))
+    assert bool(jnp.all(jnp.isfinite(out.covs)))
+    # epistemic variance exists: covs not all ~0 where valid
+    assert float(jnp.max(jnp.abs(out.covs))) > 0
