@@ -179,15 +179,18 @@ def _postprocess_posteriors(
 
 
 def _reg_route(cfg, images) -> str:
-    """Resolve ModelConfig.reg_finals at trace time. "auto" resolves dense:
-    the fused finals are MXU-compute-bound, so the reduced-HBM "stats" /
-    "candidates" routes measured at or below dense on v5e (ModelConfig
-    docstring); they remain explicitly selectable. Sample-axis mesh
-    sharding (build_detect_fn mesh arg) always uses the dense route — the
-    reduced paths have no shardable sample tensor."""
+    """Resolve ModelConfig.reg_finals at trace time (ModelConfig docstring
+    for the measured trade-offs). Sample-axis mesh sharding
+    (build_detect_fn mesh arg) always uses the dense route — the reduced
+    paths have no shardable sample tensor."""
     mode = cfg.model.reg_finals
+    pallas_ok = (
+        cfg.model.head_final_backend in ("auto", "pallas")
+        and jax.default_backend() == "tpu"
+        and cfg.model.dropout_layers == "last"
+    ) or cfg.model.head_final_backend == "pallas"
     if mode == "auto":
-        return "dense"
+        return "candidates" if (pallas_ok and images.shape[0] >= 8) else "dense"
     if mode in ("dense", "candidates", "stats"):
         return mode
     raise ValueError(f"unknown reg_finals '{mode}'")

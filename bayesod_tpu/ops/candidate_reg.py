@@ -97,13 +97,9 @@ def candidate_reg_outputs(
     kk = idx.shape[1]
     n_a = tables.k
 
-    # One flat [B*R, C] row table: the gather below is then a plain
-    # embedding-style row lookup over the major axis, which XLA lowers
-    # efficiently on TPU (the batched take_along_axis form lowers to a
-    # serial dynamic-slice loop).
     flat = jnp.concatenate(
         [t.reshape(b, -1, c) for t in reg_t_levels], axis=1
-    ).reshape(-1, c)  # [B*R, C]
+    )  # [B, R, C]
 
     level, cy, cx, a_idx, h_l, w_l = tables.decompose(idx)
     row_off = jnp.asarray(tables.row_offsets, jnp.int32)[level]  # [B, K]
@@ -124,51 +120,61 @@ def candidate_reg_outputs(
         + jnp.clip(wx, 0, w_l[..., None, None] - 1)
     ).reshape(b, kk * 9)
 
-    rows_flat = (
-        rows + jnp.arange(b, dtype=jnp.int32)[:, None] * tables.total_rows
-    )
-    win = jnp.take(flat, rows_flat.reshape(-1), axis=0).reshape(
-        b, kk * 9, c
-    )
+    # TPU gathers lower to a serial dynamic-slice loop (~124 ms/batch at
+    # production shapes); the one-hot-matmul Pallas kernel does the same
+    # lookup as MXU work (ops/pallas/gather.py).
+    from bayesod_tpu.ops.pallas.gather import gather_rows
+
+    win = gather_rows(flat, rows)  # [B, K*9, C] bf16
     win = jnp.where(in_map.reshape(b, kk * 9, 1), win, 0)
 
     # Stateless per-sample dropout mask on absolute (row, channel) indices:
     # overlapping windows of different candidates mask identically.
+    # Layout: [B, K*9, C] -> [B*K, 9*C] is a contiguous (free) reshape, so
+    # each sample is ONE [B*K, 9C] @ [9C, k*8] MXU matmul — a batched
+    # "bkpc,pcd" einsum lowers to B separate small matmuls instead.
+    cout = kernel.shape[-1]
+    win2 = win.reshape(b * kk, 9 * c)
     elem = (
-        rows[..., None].astype(jnp.uint32) * jnp.uint32(c)
+        rows.reshape(b, kk * 9)[..., None].astype(jnp.uint32) * jnp.uint32(c)
         + jnp.arange(c, dtype=jnp.uint32)[None, None, :]
-    )  # [B, K*9, C]
+    ).reshape(b, kk, 9 * c)  # absolute (row, channel) ids
     b_ids = jnp.arange(b, dtype=jnp.int32)
     threshold = jnp.uint32(min(int(keep_prob * 2147483648.0), 2147483647))
-    w9 = kernel.reshape(9, c, -1)  # [9, C, k*8]
+    w9f = kernel.reshape(9 * c, cout)
     compute_dtype = reg_t_levels[0].dtype
+    bias_f = bias.astype(jnp.float32)[None, :]
 
-    def one_sample(n):
-        stream = (
-            jnp.asarray(seed, jnp.int32) * jnp.int32(1000003)
-            + jnp.int32(-1640531527)
-            * (b_ids * jnp.int32(num_samples) + jnp.int32(n))
-        ).astype(jnp.uint32)[:, None, None]
-        keep = (_splitmix(elem + stream) >> jnp.uint32(1)) < threshold
+    outs = []
+    for n in range(num_samples):  # static unroll: XLA schedules freely
         if keep_prob < 1.0:
-            xw = jnp.where(keep, win * (1.0 / keep_prob), 0).astype(
+            stream = (
+                jnp.asarray(seed, jnp.int32) * jnp.int32(1000003)
+                + jnp.int32(-1640531527)
+                * (b_ids * jnp.int32(num_samples) + jnp.int32(n))
+            ).astype(jnp.uint32)[:, None, None]
+            keep = (
+                (_splitmix(elem + stream) >> jnp.uint32(1)) < threshold
+            ).reshape(b * kk, 9 * c)
+            xw = jnp.where(keep, win2 * (1.0 / keep_prob), 0).astype(
                 compute_dtype
             )
         else:
-            xw = win
-        out = jnp.einsum(
-            "bkpc,pcd->bkd",
-            xw.reshape(b, kk, 9, c),
-            w9.astype(compute_dtype),
-            preferred_element_type=jnp.float32,
+            xw = win2
+        outs.append(
+            jnp.dot(
+                xw, w9f.astype(compute_dtype),
+                preferred_element_type=jnp.float32,
+            ).reshape(b, kk, cout)
+            + bias_f
         )
-        return out + bias.astype(jnp.float32)[None, None, :]
+    all_out = jnp.stack(outs)  # [N, B, K, k*8]
 
-    all_out = jax.lax.map(one_sample, jnp.arange(num_samples))  # [N,B,K,k*8]
-
-    # Each candidate keeps only its own anchor's 8 outputs.
-    del n_a
-    sel = a_idx[..., None] * 8 + jnp.arange(8, dtype=jnp.int32)  # [B, K, 8]
-    return jnp.take_along_axis(
-        all_out, jnp.broadcast_to(sel[None], (num_samples, b, kk, 8)), axis=-1
-    )
+    # Each candidate keeps only its own anchor's 8 outputs — selected with a
+    # one-hot multiply+reduce, NOT take_along_axis (XLA lowers indexed
+    # gathers to serial dynamic-slice loops on TPU; see gather.py).
+    oh = (
+        a_idx[..., None] == jnp.arange(n_a, dtype=jnp.int32)[None, None, :]
+    ).astype(jnp.float32)  # [B, K, k]
+    per_anchor = all_out.reshape(num_samples, b, kk, n_a, 8)
+    return jnp.einsum("nbkag,bka->nbkg", per_anchor, oh)

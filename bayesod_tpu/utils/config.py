@@ -58,13 +58,14 @@ class ModelConfig:
     #     fused kernel across samples (dropout_final_reg_stats +
     #     moments_from_stats; exactly mc_box_moments' math, no per-sample
     #     tensor in HBM);
-    #   "candidates" — per-sample outputs only at the preselected top-k
-    #     anchors (ops/candidate_reg.py; measured slower than dense on v5e
-    #     — XLA window gathers dominate — kept as an option);
-    #   "auto" (default) — dense: the fused finals are MXU-compute-bound
-    #     (9 taps x N samples at 128 padded lanes), so the reduced-HBM
-    #     routes measured at or below dense on v5e (593/474 vs 598 img/s);
-    #     both ship for memory-constrained or future-hardware use.
+    #   "candidates" — per-sample outputs computed ONLY at the preselected
+    #     top-k anchors (ops/candidate_reg.py + the one-hot-matmul Pallas
+    #     gather): 0.6% of the cells do reg work instead of all of them.
+    #     Measured 750.8 vs 598.5 img/s dense on v5e (batch 128) once every
+    #     indexed access was de-gather-ified — XLA's TPU gather lowers to
+    #     serial dynamic slices and one take_along_axis cost 130 ms/batch;
+    #   "auto" (default) — candidates for batch >= 8 on the pallas
+    #     backend, dense otherwise (small batches favor the simpler graph).
     reg_finals: str = "auto"
     # MC class-probability reduction on the pallas backend: "flat" =
     # materialize per-sample logits, reduce in XLA; "fused" = mean softmax

@@ -51,8 +51,11 @@ def test_keep1_matches_dense_conv(fixture):
     out = np.asarray(
         candidate_reg_outputs(levels, kernel, bias, idx, jnp.int32(3), 2, 1.0, tables)
     )
-    np.testing.assert_allclose(out[0], gathered, atol=1e-4)
-    np.testing.assert_allclose(out[1], gathered, atol=1e-4)  # no dropout
+    # bf16-class tolerance: the Pallas gather returns bf16 windows, matching
+    # the production trunks' dtype (the fp32 reference conv here is tighter
+    # than anything the real model produces).
+    np.testing.assert_allclose(out[0], gathered, atol=3e-2)
+    np.testing.assert_allclose(out[1], gathered, atol=3e-2)  # no dropout
 
 
 def test_mc_mean_converges_to_dense(fixture):
