@@ -190,8 +190,12 @@ def _reg_route(cfg, images) -> str:
         and cfg.model.dropout_layers == "last"
     ) or cfg.model.head_final_backend == "pallas"
     if mode == "auto":
-        return "candidates" if (pallas_ok and images.shape[0] >= 8) else "dense"
-    if mode in ("dense", "candidates", "stats"):
+        return (
+            "candidates_fused"
+            if (pallas_ok and images.shape[0] >= 8)
+            else "dense"
+        )
+    if mode in ("dense", "candidates", "candidates_fused", "stats"):
         return mode
     raise ValueError(f"unknown reg_finals '{mode}'")
 
@@ -279,6 +283,39 @@ def build_detect_fn(
                 return _postprocess_posteriors(cand, valid, cfg)
 
             fused = jax.vmap(per_image_stats)(probs, stats)
+            return _as_detections(fused, cfg.data.image_hw)
+        elif mesh is None and _reg_route(cfg, images) == "candidates_fused":
+            # Fully-fused candidate finals (ops/pallas/candidate_finals.py):
+            # gather + masks + finals + moment stats in one kernel; moments
+            # reconstructed via moments_from_stats.
+            from bayesod_tpu.models.retinanet import mc_forward_candidates
+            from bayesod_tpu.ops.anchors import feature_shapes
+            from bayesod_tpu.ops.candidate_reg import LevelTables
+
+            tables = LevelTables(
+                feature_shapes(cfg.data.image_hw, cfg.anchors),
+                model.anchors_per_cell,
+            )
+            preselect = lambda p: _preselect(
+                p, cfg.bayes.pre_cluster_topk, cfg.bayes.score_threshold,
+                approx=cfg.bayes.approx_topk,
+            )
+            probs, idx, valid_sel, cand_stats = mc_forward_candidates(
+                model, variables, images, rng, n_mc, preselect, tables,
+                stats=True, scale_factors=cfg.bayes.box_scale_factors,
+                log_var_clip=cfg.bayes.log_var_clip,
+            )
+
+            def per_image_cs(probs_b, idx_b, valid_b, stats_b):
+                boxes_c, covs_c = mom.moments_from_stats(
+                    stats_b, anchors[idx_b], cfg.bayes.box_scale_factors
+                )
+                cand = mom.AnchorPosteriors(
+                    boxes=boxes_c, covs=covs_c, probs=probs_b[idx_b]
+                )
+                return _postprocess_posteriors(cand, valid_b, cfg)
+
+            fused = jax.vmap(per_image_cs)(probs, idx, valid_sel, cand_stats)
             return _as_detections(fused, cfg.data.image_hw)
         elif mesh is None and _reg_route(cfg, images) == "candidates":
             # Candidates-only reg finals: per-sample reg outputs exist ONLY

@@ -442,6 +442,9 @@ def mc_forward_candidates(
     num_samples: int,
     preselect_fn,
     tables,
+    stats: bool = False,
+    scale_factors=(1.0, 1.0, 1.0, 1.0),
+    log_var_clip: float = 10.0,
 ):
     """Candidates-only MC forward (ops/candidate_reg.py):
 
@@ -456,7 +459,10 @@ def mc_forward_candidates(
     distinct from the dense kernels' — distributionally identical
     Bernoulli, exactly equal at dropout 0.
     """
-    from bayesod_tpu.ops.candidate_reg import candidate_reg_outputs
+    from bayesod_tpu.ops.candidate_reg import (
+        candidate_reg_outputs,
+        candidate_reg_stats,
+    )
 
     feats = model.apply(variables, images, method=RetinaNet.features)
     cls_t, reg_t = model.apply(
@@ -498,11 +504,18 @@ def mc_forward_candidates(
         slab_vmem_bytes, xla_level,
     )
     idx, valid = jax.vmap(preselect_fn)(probs)
-    cand_reg = candidate_reg_outputs(
-        list(reg_t), reg_k, reg_b, idx, seed0 + jnp.int32(7919),
-        num_samples, keep, tables,
-    )
-    return probs, idx, valid, cand_reg
+    if stats:
+        cand = candidate_reg_stats(
+            list(reg_t), reg_k, reg_b, idx, seed0 + jnp.int32(7919),
+            num_samples, keep, tables,
+            scale_factors=tuple(scale_factors), log_var_clip=log_var_clip,
+        )  # [B, K, 18]
+    else:
+        cand = candidate_reg_outputs(
+            list(reg_t), reg_k, reg_b, idx, seed0 + jnp.int32(7919),
+            num_samples, keep, tables,
+        )  # [N, B, K, 8]
+    return probs, idx, valid, cand
 
 
 def single_forward(

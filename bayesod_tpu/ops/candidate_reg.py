@@ -178,3 +178,94 @@ def candidate_reg_outputs(
     ).astype(jnp.float32)  # [B, K, k]
     per_anchor = all_out.reshape(num_samples, b, kk, n_a, 8)
     return jnp.einsum("nbkag,bka->nbkg", per_anchor, oh)
+
+
+def _stats_from_candidate_samples(
+    samples: jnp.ndarray,  # [N, B, K, 8]
+    scale_factors,
+    log_var_clip: float,
+) -> jnp.ndarray:
+    """[B, K, 18] REG_STATS from per-sample outputs (fused_final.REG_STATS
+    layout) — the XLA fallback/oracle for candidate_finals_stats."""
+    from bayesod_tpu.ops.boxes import BBOX_XFORM_CLIP
+
+    r = samples.astype(jnp.float32)
+    sx, sy, sw, sh = scale_factors
+    tx, ty = r[..., 0], r[..., 1]
+    ew = jnp.exp(jnp.minimum(r[..., 2] / sw, BBOX_XFORM_CLIP))
+    eh = jnp.exp(jnp.minimum(r[..., 3] / sh, BBOX_XFORM_CLIP))
+    v = jnp.exp(jnp.clip(r[..., 4:8], -log_var_clip, log_var_clip))
+    return jnp.stack(
+        [
+            tx, ty, ew, eh, tx * tx, ty * ty, ew * ew, eh * eh,
+            tx * ty, tx * ew, tx * eh, ty * ew, ty * eh, ew * eh,
+            v[..., 0], v[..., 1], v[..., 2] * ew * ew, v[..., 3] * eh * eh,
+        ],
+        axis=-1,
+    ).mean(0)
+
+
+def candidate_reg_stats(
+    reg_t_levels: List[jnp.ndarray],
+    kernel: jnp.ndarray,
+    bias: jnp.ndarray,
+    idx: jnp.ndarray,  # [B, K]
+    seed: jnp.ndarray,
+    num_samples: int,
+    keep_prob: float,
+    tables: LevelTables,
+    scale_factors=(1.0, 1.0, 1.0, 1.0),
+    log_var_clip: float = 10.0,
+    backend: str = "auto",
+) -> jnp.ndarray:
+    """[B, K, 18] per-candidate moment statistics.
+
+    backend "pallas" (TPU default): the fully-fused kernel
+    (ops/pallas/candidate_finals.py) — gather, masks, finals, and stats
+    never leave VMEM. "xla": candidate_reg_outputs' per-sample path +
+    stats reduction (same masks -> the two agree to bf16 tolerance; the
+    parity oracle)."""
+    if backend == "auto":
+        backend = "pallas" if jax.default_backend() == "tpu" else "xla"
+    if backend == "xla":
+        samples = candidate_reg_outputs(
+            reg_t_levels, kernel, bias, idx, seed, num_samples, keep_prob,
+            tables,
+        )
+        return _stats_from_candidate_samples(
+            samples, scale_factors, log_var_clip
+        )
+
+    from bayesod_tpu.ops.pallas.candidate_finals import candidate_finals_stats
+
+    b = reg_t_levels[0].shape[0]
+    c = reg_t_levels[0].shape[-1]
+    flat = jnp.concatenate(
+        [t.reshape(b, -1, c) for t in reg_t_levels], axis=1
+    )
+    level, cy, cx, a_idx, h_l, w_l = tables.decompose(idx)
+    row_off = jnp.asarray(tables.row_offsets, jnp.int32)[level]
+    dy = jnp.arange(-1, 2, dtype=jnp.int32)
+    dx = jnp.arange(-1, 2, dtype=jnp.int32)
+    wy = cy[..., None, None] + dy[None, None, :, None]  # [B, K, 3, 3]
+    wx = cx[..., None, None] + dx[None, None, None, :]
+    in_map = (
+        (wy >= 0) & (wy < h_l[..., None, None])
+        & (wx >= 0) & (wx < w_l[..., None, None])
+    )
+    rows = jnp.where(
+        in_map,
+        row_off[..., None, None]
+        + jnp.clip(wy, 0, h_l[..., None, None] - 1) * w_l[..., None, None]
+        + jnp.clip(wx, 0, w_l[..., None, None] - 1),
+        -1,  # off-map: one-hot never matches -> exact zero tap
+    )
+    # Tap-major ordering: rows_pm[b, p*K + k] (static [K, C] slices per tap
+    # inside the kernel).
+    kk = idx.shape[1]
+    rows_pm = rows.reshape(b, kk, 9).transpose(0, 2, 1).reshape(b, 9 * kk)
+    return candidate_finals_stats(
+        flat, rows_pm, a_idx, kernel, bias, seed, num_samples, keep_prob,
+        tables.k, scale_factors=tuple(scale_factors),
+        log_var_clip=log_var_clip,
+    )

@@ -1,0 +1,294 @@
+"""Fully-fused candidates-only regression finals: one Pallas kernel from
+trunk row table to per-candidate moment statistics.
+
+Composition of three validated pieces (each previously measured/tested
+separately) into a single per-image kernel so NOTHING intermediate touches
+HBM:
+
+  1. window gather as chunked one-hot MXU matmuls (ops/pallas/gather.py)
+     with the table STREAMED chunk-by-chunk via double-buffered DMA — no
+     whole-table VMEM residency, so BDD-scale pyramids fit;
+  2. per-sample dropout masks from the same stateless splitmix hash as
+     ops/candidate_reg.py (absolute row*C+channel addressing -> overlapping
+     candidate windows mask consistently; bit-compatible with the XLA
+     composition, which stays as the CPU/interpret fallback and oracle);
+  3. the 9-tap final conv per candidate (window rows are ordered TAP-MAJOR
+     by the host so each tap is a static [K, C] slice), the candidate's own
+     anchor slice selected by a mask + constant segment-sum matmul, and the
+     REG_STATS moment statistics (fused_final._reg_stat_matrices with k=1)
+     accumulated over samples in registers.
+
+Output: [B, K, REG_STATS] fp32 — bayes.moments.moments_from_stats turns it
+into exactly mc_box_moments' decoded mean/covariance.
+
+HBM traffic per image: one table read (~5 MB) + a [K, 128] write, versus
+the XLA composition's ~10x masked-window round trips; per-sample work is
+all VMEM/MXU-resident.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from bayesod_tpu.ops.pallas.fused_final import REG_STATS, _reg_stat_matrices
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def _kernel(
+    seed_ref,  # [1, 1] int32 SMEM (scalar prefetch)
+    rows_ref,  # [1, 1, K9] int32 — tap-major window row ids (-1 = off-map)
+    aidx_ref,  # [1, 1, Kp] int32 — anchor-in-cell per candidate
+    flat_ref,  # [B, Rp, C] bf16 HBM (ANY)
+    w_ref,  # [9, C, CPH] bf16 — final conv taps (lane-padded)
+    b_ref,  # [1, CPH] fp32
+    s_ref,  # [CPH, CPH] bf16 — segment-sum selector (lane l -> lane l%8)
+    p1_ref,  # [CPH, CPH] bf16 — stats selectors (_reg_stat_matrices, k=1)
+    p2_ref,
+    e_ref,
+    out_ref,  # [1, Kp, CPH] fp32
+    chunk_ref,  # [2, CHUNK, C] bf16 scratch (double-buffered table stream)
+    win_ref,  # [K9, C] bf16 scratch (gathered windows)
+    sem,  # DMA (2,)
+    *,
+    kp: int,
+    rp: int,
+    c: int,
+    chunk: int,
+    cout: int,
+    num_samples: int,
+    keep_prob: float,
+    threshold: int,
+    lv_clip: float,
+    tw_clip: float,
+    th_clip: float,
+    inv_sw: float,
+    inv_sh: float,
+):
+    b_idx = pl.program_id(0)
+    k9 = 9 * kp
+    n_chunks = rp // chunk
+
+    def chunk_dma(slot, ci):
+        return pltpu.make_async_copy(
+            flat_ref.at[b_idx, pl.ds(ci * chunk, chunk)],
+            chunk_ref.at[slot],
+            sem.at[slot],
+        )
+
+    rows = rows_ref[0, 0, :].reshape(k9, 1)  # [K9, 1] int32
+
+    # ---- streamed one-hot gather: win[j] = flat[b, rows[j]] --------------
+    chunk_dma(0, 0).start()
+    win_ref[...] = jnp.zeros((k9, c), jnp.bfloat16)
+    for ci in range(n_chunks):
+        if ci + 1 < n_chunks:
+            chunk_dma((ci + 1) % 2, ci + 1).start()
+        chunk_dma(ci % 2, ci).wait()
+        onehot = (
+            rows
+            == ci * chunk
+            + jax.lax.broadcasted_iota(jnp.int32, (k9, chunk), 1)
+        ).astype(jnp.bfloat16)
+        win_ref[...] = win_ref[...] + jnp.dot(
+            onehot, chunk_ref[ci % 2], preferred_element_type=jnp.float32
+        ).astype(jnp.bfloat16)
+
+    # ---- per-sample finals + stats accumulation --------------------------
+    a_idx = aidx_ref[0, 0, :].reshape(kp, 1)  # [Kp, 1]
+    lane = jax.lax.broadcasted_iota(jnp.int32, (kp, out_ref.shape[-1]), 1)
+    sel_mask = (lane < jnp.int32(cout)) & (
+        lane // 8 == a_idx
+    )  # candidate's own anchor lanes
+    # Stats-epilogue lane roles on the 8 selected values (j = lane index).
+    valid8 = lane < 8
+    j2 = valid8 & (lane == 2)
+    j3 = valid8 & (lane == 3)
+    jlv = valid8 & (lane >= 4)
+    one_lane = lane == 8  # constant factor for _reg_stat_matrices(k=1)
+
+    elem = (
+        rows.astype(jnp.uint32) * jnp.uint32(c)
+        + jax.lax.broadcasted_iota(jnp.uint32, (k9, c), 1)
+    )
+    acc_stats = jnp.zeros((kp, out_ref.shape[-1]), jnp.float32)
+    for n in range(num_samples):
+        if keep_prob < 1.0:
+            stream = (
+                seed_ref[0, 0] * jnp.int32(1000003)
+                + jnp.int32(-1640531527)
+                * (b_idx * jnp.int32(num_samples) + jnp.int32(n))
+            ).astype(jnp.uint32)
+            z = elem + stream
+            z = z ^ (z >> jnp.uint32(16))
+            z = z * jnp.uint32(0x85EBCA6B)
+            z = z ^ (z >> jnp.uint32(13))
+            z = z * jnp.uint32(0xC2B2AE35)
+            z = z ^ (z >> jnp.uint32(16))
+            keep = (z >> jnp.uint32(1)) < jnp.uint32(threshold)
+            xw = jnp.where(
+                keep, win_ref[...] * (1.0 / keep_prob), 0.0
+            ).astype(jnp.bfloat16)
+        else:
+            xw = win_ref[...]
+        acc72 = jnp.zeros((kp, out_ref.shape[-1]), jnp.float32)
+        for p in range(9):
+            acc72 = acc72 + jnp.dot(
+                jax.lax.slice(xw, (p * kp, 0), ((p + 1) * kp, c)),
+                w_ref[p],
+                preferred_element_type=jnp.float32,
+            )
+        acc72 = acc72 + b_ref[0][None, :]
+        # Segment-sum the single surviving anchor group into lanes 0..7.
+        x8 = jnp.dot(
+            jnp.where(sel_mask, acc72, 0.0).astype(jnp.bfloat16),
+            s_ref[...],
+            preferred_element_type=jnp.float32,
+        )
+        x8 = jnp.where(one_lane, 1.0, x8)
+        xc = jnp.where(jlv, jnp.clip(x8, -lv_clip, lv_clip), x8)
+        xc = jnp.where(j2, jnp.minimum(xc, tw_clip) * inv_sw, xc)
+        xc = jnp.where(j3, jnp.minimum(xc, th_clip) * inv_sh, xc)
+        f1 = jnp.dot(
+            x8.astype(jnp.bfloat16), p1_ref[...],
+            preferred_element_type=jnp.float32,
+        )
+        f2 = jnp.dot(
+            x8.astype(jnp.bfloat16), p2_ref[...],
+            preferred_element_type=jnp.float32,
+        )
+        ec = jnp.dot(
+            xc.astype(jnp.bfloat16), e_ref[...],
+            preferred_element_type=jnp.float32,
+        )
+        acc_stats = acc_stats + f1 * f2 * jnp.exp(
+            jnp.clip(ec, -40.0, 40.0)
+        ) * (1.0 / num_samples)
+    out_ref[0] = acc_stats
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "num_samples", "keep_prob", "anchors_per_cell", "scale_factors",
+        "log_var_clip", "interpret", "chunk",
+    ),
+)
+def candidate_finals_stats(
+    flat: jnp.ndarray,  # [B, R, C] bf16 trunk row table (levels flattened)
+    rows: jnp.ndarray,  # [B, K*9] int32 tap-major window rows (-1 = off-map)
+    a_idx: jnp.ndarray,  # [B, K] int32 anchor-in-cell
+    kernel: jnp.ndarray,  # [3, 3, C, k*8] final reg conv
+    bias: jnp.ndarray,  # [k*8]
+    seed,  # python int or traced scalar folded by caller into rows stream
+    num_samples: int,
+    keep_prob: float,
+    anchors_per_cell: int,
+    scale_factors=(1.0, 1.0, 1.0, 1.0),
+    log_var_clip: float = 10.0,
+    interpret: Optional[bool] = None,
+    chunk: int = 512,
+) -> jnp.ndarray:
+    """[B, K, REG_STATS] fp32 — see module docstring.
+
+    `rows` must be TAP-MAJOR: rows[b, p*K + k] = window tap p of candidate
+    k; off-map taps marked -1 (never matched by the one-hot compare, so
+    they contribute exact zeros — SAME-conv border semantics). `seed` is a
+    traced int32 scalar (scalar-prefetched into SMEM); the mask stream is
+    bit-identical to ops/candidate_reg.candidate_reg_outputs with the same
+    seed.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    b, r, c = flat.shape
+    k = a_idx.shape[1]
+    kp = _round_up(k, 128)
+    if kp != k:
+        raise ValueError(f"pre_cluster_topk {k} must be a multiple of 128")
+    rp = _round_up(r, chunk)
+    cout = kernel.shape[-1]
+    if cout != anchors_per_cell * 8:
+        raise ValueError("reg cout != anchors_per_cell * 8")
+    cph = 128
+    if cout >= cph:
+        raise ValueError("anchor groups exceed one lane tile")
+
+    flat_p = jnp.pad(flat.astype(jnp.bfloat16), ((0, 0), (0, rp - r), (0, 0)))
+    w9 = jnp.zeros((9, c, cph), jnp.bfloat16).at[:, :, :cout].set(
+        kernel.reshape(9, c, cout).astype(jnp.bfloat16)
+    )
+    b_pad = jnp.zeros((1, cph), jnp.float32).at[0, :cout].set(
+        bias.astype(jnp.float32)
+    )
+    lanes = np.arange(cph)
+    s_mat = ((lanes[:, None] < cout) & (lanes[None, :] == lanes[:, None] % 8))
+    p1, p2, e = _reg_stat_matrices(1, cph, cph, 8)
+    from bayesod_tpu.ops.boxes import BBOX_XFORM_CLIP
+
+    sx, sy, sw, sh = (float(v) for v in scale_factors)
+    threshold = min(int(keep_prob * 2147483648.0), 2147483647)
+    seed_arr = jnp.asarray(seed, jnp.int32).reshape(1, 1)
+
+    vec_spec = lambda n: pl.BlockSpec(
+        (1, 1, n), lambda bi, sref: (bi, 0, 0), memory_space=pltpu.VMEM
+    )
+    mat_spec = lambda shape: pl.BlockSpec(
+        shape, lambda bi, sref: tuple(0 for _ in shape),
+        memory_space=pltpu.VMEM,
+    )
+    out = pl.pallas_call(
+        functools.partial(
+            _kernel,
+            kp=kp, rp=rp, c=c, chunk=chunk, cout=cout,
+            num_samples=num_samples, keep_prob=float(keep_prob),
+            threshold=threshold, lv_clip=float(log_var_clip),
+            tw_clip=sw * float(BBOX_XFORM_CLIP),
+            th_clip=sh * float(BBOX_XFORM_CLIP),
+            inv_sw=1.0 / sw, inv_sh=1.0 / sh,
+        ),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(b,),
+            in_specs=[
+                vec_spec(9 * kp),  # rows (tap-major)
+                vec_spec(kp),  # a_idx
+                pl.BlockSpec(memory_space=pltpu.ANY),  # flat table
+                mat_spec((9, c, cph)),
+                mat_spec((1, cph)),
+                mat_spec((cph, cph)),
+                mat_spec((cph, cph)),
+                mat_spec((cph, cph)),
+                mat_spec((cph, cph)),
+            ],
+            out_specs=pl.BlockSpec(
+                (1, kp, cph), lambda bi, sref: (bi, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((2, chunk, c), jnp.bfloat16),
+                pltpu.VMEM((9 * kp, c), jnp.bfloat16),
+                pltpu.SemaphoreType.DMA((2,)),
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, kp, cph), jnp.float32),
+        interpret=interpret,
+    )(
+        seed_arr,
+        rows.astype(jnp.int32)[:, None, :],
+        a_idx.astype(jnp.int32)[:, None, :],
+        flat_p, w9, b_pad,
+        jnp.asarray(s_mat, jnp.bfloat16),
+        jnp.asarray(p1, jnp.bfloat16),
+        jnp.asarray(p2, jnp.bfloat16),
+        jnp.asarray(e, jnp.bfloat16),
+    )
+    return out[:, :, :REG_STATS]

@@ -61,10 +61,13 @@ class ModelConfig:
     #   "candidates" — per-sample outputs computed ONLY at the preselected
     #     top-k anchors (ops/candidate_reg.py + the one-hot-matmul Pallas
     #     gather): 0.6% of the cells do reg work instead of all of them.
-    #     Measured 750.8 vs 598.5 img/s dense on v5e (batch 128) once every
-    #     indexed access was de-gather-ified — XLA's TPU gather lowers to
-    #     serial dynamic slices and one take_along_axis cost 130 ms/batch;
-    #   "auto" (default) — candidates for batch >= 8 on the pallas
+    #     750.8 vs 598.5 img/s dense on v5e (batch 128) once every indexed
+    #     access was de-gather-ified — XLA's TPU gather lowers to serial
+    #     dynamic slices and one take_along_axis cost 130 ms/batch;
+    #   "candidates_fused" — ONE Pallas kernel per image: streamed one-hot
+    #     gather + in-register masks + finals + moment statistics
+    #     (ops/pallas/candidate_finals.py): 799.8 img/s (1.60x target);
+    #   "auto" (default) — candidates_fused for batch >= 8 on the pallas
     #     backend, dense otherwise (small batches favor the simpler graph).
     reg_finals: str = "auto"
     # MC class-probability reduction on the pallas backend: "flat" =

@@ -84,7 +84,7 @@ def main() -> None:
     )
     p.add_argument(
         "--reg_finals", default="auto",
-        choices=["auto", "dense", "stats", "candidates"],
+        choices=["auto", "dense", "stats", "candidates", "candidates_fused"],
         help="regression-final execution strategy",
     )
     args = p.parse_args()
