@@ -159,3 +159,87 @@ def test_detect_candidates_route_stochastic_finite():
     assert bool(jnp.all(jnp.isfinite(out.covs)))
     # epistemic variance exists: covs not all ~0 where valid
     assert float(jnp.max(jnp.abs(out.covs))) > 0
+
+
+def test_candidate_reg_stats_pallas_matches_xla_composition():
+    """The fully-fused kernel (ops/pallas/candidate_finals.py) equals the
+    XLA composition (same mask streams) to bf16 tolerance."""
+    from bayesod_tpu.ops.candidate_reg import candidate_reg_stats
+
+    rng = np.random.RandomState(0)
+    level_hw = [(8, 16), (4, 8)]
+    levels = [
+        jnp.asarray(rng.randn(2, h, w, 128) * 0.5, jnp.float32)
+        for h, w in level_hw
+    ]
+    kernel = jnp.asarray(rng.randn(3, 3, 128, 72) * 0.05, jnp.float32)
+    bias = jnp.asarray(rng.randn(72) * 0.1, jnp.float32)
+    a_total = sum(h * w * 9 for h, w in level_hw)
+    idx = jnp.asarray(
+        rng.choice(a_total, size=(2, 128), replace=False), jnp.int32
+    )
+    tables = LevelTables(level_hw, 9)
+    sf = (1.0, 1.0, 2.0, 2.0)
+    for keep in (1.0, 0.7):
+        st_x = candidate_reg_stats(
+            levels, kernel, bias, idx, jnp.int32(5), 3, keep, tables, sf,
+            backend="xla",
+        )
+        st_p = candidate_reg_stats(
+            levels, kernel, bias, idx, jnp.int32(5), 3, keep, tables, sf,
+            backend="pallas",
+        )
+        d = np.abs(np.asarray(st_x) - np.asarray(st_p))
+        scale = np.abs(np.asarray(st_x)).max()
+        assert d.max() / scale < 0.02, (keep, d.max(), scale)
+
+
+def test_detect_candidates_fused_matches_candidates():
+    """reg_finals="candidates_fused" (one-kernel stats) == "candidates"
+    (per-sample path + mc_box_moments) end to end — same mask streams, so
+    only float reordering differs."""
+    from bayesod_tpu.infer import jit_detect_fn
+    from bayesod_tpu.models.retinanet import RetinaNet, init_variables
+    from bayesod_tpu.utils.config import (
+        BayesConfig,
+        DataConfig,
+        ExperimentConfig,
+        ModelConfig,
+    )
+
+    def mk(reg):
+        return ExperimentConfig(
+            model=ModelConfig(
+                num_classes=3, backbone="resnet18", fpn_channels=32,
+                head_depth=1, head_channels=128, norm="groupnorm",
+                compute_dtype="float32", dropout_rate=0.3,
+                head_final_backend="pallas", dropout_layers="last",
+                probs_reduce="fused", reg_finals=reg,
+            ),
+            bayes=BayesConfig(
+                num_mc_samples=3, score_threshold=0.0,
+                pre_cluster_topk=128, max_detections=8,
+            ),
+            data=DataConfig(image_hw=(128, 128)),
+        )
+
+    cfg_c = mk("candidates")
+    model = RetinaNet(cfg=cfg_c.model, train=False)
+    v = init_variables(model, jax.random.PRNGKey(0), (128, 128))
+    img = jax.random.uniform(jax.random.PRNGKey(2), (2, 128, 128, 3))
+    rng = jax.random.PRNGKey(1)
+    oc = jit_detect_fn(cfg_c, model)(v, img, rng)
+    cfg_f = mk("candidates_fused")
+    of = jit_detect_fn(cfg_f, RetinaNet(cfg=cfg_f.model, train=False))(
+        v, img, rng
+    )
+    np.testing.assert_allclose(
+        np.asarray(oc.boxes), np.asarray(of.boxes), atol=0.05
+    )
+    np.testing.assert_allclose(
+        np.asarray(oc.probs), np.asarray(of.probs), atol=1e-4
+    )
+    rel = np.abs(np.asarray(oc.covs) - np.asarray(of.covs)).max() / max(
+        np.abs(np.asarray(oc.covs)).max(), 1.0
+    )
+    assert rel < 1e-3
