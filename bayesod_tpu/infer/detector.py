@@ -288,7 +288,10 @@ def build_detect_fn(
             # Fully-fused candidate finals (ops/pallas/candidate_finals.py):
             # gather + masks + finals + moment stats in one kernel; moments
             # reconstructed via moments_from_stats.
-            from bayesod_tpu.models.retinanet import mc_forward_candidates
+            from bayesod_tpu.models.retinanet import (
+                mc_forward_candidates,
+                mc_forward_candidates_det,
+            )
             from bayesod_tpu.ops.anchors import feature_shapes
             from bayesod_tpu.ops.candidate_reg import LevelTables
 
@@ -296,6 +299,34 @@ def build_detect_fn(
                 feature_shapes(cfg.data.image_hw, cfg.anchors),
                 model.anchors_per_cell,
             )
+            if cfg.bayes.preselect_source == "deterministic":
+                # Preselect on one dropout-off pass; ALL N-sample work
+                # (both heads) runs only at the K candidates.
+                idx, valid_sel, cand_probs, cand_stats = (
+                    mc_forward_candidates_det(
+                        model, variables, images, rng, n_mc,
+                        cfg.bayes.pre_cluster_topk,
+                        cfg.bayes.score_threshold,
+                        cfg.bayes.approx_topk, tables,
+                        cfg.bayes.box_scale_factors,
+                        cfg.bayes.log_var_clip,
+                    )
+                )
+
+                def per_image_det(idx_b, valid_b, probs_b, stats_b):
+                    boxes_c, covs_c = mom.moments_from_stats(
+                        stats_b, anchors[idx_b],
+                        cfg.bayes.box_scale_factors,
+                    )
+                    cand = mom.AnchorPosteriors(
+                        boxes=boxes_c, covs=covs_c, probs=probs_b
+                    )
+                    return _postprocess_posteriors(cand, valid_b, cfg)
+
+                fused = jax.vmap(per_image_det)(
+                    idx, valid_sel, cand_probs, cand_stats
+                )
+                return _as_detections(fused, cfg.data.image_hw)
             preselect = lambda p: _preselect(
                 p, cfg.bayes.pre_cluster_topk, cfg.bayes.score_threshold,
                 approx=cfg.bayes.approx_topk,

@@ -523,3 +523,88 @@ def single_forward(
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """One deterministic pass (dropout off) — the non-Bayesian baseline path."""
     return model.apply(variables, images, stochastic=False)
+
+
+def mc_forward_candidates_det(
+    model: RetinaNet,
+    variables,
+    images: jnp.ndarray,
+    rng: jax.Array,
+    num_samples: int,
+    topk: int,
+    score_threshold: float,
+    approx_topk: bool,
+    tables,
+    scale_factors=(1.0, 1.0, 1.0, 1.0),
+    log_var_clip: float = 10.0,
+):
+    """Candidates-only MC forward with DETERMINISTIC preselection
+    (BayesConfig.preselect_source="deterministic"):
+
+      * ONE deterministic cls pass (dropout off) produces per-anchor
+        foreground scores; top-k preselects on those — N-fold cheaper than
+        the MC-mean scores, at the cost of a (slightly) different candidate
+        ordering near the threshold;
+      * the N-sample MC work then runs ONLY at the K candidates, for BOTH
+        heads (candidate_cls_probs + candidate_reg_stats) — the paper's
+        mean-softmax categorical and box moments are exact at every anchor
+        that reaches fusion.
+
+    Returns (idx [B,K], valid [B,K], cand_probs [B,K,C+1],
+    cand_stats [B,K,18])."""
+    from bayesod_tpu.ops.candidate_reg import (
+        candidate_cls_probs,
+        candidate_reg_stats,
+    )
+
+    feats = model.apply(variables, images, method=RetinaNet.features)
+    cls_t, reg_t = model.apply(
+        variables, feats, method=RetinaNet.head_trunk_outputs
+    )
+    params = variables["params"]["heads"]
+    cls_k = params["cls_out"]["kernel"]
+    cls_b = params["cls_out"]["bias"]
+    reg_k = params["reg_out"]["kernel"]
+    reg_b = params["reg_out"]["bias"]
+    keep = 1.0 - model.cfg.dropout_rate
+    k = model.anchors_per_cell
+    n_cls = model.cfg.num_classes + 1
+
+    if jax.dtypes.issubdtype(rng.dtype, jax.dtypes.prng_key):
+        words = jax.random.key_data(rng).astype(jnp.int32)
+        seed0 = words.ravel()[0] ^ (words.ravel()[-1] << 1)
+    else:
+        seed0 = (rng[0] ^ (rng[1] << 1)).astype(jnp.int32)
+
+    # Deterministic preselection scores: max foreground softmax per anchor.
+    score_lvls = []
+    for ct in cls_t:
+        logits = jax.lax.conv_general_dilated(
+            ct, cls_k.astype(ct.dtype), (1, 1), "SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        ) + cls_b.astype(ct.dtype)
+        b, h, w, _ = logits.shape
+        lg = logits.reshape(b, h * w * k, n_cls).astype(jnp.float32)
+        p = jax.nn.softmax(lg, axis=-1)
+        score_lvls.append(jnp.max(p[..., 1:], axis=-1))  # [B, cells*k]
+    scores = jnp.concatenate(score_lvls, axis=-1)  # [B, A]
+
+    def presel(s):
+        if approx_topk:
+            top, idx = jax.lax.approx_max_k(s, topk, recall_target=0.99)
+        else:
+            top, idx = jax.lax.top_k(s, topk)
+        return idx, top >= score_threshold
+
+    idx, valid = jax.vmap(presel)(scores)
+
+    cand_probs = candidate_cls_probs(
+        list(cls_t), cls_k, cls_b, idx, seed0 + jnp.int32(104729),
+        num_samples, keep, tables, n_cls,
+    )
+    cand_stats = candidate_reg_stats(
+        list(reg_t), reg_k, reg_b, idx, seed0 + jnp.int32(7919),
+        num_samples, keep, tables,
+        scale_factors=tuple(scale_factors), log_var_clip=log_var_clip,
+    )
+    return idx, valid, cand_probs, cand_stats

@@ -170,13 +170,15 @@ def candidate_reg_outputs(
         )
     all_out = jnp.stack(outs)  # [N, B, K, k*8]
 
-    # Each candidate keeps only its own anchor's 8 outputs — selected with a
-    # one-hot multiply+reduce, NOT take_along_axis (XLA lowers indexed
-    # gathers to serial dynamic-slice loops on TPU; see gather.py).
+    # Each candidate keeps only its own anchor's group of outputs —
+    # selected with a one-hot multiply+reduce, NOT take_along_axis (XLA
+    # lowers indexed gathers to serial dynamic-slice loops on TPU; see
+    # gather.py). group = 8 for reg finals, C+1 for cls finals.
+    group = cout // n_a
     oh = (
         a_idx[..., None] == jnp.arange(n_a, dtype=jnp.int32)[None, None, :]
     ).astype(jnp.float32)  # [B, K, k]
-    per_anchor = all_out.reshape(num_samples, b, kk, n_a, 8)
+    per_anchor = all_out.reshape(num_samples, b, kk, n_a, group)
     return jnp.einsum("nbkag,bka->nbkg", per_anchor, oh)
 
 
@@ -243,6 +245,18 @@ def candidate_reg_stats(
     flat = jnp.concatenate(
         [t.reshape(b, -1, c) for t in reg_t_levels], axis=1
     )
+    rows_pm, a_idx = tap_major_rows(idx, tables)
+    return candidate_finals_stats(
+        flat, rows_pm, a_idx, kernel, bias, seed, num_samples, keep_prob,
+        tables.k, scale_factors=tuple(scale_factors),
+        log_var_clip=log_var_clip,
+    )
+
+
+def tap_major_rows(idx: jnp.ndarray, tables: LevelTables):
+    """(rows_pm [B, 9K] tap-major window row ids with -1 off-map, a_idx
+    [B, K]) for the fused candidate kernels."""
+    b, kk = idx.shape
     level, cy, cx, a_idx, h_l, w_l = tables.decompose(idx)
     row_off = jnp.asarray(tables.row_offsets, jnp.int32)[level]
     dy = jnp.arange(-1, 2, dtype=jnp.int32)
@@ -260,12 +274,48 @@ def candidate_reg_stats(
         + jnp.clip(wx, 0, w_l[..., None, None] - 1),
         -1,  # off-map: one-hot never matches -> exact zero tap
     )
-    # Tap-major ordering: rows_pm[b, p*K + k] (static [K, C] slices per tap
-    # inside the kernel).
-    kk = idx.shape[1]
     rows_pm = rows.reshape(b, kk, 9).transpose(0, 2, 1).reshape(b, 9 * kk)
-    return candidate_finals_stats(
+    return rows_pm, a_idx
+
+
+def candidate_cls_probs(
+    cls_t_levels: List[jnp.ndarray],
+    kernel: jnp.ndarray,  # [3, 3, C, k*(C+1)] final cls conv
+    bias: jnp.ndarray,
+    idx: jnp.ndarray,  # [B, K]
+    seed: jnp.ndarray,
+    num_samples: int,
+    keep_prob: float,
+    tables: LevelTables,
+    num_classes_incl_bg: int,
+    backend: str = "auto",
+) -> jnp.ndarray:
+    """[B, K, C+1] MC mean-softmax categoricals at the candidates only.
+
+    Companion to candidate_reg_stats for BayesConfig.preselect_source=
+    "deterministic": preselection runs on a single deterministic pass, so
+    the N-sample cls work shrinks to the K candidates (paper §III.A's mean
+    softmax, computed exactly where fusion reads it)."""
+    if backend == "auto":
+        backend = "pallas" if jax.default_backend() == "tpu" else "xla"
+    if backend == "xla":
+        samples = candidate_reg_outputs(
+            cls_t_levels, kernel, bias, idx, seed, num_samples, keep_prob,
+            tables,
+        )  # [N, B, K, C+1] logits
+        return jnp.mean(
+            jax.nn.softmax(samples.astype(jnp.float32), axis=-1), axis=0
+        )
+
+    from bayesod_tpu.ops.pallas.candidate_finals import candidate_finals_probs
+
+    b = cls_t_levels[0].shape[0]
+    c = cls_t_levels[0].shape[-1]
+    flat = jnp.concatenate(
+        [t.reshape(b, -1, c) for t in cls_t_levels], axis=1
+    )
+    rows_pm, a_idx = tap_major_rows(idx, tables)
+    return candidate_finals_probs(
         flat, rows_pm, a_idx, kernel, bias, seed, num_samples, keep_prob,
-        tables.k, scale_factors=tuple(scale_factors),
-        log_var_clip=log_var_clip,
+        tables.k, num_classes_incl_bg,
     )

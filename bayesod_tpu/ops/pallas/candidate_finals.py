@@ -73,6 +73,8 @@ def _kernel(
     th_clip: float,
     inv_sw: float,
     inv_sh: float,
+    mode: str,  # "stats" (reg moments) | "probs" (cls mean softmax)
+    group: int,  # lanes per anchor group (8 for reg, C+1 for cls)
 ):
     b_idx = pl.program_id(0)
     k9 = 9 * kp
@@ -103,14 +105,14 @@ def _kernel(
             onehot, chunk_ref[ci % 2], preferred_element_type=jnp.float32
         ).astype(jnp.bfloat16)
 
-    # ---- per-sample finals + stats accumulation --------------------------
+    # ---- per-sample finals + epilogue accumulation -----------------------
     a_idx = aidx_ref[0, 0, :].reshape(kp, 1)  # [Kp, 1]
     lane = jax.lax.broadcasted_iota(jnp.int32, (kp, out_ref.shape[-1]), 1)
     sel_mask = (lane < jnp.int32(cout)) & (
-        lane // 8 == a_idx
+        lane // group == a_idx
     )  # candidate's own anchor lanes
-    # Stats-epilogue lane roles on the 8 selected values (j = lane index).
-    valid8 = lane < 8
+    # Stats-epilogue lane roles on the selected values (j = lane index).
+    valid8 = lane < group
     j2 = valid8 & (lane == 2)
     j3 = valid8 & (lane == 3)
     jlv = valid8 & (lane >= 4)
@@ -148,31 +150,43 @@ def _kernel(
                 preferred_element_type=jnp.float32,
             )
         acc72 = acc72 + b_ref[0][None, :]
-        # Segment-sum the single surviving anchor group into lanes 0..7.
+        # Segment-sum the single surviving anchor group into lanes
+        # [0, group) — each selected lane l lands on lane l % group.
         x8 = jnp.dot(
             jnp.where(sel_mask, acc72, 0.0).astype(jnp.bfloat16),
             s_ref[...],
             preferred_element_type=jnp.float32,
         )
-        x8 = jnp.where(one_lane, 1.0, x8)
-        xc = jnp.where(jlv, jnp.clip(x8, -lv_clip, lv_clip), x8)
-        xc = jnp.where(j2, jnp.minimum(xc, tw_clip) * inv_sw, xc)
-        xc = jnp.where(j3, jnp.minimum(xc, th_clip) * inv_sh, xc)
-        f1 = jnp.dot(
-            x8.astype(jnp.bfloat16), p1_ref[...],
-            preferred_element_type=jnp.float32,
-        )
-        f2 = jnp.dot(
-            x8.astype(jnp.bfloat16), p2_ref[...],
-            preferred_element_type=jnp.float32,
-        )
-        ec = jnp.dot(
-            xc.astype(jnp.bfloat16), e_ref[...],
-            preferred_element_type=jnp.float32,
-        )
-        acc_stats = acc_stats + f1 * f2 * jnp.exp(
-            jnp.clip(ec, -40.0, 40.0)
-        ) * (1.0 / num_samples)
+        if mode == "stats":
+            x8 = jnp.where(one_lane, 1.0, x8)
+            xc = jnp.where(jlv, jnp.clip(x8, -lv_clip, lv_clip), x8)
+            xc = jnp.where(j2, jnp.minimum(xc, tw_clip) * inv_sw, xc)
+            xc = jnp.where(j3, jnp.minimum(xc, th_clip) * inv_sh, xc)
+            f1 = jnp.dot(
+                x8.astype(jnp.bfloat16), p1_ref[...],
+                preferred_element_type=jnp.float32,
+            )
+            f2 = jnp.dot(
+                x8.astype(jnp.bfloat16), p2_ref[...],
+                preferred_element_type=jnp.float32,
+            )
+            ec = jnp.dot(
+                xc.astype(jnp.bfloat16), e_ref[...],
+                preferred_element_type=jnp.float32,
+            )
+            contrib = f1 * f2 * jnp.exp(jnp.clip(ec, -40.0, 40.0))
+        else:  # "probs": softmax over the candidate's (C+1) logits
+            # p1_ref doubles as the group-sum matrix: denom[j] = sum of
+            # lanes [0, group) for every j < group (see host builder).
+            logits = jnp.where(valid8, x8, -jnp.inf)
+            m = jnp.max(logits, axis=1, keepdims=True)
+            e_x = jnp.where(valid8, jnp.exp(logits - m), 0.0)
+            denom = jnp.dot(
+                e_x.astype(jnp.float32), p1_ref[...],
+                preferred_element_type=jnp.float32,
+            )
+            contrib = jnp.where(denom > 0.0, e_x / denom, 0.0)
+        acc_stats = acc_stats + contrib * (1.0 / num_samples)
     out_ref[0] = acc_stats
 
 
@@ -180,10 +194,10 @@ def _kernel(
     jax.jit,
     static_argnames=(
         "num_samples", "keep_prob", "anchors_per_cell", "scale_factors",
-        "log_var_clip", "interpret", "chunk",
+        "log_var_clip", "interpret", "chunk", "mode", "group_size",
     ),
 )
-def candidate_finals_stats(
+def _candidate_finals(
     flat: jnp.ndarray,  # [B, R, C] bf16 trunk row table (levels flattened)
     rows: jnp.ndarray,  # [B, K*9] int32 tap-major window rows (-1 = off-map)
     a_idx: jnp.ndarray,  # [B, K] int32 anchor-in-cell
@@ -197,8 +211,12 @@ def candidate_finals_stats(
     log_var_clip: float = 10.0,
     interpret: Optional[bool] = None,
     chunk: int = 512,
+    mode: str = "stats",
+    group_size: int = 8,
 ) -> jnp.ndarray:
-    """[B, K, REG_STATS] fp32 — see module docstring.
+    """mode="stats": [B, K, REG_STATS] reg moment statistics;
+    mode="probs": [B, K, group_size] mean softmax over each candidate's
+    own (C+1)-logit group. See module docstring.
 
     `rows` must be TAP-MAJOR: rows[b, p*K + k] = window tap p of candidate
     k; off-map taps marked -1 (never matched by the one-hot compare, so
@@ -216,8 +234,8 @@ def candidate_finals_stats(
         raise ValueError(f"pre_cluster_topk {k} must be a multiple of 128")
     rp = _round_up(r, chunk)
     cout = kernel.shape[-1]
-    if cout != anchors_per_cell * 8:
-        raise ValueError("reg cout != anchors_per_cell * 8")
+    if cout != anchors_per_cell * group_size:
+        raise ValueError("cout != anchors_per_cell * group_size")
     cph = 128
     if cout >= cph:
         raise ValueError("anchor groups exceed one lane tile")
@@ -230,8 +248,20 @@ def candidate_finals_stats(
         bias.astype(jnp.float32)
     )
     lanes = np.arange(cph)
-    s_mat = ((lanes[:, None] < cout) & (lanes[None, :] == lanes[:, None] % 8))
-    p1, p2, e = _reg_stat_matrices(1, cph, cph, 8)
+    s_mat = (
+        (lanes[:, None] < cout)
+        & (lanes[None, :] == lanes[:, None] % group_size)
+    )
+    if mode == "stats":
+        p1, p2, e = _reg_stat_matrices(1, cph, cph, 8)
+        p1 = jnp.asarray(p1, jnp.bfloat16)
+        p2 = jnp.asarray(p2, jnp.bfloat16)
+        e = jnp.asarray(e, jnp.bfloat16)
+    else:  # probs: p1 is the fp32 group-sum matrix; p2/e unused (zeros)
+        g = ((lanes[:, None] < group_size) & (lanes[None, :] < group_size))
+        p1 = jnp.asarray(g, jnp.float32)
+        p2 = jnp.zeros((cph, cph), jnp.bfloat16)
+        e = jnp.zeros((cph, cph), jnp.bfloat16)
     from bayesod_tpu.ops.boxes import BBOX_XFORM_CLIP
 
     sx, sy, sw, sh = (float(v) for v in scale_factors)
@@ -254,6 +284,7 @@ def candidate_finals_stats(
             tw_clip=sw * float(BBOX_XFORM_CLIP),
             th_clip=sh * float(BBOX_XFORM_CLIP),
             inv_sw=1.0 / sw, inv_sh=1.0 / sh,
+            mode=mode, group=group_size,
         ),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
@@ -287,8 +318,26 @@ def candidate_finals_stats(
         a_idx.astype(jnp.int32)[:, None, :],
         flat_p, w9, b_pad,
         jnp.asarray(s_mat, jnp.bfloat16),
-        jnp.asarray(p1, jnp.bfloat16),
-        jnp.asarray(p2, jnp.bfloat16),
-        jnp.asarray(e, jnp.bfloat16),
+        p1, p2, e,
     )
-    return out[:, :, :REG_STATS]
+    return out[:, :, : (REG_STATS if mode == "stats" else group_size)]
+
+
+def candidate_finals_stats(*args, **kwargs):
+    """Reg-moment statistics at candidates (mode="stats"); see
+    _candidate_finals."""
+    return _candidate_finals(*args, **kwargs, mode="stats", group_size=8)
+
+
+def candidate_finals_probs(
+    flat, rows, a_idx, kernel, bias, seed, num_samples, keep_prob,
+    anchors_per_cell, group_size, interpret=None, chunk=512,
+):
+    """Mean-softmax class probabilities at candidates (mode="probs"):
+    [B, K, C+1] — the MC categorical (paper §III.A) computed only where
+    fusion reads it."""
+    return _candidate_finals(
+        flat, rows, a_idx, kernel, bias, seed, num_samples, keep_prob,
+        anchors_per_cell, interpret=interpret, chunk=chunk,
+        mode="probs", group_size=group_size,
+    )

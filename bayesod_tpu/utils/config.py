@@ -96,6 +96,15 @@ class BayesConfig:
     num_mc_samples: int = 10
     score_threshold: float = 0.5
     pre_cluster_topk: int = 512  # static k kept after score preselect
+    # Preselection score source (candidates_fused route only):
+    #   "mc_mean" (default) — top-k on the N-sample mean-softmax scores,
+    #     the reference's exact semantics (requires dense MC cls finals);
+    #   "deterministic" — top-k on ONE dropout-off pass; the N-sample mean
+    #     softmax is then computed only at the K candidates (fusion's
+    #     categoricals stay exact MC means — only the *ordering* of
+    #     borderline candidates can differ). Measured 1039.8 vs 799.8
+    #     img/s on v5e (batch 128, 2.08x the design target).
+    preselect_source: str = "mc_mean"
     # TPU-native approximate top-k for the candidate preselect (recall 0.99
     # vs exact; preselection is a heuristic filter). False = exact sort.
     approx_topk: bool = True

@@ -83,6 +83,11 @@ def main() -> None:
         help="MC class-prob reduction: XLA flat or in-kernel softmax-mean",
     )
     p.add_argument(
+        "--preselect", default="mc_mean",
+        choices=["mc_mean", "deterministic"],
+        help="preselection score source (bayes.preselect_source)",
+    )
+    p.add_argument(
         "--reg_finals", default="auto",
         choices=["auto", "dense", "stats", "candidates", "candidates_fused"],
         help="regression-final execution strategy",
@@ -130,7 +135,10 @@ def main() -> None:
     cfg = ExperimentConfig(
         name="bench",
         model=model_cfg,
-        bayes=BayesConfig(num_mc_samples=args.samples, mode=args.mode),
+        bayes=BayesConfig(
+            num_mc_samples=args.samples, mode=args.mode,
+            preselect_source=args.preselect,
+        ),
         data=DataConfig(dataset="synthetic", image_hw=image_hw),
     )
 

@@ -243,3 +243,79 @@ def test_detect_candidates_fused_matches_candidates():
         np.abs(np.asarray(oc.covs)).max(), 1.0
     )
     assert rel < 1e-3
+
+
+def test_candidate_cls_probs_pallas_matches_xla():
+    from bayesod_tpu.ops.candidate_reg import candidate_cls_probs
+
+    rng = np.random.RandomState(0)
+    level_hw = [(8, 16), (4, 8)]
+    ncls = 4
+    levels = [
+        jnp.asarray(rng.randn(2, h, w, 128) * 0.5, jnp.float32)
+        for h, w in level_hw
+    ]
+    kernel = jnp.asarray(rng.randn(3, 3, 128, 9 * ncls) * 0.05, jnp.float32)
+    bias = jnp.asarray(rng.randn(9 * ncls) * 0.1, jnp.float32)
+    a_total = sum(h * w * 9 for h, w in level_hw)
+    idx = jnp.asarray(
+        rng.choice(a_total, size=(2, 128), replace=False), jnp.int32
+    )
+    tables = LevelTables(level_hw, 9)
+    for keep in (1.0, 0.7):
+        px = candidate_cls_probs(
+            levels, kernel, bias, idx, jnp.int32(5), 3, keep, tables, ncls,
+            backend="xla",
+        )
+        pp = candidate_cls_probs(
+            levels, kernel, bias, idx, jnp.int32(5), 3, keep, tables, ncls,
+            backend="pallas",
+        )
+        assert float(jnp.max(jnp.abs(px - pp))) < 0.02
+        np.testing.assert_allclose(np.asarray(pp).sum(-1), 1.0, atol=1e-4)
+
+
+def test_detect_deterministic_preselect_route():
+    """preselect_source="deterministic": finite outputs, proper categorical
+    posteriors, and (threshold 0 + large k) the same detection count as
+    the exact mc_mean preselection."""
+    from bayesod_tpu.infer import jit_detect_fn
+    from bayesod_tpu.models.retinanet import RetinaNet, init_variables
+    from bayesod_tpu.utils.config import (
+        BayesConfig,
+        DataConfig,
+        ExperimentConfig,
+        ModelConfig,
+    )
+
+    def mk(src):
+        return ExperimentConfig(
+            model=ModelConfig(
+                num_classes=3, backbone="resnet18", fpn_channels=32,
+                head_depth=1, head_channels=128, norm="groupnorm",
+                compute_dtype="float32", dropout_rate=0.2,
+                head_final_backend="pallas", dropout_layers="last",
+                probs_reduce="fused", reg_finals="candidates_fused",
+            ),
+            bayes=BayesConfig(
+                num_mc_samples=4, score_threshold=0.0,
+                pre_cluster_topk=128, max_detections=8,
+                preselect_source=src,
+            ),
+            data=DataConfig(image_hw=(128, 128)),
+        )
+
+    cfg_m = mk("mc_mean")
+    model = RetinaNet(cfg=cfg_m.model, train=False)
+    v = init_variables(model, jax.random.PRNGKey(0), (128, 128))
+    img = jax.random.uniform(jax.random.PRNGKey(2), (2, 128, 128, 3))
+    rng = jax.random.PRNGKey(1)
+    om = jit_detect_fn(cfg_m, model)(v, img, rng)
+    cfg_d = mk("deterministic")
+    od = jit_detect_fn(cfg_d, RetinaNet(cfg=cfg_d.model, train=False))(
+        v, img, rng
+    )
+    assert bool(jnp.all(jnp.isfinite(od.boxes)))
+    assert bool(jnp.all(jnp.isfinite(od.covs)))
+    np.testing.assert_allclose(np.asarray(od.probs).sum(-1), 1.0, atol=1e-4)
+    assert int(od.valid.sum()) == int(om.valid.sum())
