@@ -24,13 +24,27 @@ def test_entry_traces_and_shapes():
 
 @pytest.mark.slow
 def test_dryrun_multichip_subprocess():
-    """Run the dryrun exactly as the driver would (fresh process, 8 devices)."""
+    """Run the dryrun exactly as the driver would: a fresh process that
+    IMPORTS the module and calls dryrun_multichip(8) directly — no __main__
+    path, no CPU pre-forcing, no JAX_PLATFORMS/XLA_FLAGS in the env. The
+    function itself must force the virtual 8-device CPU mesh (round-1
+    MULTICHIP failure mode)."""
+    env = {
+        k: v
+        for k, v in os.environ.items()
+        if k not in ("JAX_PLATFORMS", "XLA_FLAGS", "GRAFT_DRYRUN_KEEP_PLATFORM")
+    }
     r = subprocess.run(
-        [sys.executable, os.path.join(REPO, "__graft_entry__.py"), "8"],
+        [
+            sys.executable,
+            "-c",
+            "import __graft_entry__; __graft_entry__.dryrun_multichip(8)",
+        ],
         capture_output=True,
         text=True,
         timeout=900,
         cwd=REPO,
+        env=env,
     )
     assert r.returncode == 0, r.stderr[-2000:]
     assert "dryrun_multichip(8) OK" in r.stdout
