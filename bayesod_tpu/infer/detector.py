@@ -178,24 +178,59 @@ def _postprocess_posteriors(
     )
 
 
-def _reg_route(cfg, images) -> str:
+def _candidate_fused_ok(cfg, anchors_per_cell: int = 9) -> bool:
+    """Shape constraints of ops/pallas/candidate_finals._candidate_finals:
+    K must tile the 128-lane dim exactly, and under deterministic preselect
+    the per-candidate class groups (anchors_per_cell * (C+1) lanes) must fit
+    one lane tile."""
+    if cfg.bayes.pre_cluster_topk % 128 != 0:
+        return False
+    if (
+        cfg.bayes.preselect_source == "deterministic"
+        and anchors_per_cell * (cfg.model.num_classes + 1) >= 128
+    ):
+        return False
+    return True
+
+
+def _reg_route(cfg, images, anchors_per_cell: int = 9) -> str:
     """Resolve ModelConfig.reg_finals at trace time (ModelConfig docstring
     for the measured trade-offs). Sample-axis mesh sharding
     (build_detect_fn mesh arg) always uses the dense route — the reduced
-    paths have no shardable sample tensor."""
+    paths have no shardable sample tensor.
+
+    The reduced routes (stats/candidates/candidates_fused) build on
+    deterministic head trunks with dropout only at the final conv, so they
+    require dropout_layers='last' — with 'all' they would silently compute
+    an under-dispersed MC posterior. 'auto' falls back to 'dense' (which
+    supports every dropout placement); explicit reduced modes raise,
+    mirroring mc_forward's pallas guard."""
     mode = cfg.model.reg_finals
+    dropout_last = cfg.model.dropout_layers == "last"
     pallas_ok = (
         cfg.model.head_final_backend in ("auto", "pallas")
         and jax.default_backend() == "tpu"
-        and cfg.model.dropout_layers == "last"
-    ) or cfg.model.head_final_backend == "pallas"
+        and dropout_last
+    )
     if mode == "auto":
         return (
             "candidates_fused"
-            if (pallas_ok and images.shape[0] >= 8)
+            if (
+                pallas_ok
+                and images.shape[0] >= 8
+                and _candidate_fused_ok(cfg, anchors_per_cell)
+            )
             else "dense"
         )
-    if mode in ("dense", "candidates", "candidates_fused", "stats"):
+    if mode in ("candidates", "candidates_fused", "stats"):
+        if not dropout_last:
+            raise ValueError(
+                f"reg_finals='{mode}' requires dropout_layers='last' "
+                "(the reduced routes apply dropout only at the final conv; "
+                "with 'all' they would silently drop trunk dropout)"
+            )
+        return mode
+    if mode == "dense":
         return mode
     raise ValueError(f"unknown reg_finals '{mode}'")
 
@@ -259,7 +294,7 @@ def build_detect_fn(
             logits, deltas, log_vars = single_forward(model, variables, images)
             probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
             deltas, log_vars = deltas[None], log_vars[None]  # N=1 sample axis
-        elif mesh is None and _reg_route(cfg, images) == "stats":
+        elif mesh is None and _reg_route(cfg, images, model.anchors_per_cell) == "stats":
             # In-kernel moment accumulation on both heads: no per-sample
             # tensor reaches HBM (models.retinanet.mc_forward_stats).
             from bayesod_tpu.models.retinanet import mc_forward_stats
@@ -284,7 +319,7 @@ def build_detect_fn(
 
             fused = jax.vmap(per_image_stats)(probs, stats)
             return _as_detections(fused, cfg.data.image_hw)
-        elif mesh is None and _reg_route(cfg, images) == "candidates_fused":
+        elif mesh is None and _reg_route(cfg, images, model.anchors_per_cell) == "candidates_fused":
             # Fully-fused candidate finals (ops/pallas/candidate_finals.py):
             # gather + masks + finals + moment stats in one kernel; moments
             # reconstructed via moments_from_stats.
@@ -348,7 +383,7 @@ def build_detect_fn(
 
             fused = jax.vmap(per_image_cs)(probs, idx, valid_sel, cand_stats)
             return _as_detections(fused, cfg.data.image_hw)
-        elif mesh is None and _reg_route(cfg, images) == "candidates":
+        elif mesh is None and _reg_route(cfg, images, model.anchors_per_cell) == "candidates":
             # Candidates-only reg finals: per-sample reg outputs exist ONLY
             # at the preselected anchors (models.retinanet.
             # mc_forward_candidates) — the dense [N, B, A, 8] tensors never

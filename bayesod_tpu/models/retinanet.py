@@ -177,6 +177,13 @@ def mc_forward_probs(
     if reduce == "auto":
         reduce = "fused" if images.shape[0] >= 8 else "flat"
     if backend == "pallas" and reduce == "fused":
+        if model.cfg.dropout_layers != "last":
+            # Mirrors mc_forward's guard: the fused kernels apply dropout
+            # only at the final conv, so with 'all' this branch would
+            # silently compute an under-dispersed MC posterior.
+            raise ValueError(
+                "head_final_backend='pallas' requires dropout_layers='last'"
+            )
         feats = model.apply(variables, images, method=RetinaNet.features)
         return _mc_heads_fused(
             model, variables, feats, rng, num_samples, reduce_probs=True
@@ -591,17 +598,22 @@ def mc_forward_candidates_det(
 
     def presel(s):
         if approx_topk:
-            top, idx = jax.lax.approx_max_k(s, topk, recall_target=0.99)
+            _, idx = jax.lax.approx_max_k(s, topk, recall_target=0.99)
         else:
-            top, idx = jax.lax.top_k(s, topk)
-        return idx, top >= score_threshold
+            _, idx = jax.lax.top_k(s, topk)
+        return idx
 
-    idx, valid = jax.vmap(presel)(scores)
+    idx = jax.vmap(presel)(scores)
 
     cand_probs = candidate_cls_probs(
         list(cls_t), cls_k, cls_b, idx, seed0 + jnp.int32(104729),
         num_samples, keep, tables, n_cls,
     )
+    # Validity gate on the MC-MEAN categorical (the statistic fusion
+    # consumes), not the deterministic preselect scores: only the top-k
+    # MEMBERSHIP depends on the deterministic pass, so the hard score gate
+    # admits/drops exactly the same detections as the mc_mean path.
+    valid = jnp.max(cand_probs[..., 1:], axis=-1) >= score_threshold
     cand_stats = candidate_reg_stats(
         list(reg_t), reg_k, reg_b, idx, seed0 + jnp.int32(7919),
         num_samples, keep, tables,

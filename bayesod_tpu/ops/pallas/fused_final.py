@@ -265,12 +265,17 @@ def _kernel_probs(
     HBM-bound, bytes are the budget).
 
     Grouped softmax without minor-dim reshapes: channels are k anchors x
-    (C+1) classes packed in the lane dim; exp(logits - rowmax) is summed
-    per group by ONE [Cp, Cp] matmul with a block-diagonal 0/1 matrix
-    (rowmax is shared by every group in the row, so it cancels per group).
+    (C+1) classes packed in the lane dim; exp(logits - groupmax) is summed
+    per group by ONE [Cp, Cp] matmul with a block-diagonal 0/1 matrix.
+    The max is PER GROUP (a static loop of masked maxes over the k groups),
+    not per row: a shared row max cancels mathematically but underflows a
+    group sitting ~88+ logits below the row's hottest anchor, emitting an
+    all-zero "categorical" for that group. With the per-group max the
+    group's own max lane is exp(0)=1, so every valid group's denom >= 1.
     Padded lanes carry garbage and are masked to zero; the host slices them
     off."""
     cout = kw.pop("cout")
+    group_size = kw.pop("group_size")
     b_idx = pl.program_id(0)
     n_idx = pl.program_id(2)
     nn = pl.num_programs(2)
@@ -289,7 +294,16 @@ def _kernel_probs(
     lane = jax.lax.broadcasted_iota(jnp.int32, accf.shape, 1)
     valid = lane < jnp.int32(cout)
     x = jnp.where(valid, accf, -jnp.inf)
-    m = jnp.max(x, axis=1, keepdims=True)  # per-row max, cancels per group
+    # Per-group max: k = cout // group_size masked row reductions (VPU cost
+    # negligible next to the conv matmul), broadcast back to the group's
+    # lanes. Exact grouped softmax even for groups far below the row max.
+    m = jnp.zeros_like(accf)
+    for g in range(cout // group_size):
+        gmask = (lane >= g * group_size) & (lane < (g + 1) * group_size)
+        m_g = jnp.max(
+            jnp.where(gmask, x, -jnp.inf), axis=1, keepdims=True
+        )
+        m = jnp.where(gmask, m_g, m)
     e = jnp.where(valid, jnp.exp(x - m), 0.0)
     denom = jnp.dot(e, g_ref[...], preferred_element_type=jnp.float32)
     probs = jnp.where(denom > 0.0, e / denom, 0.0)
@@ -665,6 +679,7 @@ def dropout_final_probs(
     if cout % group_size:
         raise ValueError(f"cout {cout} not divisible by C+1={group_size}")
     kernel_kw["cout"] = cout
+    kernel_kw["group_size"] = group_size
     # Block-diagonal group-sum matrix: denom = exp(logits) @ G gives every
     # channel its anchor-group's softmax normalizer in one MXU op.
     lanes = np.arange(cp)

@@ -164,3 +164,88 @@ class TestDetectEndToEnd:
         o1 = detect(variables, images, jax.random.PRNGKey(1))
         o2 = detect(variables, images, jax.random.PRNGKey(2))
         np.testing.assert_allclose(np.array(o1.boxes), np.array(o2.boxes))
+
+
+class TestRegRouteGuards:
+    """ADVICE r1: reduced reg routes must not silently drop trunk dropout,
+    and 'auto' must respect the fused kernel's shape constraints."""
+
+    def _cfg(self, **model_kw):
+        import dataclasses
+
+        cfg = tiny_config()
+        return dataclasses.replace(
+            cfg, model=dataclasses.replace(cfg.model, **model_kw)
+        )
+
+    @pytest.mark.parametrize("mode", ["stats", "candidates", "candidates_fused"])
+    def test_explicit_reduced_mode_rejects_dropout_all(self, mode):
+        from bayesod_tpu.infer.detector import _reg_route
+
+        cfg = self._cfg(reg_finals=mode, dropout_layers="all")
+        with pytest.raises(ValueError, match="dropout_layers='last'"):
+            _reg_route(cfg, jnp.zeros((8, 128, 128, 3)))
+
+    def test_auto_with_dropout_all_falls_back_to_dense(self):
+        from bayesod_tpu.infer.detector import _reg_route
+
+        cfg = self._cfg(
+            reg_finals="auto", dropout_layers="all",
+            head_final_backend="pallas",
+        )
+        assert _reg_route(cfg, jnp.zeros((8, 128, 128, 3))) == "dense"
+
+    def test_auto_falls_back_when_topk_not_lane_multiple(self):
+        import dataclasses
+
+        from bayesod_tpu.infer.detector import _candidate_fused_ok
+
+        cfg = self._cfg()
+        bad = dataclasses.replace(
+            cfg, bayes=dataclasses.replace(cfg.bayes, pre_cluster_topk=500)
+        )
+        ok = dataclasses.replace(
+            cfg, bayes=dataclasses.replace(cfg.bayes, pre_cluster_topk=512)
+        )
+        assert not _candidate_fused_ok(bad)
+        assert _candidate_fused_ok(ok)
+
+    def test_auto_falls_back_when_class_groups_blow_lane_budget(self):
+        import dataclasses
+
+        from bayesod_tpu.infer.detector import _candidate_fused_ok
+
+        cfg = self._cfg(num_classes=14)  # 9 * 15 = 135 >= 128 lanes
+        det = dataclasses.replace(
+            cfg,
+            bayes=dataclasses.replace(
+                cfg.bayes, pre_cluster_topk=128,
+                preselect_source="deterministic",
+            ),
+        )
+        assert not _candidate_fused_ok(det)
+        mc = dataclasses.replace(
+            det, bayes=dataclasses.replace(det.bayes, preselect_source="mc_mean")
+        )
+        assert _candidate_fused_ok(mc)  # mc_mean path: reg groups only (72 lanes)
+
+    def test_mc_forward_probs_explicit_pallas_rejects_dropout_all(self):
+        from bayesod_tpu.models.retinanet import (
+            RetinaNet,
+            init_variables,
+            mc_forward_probs,
+        )
+
+        cfg = self._cfg(
+            dropout_layers="all", head_final_backend="pallas",
+            probs_reduce="fused",
+        )
+        model = RetinaNet(cfg=cfg.model, train=False)
+        variables = init_variables(
+            model, jax.random.PRNGKey(0), cfg.data.image_hw
+        )
+        with pytest.raises(ValueError, match="dropout_layers='last'"):
+            mc_forward_probs(
+                model, variables, jnp.ones((1, 128, 128, 3)),
+                jax.random.PRNGKey(1), 2,
+            )

@@ -280,3 +280,29 @@ def test_int8_with_dropout_same_masks():
         interpret=True, dtype="int8",
     )
     np.testing.assert_array_equal(np.asarray(a) == 0, np.asarray(b) == 0)
+
+
+def test_probs_kernel_per_group_max_survives_cold_groups():
+    """ADVICE r1: a group sitting ~200 logits below the row's hottest anchor
+    must still get its own exact softmax (the old shared row max underflowed
+    every lane of the cold group to an all-zero 'categorical')."""
+    from bayesod_tpu.ops.pallas.fused_final import dropout_final_probs
+
+    K, GS, CIN = 9, 4, 128
+    x = jnp.zeros((1, 8, 8, CIN))
+    kernel = jnp.zeros((3, 3, CIN, K * GS))
+    # Group 0 sits at +200; group 5 at -5..+2 (≈207 below): exp underflows
+    # against a shared max.
+    bias = np.zeros(K * GS, np.float32)
+    bias[0:GS] = 200.0
+    bias[5 * GS : 6 * GS] = [-5.0, 0.0, 2.0, 1.0]
+    got = np.asarray(
+        dropout_final_probs(
+            x, kernel, jnp.asarray(bias), jnp.int32(3), 2, 1.0, GS,
+            interpret=True,
+        )
+    ).reshape(1, 8, 8, K, GS)
+    sums = got.sum(-1)
+    np.testing.assert_allclose(sums, 1.0, atol=1e-5)  # incl. the cold group
+    e = np.exp(bias[5 * GS : 6 * GS] - bias[5 * GS : 6 * GS].max())
+    np.testing.assert_allclose(got[0, 0, 0, 5], e / e.sum(), atol=1e-5)
