@@ -89,3 +89,39 @@ class BddDataset:
             "classes": np.asarray(classes, np.int32),
             "id": os.path.splitext(rec["name"])[0],
         }
+
+    def example_id(self, index: int) -> str:
+        return os.path.splitext(self.records[index]["name"])[0]
+
+    def ground_truth(self, index: int) -> Dict:
+        """Eval-grade GT from the in-memory label JSON — no pixel decode.
+        Image size comes from the JPEG header when the file exists, else the
+        official BDD100K frame size (720x1280)."""
+        rec = self.records[index]
+        boxes, classes = [], []
+        for label in rec.get("labels", []):
+            cid = BDD_CLASS_TO_ID.get(label.get("category", ""))
+            box2d = label.get("box2d")
+            if cid is None or box2d is None:
+                continue
+            boxes.append([box2d["x1"], box2d["y1"], box2d["x2"], box2d["y2"]])
+            classes.append(cid)
+        path = self.image_path(index)
+        if os.path.exists(path):
+            from PIL import Image
+
+            with Image.open(path) as im:
+                w, h = im.size
+            hw = (h, w)
+        else:
+            hw = (720, 1280)
+        return {
+            "boxes": (
+                np.asarray(boxes, np.float32)
+                if boxes
+                else np.zeros((0, 4), np.float32)
+            ),
+            "classes": np.asarray(classes, np.int32),
+            "hw": hw,
+            "annotations": None,
+        }

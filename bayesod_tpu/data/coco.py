@@ -79,3 +79,37 @@ class CocoDataset:
             "classes": np.asarray(classes, np.int32),
             "id": str(info["id"]),
         }
+
+    def example_id(self, index: int) -> str:
+        return str(self.images[index]["id"])
+
+    def ground_truth(self, index: int) -> Dict:
+        """Eval-grade GT from the in-memory annotation index — no pixel
+        decode. Image size comes from the instances JSON (standard fields),
+        falling back to a header read."""
+        info = self.images[index]
+        boxes, classes = [], []
+        for a in self._annos_by_image.get(info["id"], []):
+            x, y, w, h = a["bbox"]
+            if w <= 0 or h <= 0:
+                continue
+            boxes.append([x, y, x + w, y + h])
+            classes.append(self._cat_remap[a["category_id"]])
+        if "height" in info and "width" in info:
+            hw = (int(info["height"]), int(info["width"]))
+        else:
+            from PIL import Image
+
+            with Image.open(self.image_path(index)) as im:
+                w_, h_ = im.size
+            hw = (h_, w_)
+        return {
+            "boxes": (
+                np.asarray(boxes, np.float32)
+                if boxes
+                else np.zeros((0, 4), np.float32)
+            ),
+            "classes": np.asarray(classes, np.int32),
+            "hw": hw,
+            "annotations": None,
+        }

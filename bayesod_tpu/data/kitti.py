@@ -163,6 +163,32 @@ class KittiDataset:
             os.path.join(self.label_dir, f"{self.ids[index]}.txt")
         )
 
+    def example_id(self, index: int) -> str:
+        """Record id without touching image or label files."""
+        return self.ids[index]
+
+    def ground_truth(self, index: int) -> Dict:
+        """Eval-grade GT: ONE label parse, image size from the PNG header
+        (PIL reads dimensions lazily — no pixel decode). Returns
+        dict(boxes [G,4], classes [G], hw (H, W), annotations) where
+        `annotations` is the full parsed list incl. ignored rows for
+        difficulty gating."""
+        from PIL import Image
+
+        annos = self.annotations(index)
+        fg = [a for a in annos if a.class_id > 0]
+        boxes = (
+            np.stack([a.box for a in fg]) if fg else np.zeros((0, 4), np.float32)
+        )
+        with Image.open(self.image_path(index)) as im:
+            w, h = im.size
+        return {
+            "boxes": boxes.astype(np.float32),
+            "classes": np.array([a.class_id for a in fg], np.int32),
+            "hw": (h, w),
+            "annotations": annos,
+        }
+
 
 def write_kitti_results(
     records,

@@ -165,6 +165,8 @@ def make_dataset(data_cfg, split: str = "train"):
         from bayesod_tpu.data.synthetic import SyntheticDataset
 
         return SyntheticDataset(
-            image_hw=data_cfg.image_hw, seed=0 if split == "train" else 1
+            size=getattr(data_cfg, "synthetic_size", 512),
+            image_hw=data_cfg.image_hw,
+            seed=0 if split == "train" else 1,
         )
     raise ValueError(f"unknown dataset '{name}'")

@@ -66,3 +66,19 @@ class SyntheticDataset:
             "classes": np.asarray(classes, np.int32),
             "id": f"synthetic_{index:06d}",
         }
+
+    def example_id(self, index: int) -> str:
+        return f"synthetic_{index:06d}"
+
+    def ground_truth(self, index: int) -> Dict:
+        """GT without the image. The box draws are interleaved with the
+        background-noise draw in example()'s RNG stream, so this reuses
+        example() (pure procedural compute, no IO) rather than changing the
+        stream and invalidating every recorded synthetic-run metric."""
+        ex = self.example(index)
+        return {
+            "boxes": ex["boxes"],
+            "classes": ex["classes"],
+            "hw": self.image_hw,
+            "annotations": None,
+        }

@@ -136,6 +136,7 @@ class DataConfig:
     # Static padded shape; must divide 2^max_level (fixed shapes for XLA).
     image_hw: Tuple[int, int] = (384, 1280)
     max_gt_boxes: int = 64  # GT padded to fixed count per image
+    synthetic_size: int = 512  # examples per split for dataset="synthetic"
     augment_flip: bool = True
     mean: Tuple[float, float, float] = (0.485, 0.456, 0.406)
     std: Tuple[float, float, float] = (0.229, 0.224, 0.225)
