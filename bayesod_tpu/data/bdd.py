@@ -67,7 +67,7 @@ class BddDataset:
 
     def example(self, index: int) -> Dict[str, np.ndarray]:
         """dict(image uint8 [H,W,3], boxes fp32 [G,4], classes int32 [G], id)."""
-        from PIL import Image
+        from bayesod_tpu.data.loader import load_image_rgb
 
         rec = self.records[index]
         boxes, classes = [], []
@@ -78,7 +78,7 @@ class BddDataset:
                 continue
             boxes.append([box2d["x1"], box2d["y1"], box2d["x2"], box2d["y2"]])
             classes.append(cid)
-        image = np.asarray(Image.open(self.image_path(index)).convert("RGB"))
+        image = load_image_rgb(self.image_path(index))
         return {
             "image": image,
             "boxes": (

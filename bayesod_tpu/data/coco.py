@@ -57,7 +57,7 @@ class CocoDataset:
         return os.path.join(self.root, self.split, self.images[index]["file_name"])
 
     def example(self, index: int) -> Dict[str, np.ndarray]:
-        from PIL import Image
+        from bayesod_tpu.data.loader import load_image_rgb
 
         info = self.images[index]
         annos = self._annos_by_image.get(info["id"], [])
@@ -68,7 +68,7 @@ class CocoDataset:
                 continue
             boxes.append([x, y, x + w, y + h])
             classes.append(self._cat_remap[a["category_id"]])
-        image = np.asarray(Image.open(self.image_path(index)).convert("RGB"))
+        image = load_image_rgb(self.image_path(index))
         return {
             "image": image,
             "boxes": (

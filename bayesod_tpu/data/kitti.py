@@ -140,13 +140,13 @@ class KittiDataset:
         them from training targets too); eval reads annotations directly for
         difficulty gating.
         """
-        from PIL import Image
+        from bayesod_tpu.data.loader import load_image_rgb
 
         annos = parse_label_file(
             os.path.join(self.label_dir, f"{self.ids[index]}.txt")
         )
         fg = [a for a in annos if a.class_id > 0]
-        image = np.asarray(Image.open(self.image_path(index)).convert("RGB"))
+        image = load_image_rgb(self.image_path(index))
         boxes = (
             np.stack([a.box for a in fg]) if fg else np.zeros((0, 4), np.float32)
         )

@@ -18,6 +18,8 @@ which keeps the framework standalone and the failure modes inspectable.
 
 from __future__ import annotations
 
+import collections
+import concurrent.futures
 import queue
 import threading
 from typing import Dict, Iterator, Optional, Sequence
@@ -25,6 +27,27 @@ from typing import Dict, Iterator, Optional, Sequence
 import numpy as np
 
 from bayesod_tpu.data.preprocess import prepare_example
+
+
+def load_image_rgb(path: str) -> np.ndarray:
+    """Decode an image file to uint8 RGB [H,W,3].
+
+    Prefers cv2 (SIMD libpng/libjpeg-turbo, releases the GIL for the whole
+    decode) and falls back to PIL. This is the host pipeline's hot function:
+    at the flagship device rate (~800-1000 img/s/chip) decode throughput is
+    the input-pipeline budget (SURVEY.md §7 hard part (e); measured rates in
+    DESIGN.md "host input pipeline")."""
+    try:
+        import cv2
+
+        img = cv2.imread(path, cv2.IMREAD_COLOR)
+        if img is not None:
+            return cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
+    except ImportError:
+        pass
+    from PIL import Image
+
+    return np.asarray(Image.open(path).convert("RGB"))
 
 
 class Loader:
@@ -73,53 +96,76 @@ class Loader:
             np.random.default_rng(self.seed + epoch).shuffle(order)
         return order
 
+    def _batch_indices(self):
+        """Yields per-batch index arrays across epochs (full batches only)."""
+        epoch = 0
+        while self.num_epochs is None or epoch < self.num_epochs:
+            order = self._epoch_order(epoch)
+            n_batches = len(order) // self.batch_size
+            for b in range(n_batches):
+                yield order[b * self.batch_size : (b + 1) * self.batch_size]
+            epoch += 1
+
+    def _prep(self, idx: int):
+        return prepare_example(
+            self.dataset.example(int(idx)), self.image_hw, self.max_gt_boxes
+        )
+
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
+        """PERSISTENT worker pool + cross-batch lookahead.
+
+        Round-1 spawned one fresh thread per example per batch (128 spawns/
+        batch at the bench batch size) and issued no decode work for batch
+        k+1 until batch k was fully assembled. Now `num_workers` threads
+        live for the whole iteration (ThreadPoolExecutor; PIL/cv2 release
+        the GIL during decode), and the producer keeps `prefetch + 1`
+        batches' example futures in flight, so workers never drain while a
+        finished batch waits in the queue."""
+        if self.num_workers <= 1:
+            yield from self._iter_serial()
+            return
+
         out_q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()
+        pool = concurrent.futures.ThreadPoolExecutor(
+            max_workers=self.num_workers, thread_name_prefix="loader"
+        )
 
         def produce():
-            epoch = 0
             try:
-                while self.num_epochs is None or epoch < self.num_epochs:
-                    order = self._epoch_order(epoch)
-                    n_batches = len(order) // self.batch_size
-                    for b in range(n_batches):
-                        if stop.is_set():
-                            return
-                        idx = order[b * self.batch_size : (b + 1) * self.batch_size]
-                        out_q.put(self._build_batch(idx))
-                    epoch += 1
+                pending: "collections.deque" = collections.deque()
+                gen = self._batch_indices()
+                exhausted = False
+                while True:
+                    while not exhausted and len(pending) <= self.prefetch:
+                        try:
+                            idx = next(gen)
+                        except StopIteration:
+                            exhausted = True
+                            break
+                        pending.append(
+                            [pool.submit(self._prep, i) for i in idx]
+                        )
+                    if not pending:
+                        break
+                    if stop.is_set():
+                        return
+                    examples = [f.result() for f in pending.popleft()]
+                    out_q.put(self._stack_batch(examples))
+            except BaseException:
+                # Consumer-initiated teardown cancels in-flight futures;
+                # anything else is a real error worth the traceback.
+                if not stop.is_set():
+                    raise
             finally:
-                out_q.put(None)  # sentinel
-
-        def _worker(i, idx, slots):
-            slots[i] = prepare_example(
-                self.dataset.example(int(idx)), self.image_hw, self.max_gt_boxes
-            )
-
-        def build_serial(indices):
-            return [
-                prepare_example(
-                    self.dataset.example(int(i)), self.image_hw, self.max_gt_boxes
-                )
-                for i in indices
-            ]
-
-        def build_threaded(indices):
-            slots = [None] * len(indices)
-            threads = [
-                threading.Thread(target=_worker, args=(i, idx, slots))
-                for i, idx in enumerate(indices)
-            ]
-            for t in threads:
-                t.start()
-            for t in threads:
-                t.join()
-            return slots
-
-        self._build_examples = (
-            build_threaded if self.num_workers > 1 else build_serial
-        )
+                # Sentinel: never block forever if the consumer is gone.
+                while True:
+                    try:
+                        out_q.put(None, timeout=0.1)
+                        break
+                    except queue.Full:
+                        if stop.is_set():
+                            break
 
         producer = threading.Thread(target=produce, daemon=True)
         producer.start()
@@ -134,9 +180,13 @@ class Loader:
             # Drain so the producer's blocked put() can observe `stop`.
             while not out_q.empty():
                 out_q.get_nowait()
+            pool.shutdown(wait=False, cancel_futures=True)
 
-    def _build_batch(self, indices: Sequence[int]) -> Dict[str, np.ndarray]:
-        examples = self._build_examples(indices)
+    def _iter_serial(self) -> Iterator[Dict[str, np.ndarray]]:
+        for idx in self._batch_indices():
+            yield self._stack_batch([self._prep(i) for i in idx])
+
+    def _stack_batch(self, examples: Sequence[Dict]) -> Dict[str, np.ndarray]:
         return {
             "image": np.stack([e["image"] for e in examples]),
             "gt_boxes": np.stack([e["gt_boxes"] for e in examples]),

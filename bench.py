@@ -59,6 +59,22 @@ def main() -> None:
         help="measure the training step instead of inference",
     )
     p.add_argument(
+        "--loader", action="store_true",
+        help="measure host input-pipeline throughput (no TPU touched)",
+    )
+    p.add_argument(
+        "--loader_format", default="png", choices=["png", "jpg"],
+        help="on-disk image codec for --loader (KITTI ships PNG, BDD JPEG)",
+    )
+    p.add_argument(
+        "--loader_images", type=int, default=192,
+        help="distinct images materialized for --loader",
+    )
+    p.add_argument(
+        "--workers", type=int, default=8,
+        help="loader decode threads (--loader)",
+    )
+    p.add_argument(
         # int8 default: the fused final convs quantize with dynamic
         # activation + per-channel weight scales (<=3% relative logit error,
         # identical dropout masks — pinned by tests/test_fused_final.py);
@@ -93,6 +109,10 @@ def main() -> None:
         help="regression-final execution strategy",
     )
     args = p.parse_args()
+
+    if args.loader:
+        _bench_loader(args)
+        return
 
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
@@ -260,6 +280,88 @@ def _bench_train(cfg, args) -> None:
     }
     print(
         f"[bench] train batch={args.batch} step_latency={per_batch * 1e3:.1f}ms",
+        file=sys.stderr,
+    )
+    print(json.dumps(result))
+
+
+def _bench_loader(args) -> None:
+    """Host input-pipeline throughput (SURVEY.md §7 hard part (e)): decode
+    KITTI-sized frames from a tmpfs-backed on-disk dataset through the real
+    Loader (persistent pool, cross-batch lookahead) and report img/s.
+
+    The budget is the DEVICE rate (~800 img/s/chip at the round-1 default),
+    so vs_baseline here is loader_rate / 800 — >= 1.0 means the host can
+    feed one chip. Images are synthetic street-scene-complexity rectangles
+    over mild noise (realistic PNG/JPEG entropy, not worst-case noise)."""
+    import shutil
+
+    from bayesod_tpu.data import Loader
+    from bayesod_tpu.data.kitti import KittiDataset
+
+    hw = (375, 1242)  # native KITTI frame
+    root = f"/tmp/bayesod_loader_bench_{args.loader_format}"
+    image_dir = os.path.join(root, "training", "image_2")
+    label_dir = os.path.join(root, "training", "label_2")
+    marker = os.path.join(root, f"ok_{args.loader_images}_{hw[0]}x{hw[1]}")
+    if not os.path.exists(marker):
+        shutil.rmtree(root, ignore_errors=True)
+        os.makedirs(image_dir)
+        os.makedirs(label_dir)
+        import cv2
+
+        rng = np.random.default_rng(0)
+        ext = args.loader_format
+        t0 = time.time()
+        for i in range(args.loader_images):
+            img = rng.integers(0, 50, (*hw, 3), dtype=np.uint8)
+            for _ in range(6):
+                x1, y1 = rng.integers(0, hw[1] - 200), rng.integers(0, hw[0] - 120)
+                w, h = rng.integers(40, 200), rng.integers(30, 120)
+                img[y1 : y1 + h, x1 : x1 + w] = rng.integers(
+                    0, 255, 3, dtype=np.uint8
+                )
+            cv2.imwrite(os.path.join(image_dir, f"{i:06d}.{ext}"), img)
+            with open(os.path.join(label_dir, f"{i:06d}.txt"), "w") as f:
+                f.write(
+                    "Car 0.0 0 -10 100.0 150.0 300.0 250.0 -1 -1 -1 "
+                    "-1000 -1000 -1000 -10\n"
+                )
+        open(marker, "w").close()
+        print(
+            f"[bench] materialized {args.loader_images} {ext} frames "
+            f"in {time.time() - t0:.1f}s",
+            file=sys.stderr,
+        )
+
+    ds = KittiDataset(root)
+    if args.loader_format == "jpg":
+        ds_ext_dir = image_dir  # KittiDataset assumes .png paths
+        ds.image_path = lambda i: os.path.join(ds_ext_dir, f"{ds.ids[i]}.jpg")
+    loader = Loader(
+        ds, batch_size=args.batch, image_hw=(384, 1280),
+        max_gt_boxes=64, shuffle=True, num_workers=args.workers,
+        num_epochs=None,
+    )
+    it = iter(loader)
+    next(it)  # warmup: thread pool up, page cache hot
+    n_batches = max(4, (3 * args.loader_images) // args.batch)
+    t0 = time.perf_counter()
+    for _ in range(n_batches):
+        next(it)
+    elapsed = time.perf_counter() - t0
+    rate = n_batches * args.batch / elapsed
+    device_rate = 800.0
+    result = {
+        "metric": f"loader_images_per_sec_{args.loader_format}",
+        "value": round(rate, 2),
+        "unit": "images/sec",
+        "vs_baseline": round(rate / device_rate, 4),
+    }
+    print(
+        f"[bench] loader batch={args.batch} workers={args.workers} "
+        f"format={args.loader_format} cpus={os.cpu_count()} "
+        f"batch_latency={elapsed / n_batches * 1e3:.0f}ms",
         file=sys.stderr,
     )
     print(json.dumps(result))
