@@ -84,6 +84,7 @@ def fuse_clusters(
     cov_jitter: float = 1e-3,
     prior_logits: Optional[jnp.ndarray] = None,
     category_fusion: str = "likelihood",
+    box_fusion_prior: str = "measurement",
     eps: float = 1e-12,
 ) -> FusedDetections:
     """Fuse per-anchor posteriors into per-cluster detections.
@@ -104,14 +105,36 @@ def fuse_clusters(
                 each member contributes its categorical as Dirichlet
                 pseudo-counts, fused alpha = 1 + sum_i p_i, output is the
                 Dirichlet mean (softer; heavier members -> sharper).
+      box_fusion_prior: "measurement" — every member (center included) is
+                an independent measurement, Lambda_f = sum_i Lambda_i
+                (the round-1 behavior); "center" — the paper §III.B
+                formulation: the cluster CENTER's per-anchor posterior is the
+                Gaussian PRIOR and the remaining members are measurement
+                updates, Lambda_f = Lambda_center + sum_{i != center}
+                Lambda_i. Because membership always contains the center
+                exactly once, the two are ALGEBRAICALLY IDENTICAL — the
+                option exists to pin that equivalence explicitly (tested in
+                tests/test_bayes.py) and to keep the prior term separable
+                for variants that reweight it.
     """
     m = clusters.membership.astype(jnp.float32)  # [D, K]
 
     # --- Gaussian fusion ----------------------------------------------------
     precisions = inv4x4_psd(covs, jitter=cov_jitter)  # [K, 4, 4]
     eta = jnp.einsum("kij,kj->ki", precisions, boxes.astype(jnp.float32))
-    lam_f = jnp.einsum("dk,kij->dij", m, precisions)  # [D, 4, 4]
-    eta_f = jnp.einsum("dk,ki->di", m, eta)  # [D, 4]
+    if box_fusion_prior == "center":
+        # Prior = center posterior; measurements = members minus the center.
+        center_onehot = jax.nn.one_hot(
+            clusters.centers, m.shape[-1], dtype=jnp.float32
+        ) * clusters.valid[:, None].astype(jnp.float32)
+        m_meas = jnp.maximum(m - center_onehot, 0.0)
+        lam_f = jnp.einsum("dk,kij->dij", center_onehot + m_meas, precisions)
+        eta_f = jnp.einsum("dk,ki->di", center_onehot + m_meas, eta)
+    elif box_fusion_prior == "measurement":
+        lam_f = jnp.einsum("dk,kij->dij", m, precisions)  # [D, 4, 4]
+        eta_f = jnp.einsum("dk,ki->di", m, eta)  # [D, 4]
+    else:
+        raise ValueError(f"unknown box_fusion_prior '{box_fusion_prior}'")
     # Empty clusters have Lambda_f = 0; the jitter keeps the solve finite and
     # `valid` masks them out downstream.
     sigma_f = inv4x4_psd(lam_f, jitter=cov_jitter)
@@ -134,6 +157,50 @@ def fuse_clusters(
         p_f = alpha / jnp.sum(alpha, axis=-1, keepdims=True)
     else:
         raise ValueError(f"unknown category_fusion '{category_fusion}'")
+
+    scores = jnp.max(p_f[:, 1:], axis=-1)
+    entropy = -jnp.sum(p_f * jnp.log(jnp.maximum(p_f, eps)), axis=-1)
+    valid = clusters.valid & (jnp.sum(m, axis=-1) > 0)
+    return FusedDetections(
+        boxes=mu_f, covs=sigma_f, probs=p_f,
+        scores=jnp.where(valid, scores, 0.0),
+        entropy=entropy, valid=valid,
+    )
+
+
+def fuse_clusters_mean(
+    clusters: Clusters,
+    boxes: jnp.ndarray,
+    covs: jnp.ndarray,
+    probs: jnp.ndarray,
+    eps: float = 1e-12,
+) -> FusedDetections:
+    """EMPIRICAL-moment fusion — the paper's non-Bayesian comparison
+    estimators (arXiv:1903.03838 §IV: "Black Box" over MC-sampled outputs,
+    "Anchor Redundancy" over single-pass anchor outputs; SURVEY.md §2
+    "Baseline post-processing modes"). Per cluster, members are pooled as an
+    equally-weighted Gaussian mixture and the output is that mixture's mean
+    and covariance:
+
+      mu_f    = (1/n) sum_i mu_i
+      Sigma_f = (1/n) sum_i (Sigma_i + mu_i mu_i^T) - mu_f mu_f^T
+      p_f     = (1/n) sum_i p_i
+
+    Unlike the conjugate update in `fuse_clusters`, MORE agreeing members do
+    not shrink the covariance — the spread of member means adds to it. That
+    contrast is the paper's headline comparison (BayesOD's precision-weighted
+    fusion vs averaging).
+    """
+    m = clusters.membership.astype(jnp.float32)  # [D, K]
+    n = jnp.maximum(jnp.sum(m, axis=-1, keepdims=True), 1.0)  # [D, 1]
+    w = m / n  # equal member weights
+    b = boxes.astype(jnp.float32)
+    mu_f = jnp.einsum("dk,ki->di", w, b)  # [D, 4]
+    second = covs.astype(jnp.float32) + jnp.einsum("ki,kj->kij", b, b)
+    e_second = jnp.einsum("dk,kij->dij", w, second)
+    sigma_f = _sym(e_second - jnp.einsum("di,dj->dij", mu_f, mu_f))
+    p_f = jnp.einsum("dk,kc->dc", w, probs.astype(jnp.float32))
+    p_f = p_f / jnp.maximum(jnp.sum(p_f, axis=-1, keepdims=True), eps)
 
     scores = jnp.max(p_f[:, 1:], axis=-1)
     entropy = -jnp.sum(p_f * jnp.log(jnp.maximum(p_f, eps)), axis=-1)

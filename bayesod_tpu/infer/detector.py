@@ -15,10 +15,14 @@ fusion — is a single fixed-shape XLA program per image in the batch:
     -> precision-weighted Gaussian + Dirichlet fusion
     -> Detections(boxes [B,D,4], covs [B,D,4,4], probs [B,D,C+1], ...)
 
-Post-processing modes (SURVEY.md §2 "Baseline post-processing modes"):
-  * "bayes_od"        — MC sampling + clustering + Bayesian fusion (flagship)
-  * "nms"             — MC sampling + greedy NMS (mean boxes, no fusion)
-  * "single_pass_nms" — one deterministic pass + greedy NMS (vanilla RetinaNet)
+Post-processing modes (SURVEY.md §2 "Baseline post-processing modes";
+paper §IV comparison estimators):
+  * "bayes_od"         — MC sampling + clustering + Bayesian fusion (flagship)
+  * "nms"              — MC sampling + greedy NMS (mean boxes, no fusion)
+  * "single_pass_nms"  — one deterministic pass + greedy NMS (vanilla RetinaNet)
+  * "black_box"        — MC sampling + clustering + empirical member moments
+  * "sampling_free"    — one pass + greedy NMS + decoded aleatoric covariance
+  * "anchor_redundancy"— one pass + clustering + empirical anchor moments
 """
 
 from __future__ import annotations
@@ -155,16 +159,21 @@ def _postprocess_posteriors(
     else:
         cluster_fn = clus.iou_affinity_clustering
 
-    if bayes.mode == "bayes_od":
+    if bayes.mode in ("bayes_od", "black_box", "anchor_redundancy"):
+        # Grouping modes: every overlapping candidate joins as a measurement.
         groups = cluster_fn(
             boxes_px, scores, valid, bayes.affinity_threshold, bayes.max_detections
         )
-    else:
+    else:  # "nms" | "single_pass_nms" | "sampling_free": suppression modes
         groups = clus.greedy_nms_with(
             cluster_fn,
             boxes_px, scores, valid, bayes.nms_iou_threshold,
             bayes.max_detections,
         )
+    if bayes.mode in ("black_box", "anchor_redundancy"):
+        # Paper §IV comparison estimators: empirical member moments, no
+        # conjugate update (bayes/fusion.fuse_clusters_mean).
+        return fus.fuse_clusters_mean(groups, boxes_px, cand.covs, cand.probs)
     prior = (
         jnp.asarray(bayes.category_prior, jnp.float32)
         if bayes.category_prior is not None
@@ -175,6 +184,7 @@ def _postprocess_posteriors(
         cov_jitter=bayes.cov_jitter,
         prior_logits=prior,
         category_fusion=bayes.category_fusion,
+        box_fusion_prior=bayes.box_fusion_prior,
     )
 
 
@@ -272,15 +282,23 @@ def build_detect_fn(
     reduction order (the per-sample dropout masks depend only on the fold
     index, not on placement).
     """
-    if cfg.bayes.mode not in ("bayes_od", "nms", "single_pass_nms"):
+    _MODES = (
+        "bayes_od", "nms", "single_pass_nms",
+        "black_box", "sampling_free", "anchor_redundancy",
+    )
+    if cfg.bayes.mode not in _MODES:
         raise ValueError(
             f"unknown post-processing mode '{cfg.bayes.mode}' "
-            "(expected bayes_od | nms | single_pass_nms)"
+            f"(expected one of {' | '.join(_MODES)})"
         )
     model = model or RetinaNet(cfg=cfg.model, train=False)
     anchors = anchor_ops.generate_anchors(cfg.data.image_hw, cfg.anchors)
     n_mc = cfg.bayes.num_mc_samples
-    single_pass = cfg.bayes.mode == "single_pass_nms"
+    # Single-deterministic-pass estimators (dropout off, N=1: zero epistemic
+    # covariance, decoded aleatoric only — the paper's sampling-free setup).
+    single_pass = cfg.bayes.mode in (
+        "single_pass_nms", "sampling_free", "anchor_redundancy"
+    )
 
     def detect(variables, images: jnp.ndarray, rng: jax.Array) -> Detections:
         if tuple(images.shape[1:3]) != tuple(cfg.data.image_hw):

@@ -111,7 +111,24 @@ class BayesConfig:
     affinity_threshold: float = 0.7  # IoU to join a cluster (paper §III.B)
     max_detections: int = 100  # static cluster/output count
     nms_iou_threshold: float = 0.5  # greedy-NMS baseline mode
-    mode: str = "bayes_od"  # "bayes_od" | "nms" | "single_pass_nms"
+    # Post-processing estimator (paper §III-IV; SURVEY.md §2 "Baseline
+    # post-processing modes"):
+    #   "bayes_od"         — MC sampling + clustering + Bayesian fusion
+    #   "nms"              — MC sampling + greedy NMS (no fusion)
+    #   "single_pass_nms"  — one deterministic pass + greedy NMS
+    #   "black_box"        — MC sampling + clustering + EMPIRICAL mean/cov
+    #                        over members (paper §IV "Black Box" estimator)
+    #   "sampling_free"    — one deterministic pass + greedy NMS, decoded
+    #                        aleatoric covariance as the box uncertainty
+    #                        (paper §IV sampling-free baseline)
+    #   "anchor_redundancy"— one deterministic pass + clustering + empirical
+    #                        mean/cov over the redundant anchors per object
+    mode: str = "bayes_od"
+    # Gaussian fusion prior (paper §III.B): "measurement" treats every
+    # member as a measurement; "center" makes the cluster center's posterior
+    # the explicit prior. Algebraically identical (center is one member) —
+    # see bayes/fusion.fuse_clusters.
+    box_fusion_prior: str = "measurement"
     # Greedy-clustering implementation: "auto" = Pallas kernel on TPU, jnp
     # elsewhere; "pallas" / "xla" force one (SURVEY.md §7 step 8).
     clustering_backend: str = "auto"

@@ -236,3 +236,85 @@ def test_informative_prior_shifts_posterior():
         category_prior_from_frequencies([30.0, 60.0], background_weight=10.0)
     )
     np.testing.assert_allclose(np.exp(lp), [0.1, 0.3, 0.6], rtol=1e-5)
+
+
+def test_center_prior_fusion_closed_form_and_equivalence():
+    """Paper §III.B center-as-prior option: posterior = N(prior) x N(meas)
+    closed form, and algebraic identity with the measurement formulation
+    (the center is exactly one member of its own cluster)."""
+    m1 = np.array([10.0, 10.0, 20.0, 20.0], np.float32)  # center (prior)
+    m2 = np.array([12.0, 11.0, 22.0, 19.0], np.float32)  # measurement
+    s1 = np.diag([2.0, 1.0, 3.0, 2.0]).astype(np.float32)
+    s2 = np.diag([1.0, 2.0, 1.0, 4.0]).astype(np.float32)
+    clusters = Clusters(
+        centers=jnp.array([0], jnp.int32),
+        membership=jnp.array([[True, True]]),
+        valid=jnp.array([True]),
+    )
+    probs = jnp.array([[0.1, 0.6, 0.3], [0.2, 0.5, 0.3]], jnp.float32)
+    boxes = jnp.asarray(np.stack([m1, m2]))
+    covs = jnp.asarray(np.stack([s1, s2]))
+    got_c = fuse_clusters(
+        clusters, boxes, covs, probs, cov_jitter=1e-6,
+        box_fusion_prior="center",
+    )
+    # Closed form: Lambda = S1^-1 (prior) + S2^-1 (one measurement update).
+    sigma_ref = np.linalg.inv(np.linalg.inv(s1) + np.linalg.inv(s2))
+    mu_ref = sigma_ref @ (np.linalg.inv(s1) @ m1 + np.linalg.inv(s2) @ m2)
+    np.testing.assert_allclose(np.asarray(got_c.boxes[0]), mu_ref, rtol=1e-4)
+    np.testing.assert_allclose(
+        np.asarray(got_c.covs[0]), sigma_ref, rtol=1e-3, atol=1e-5
+    )
+    # Equivalence with the measurement formulation (bitwise-close).
+    got_m = fuse_clusters(
+        clusters, boxes, covs, probs, cov_jitter=1e-6,
+        box_fusion_prior="measurement",
+    )
+    np.testing.assert_allclose(
+        np.asarray(got_c.boxes), np.asarray(got_m.boxes), rtol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(got_c.covs), np.asarray(got_m.covs), rtol=1e-6
+    )
+
+
+def test_mean_fusion_empirical_moments():
+    """black_box / anchor_redundancy estimator: cluster output is the
+    member mixture's mean and covariance (spread of means ADDS to the
+    covariance, unlike the conjugate update which shrinks it)."""
+    from bayesod_tpu.bayes.fusion import fuse_clusters_mean
+
+    m1 = np.array([10.0, 10.0, 20.0, 20.0], np.float32)
+    m2 = np.array([14.0, 12.0, 24.0, 18.0], np.float32)
+    s1 = np.diag([2.0, 1.0, 3.0, 2.0]).astype(np.float32)
+    s2 = np.diag([1.0, 2.0, 1.0, 4.0]).astype(np.float32)
+    p1 = np.array([0.2, 0.5, 0.3], np.float32)
+    p2 = np.array([0.1, 0.8, 0.1], np.float32)
+    clusters = Clusters(
+        centers=jnp.array([0, 1], jnp.int32),
+        membership=jnp.array([[True, True], [False, True]]),
+        valid=jnp.array([True, True]),
+    )
+    out = fuse_clusters_mean(
+        clusters,
+        jnp.asarray(np.stack([m1, m2])),
+        jnp.asarray(np.stack([s1, s2])),
+        jnp.asarray(np.stack([p1, p2])),
+    )
+    mu_ref = (m1 + m2) / 2
+    outer = lambda v: np.outer(v, v)
+    sigma_ref = (s1 + outer(m1) + s2 + outer(m2)) / 2 - outer(mu_ref)
+    np.testing.assert_allclose(np.asarray(out.boxes[0]), mu_ref, rtol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(out.covs[0]), sigma_ref, rtol=1e-4, atol=1e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(out.probs[0]), (p1 + p2) / 2, rtol=1e-5
+    )
+    # Mean-spread term present: fused variance exceeds the member average.
+    assert np.all(
+        np.diag(np.asarray(out.covs[0])) > np.diag((s1 + s2) / 2) - 1e-5
+    )
+    # Singleton cluster = identity.
+    np.testing.assert_allclose(np.asarray(out.boxes[1]), m2, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(out.covs[1]), s2, rtol=1e-4, atol=1e-4)
