@@ -19,6 +19,11 @@ def main(argv=None) -> None:
     p.add_argument("--max_steps", type=int, default=None)
     p.add_argument("--out_dir", default=None)
     p.add_argument(
+        "--backbone_weights", default=None,
+        help="pretrained ResNet archive (.npz torchvision naming or torch "
+        ".pth); applied on fresh starts (models/pretrained.py)",
+    )
+    p.add_argument(
         "overrides", nargs="*",
         help="dotted config overrides, e.g. train.base_lr=0.001",
     )
@@ -31,7 +36,10 @@ def main(argv=None) -> None:
 
     from bayesod_tpu.train import train
 
-    state = train(cfg, max_steps=args.max_steps, out_dir=args.out_dir)
+    state = train(
+        cfg, max_steps=args.max_steps, out_dir=args.out_dir,
+        backbone_weights=args.backbone_weights,
+    )
     print(f"done: step {int(state.step)}")
 
 

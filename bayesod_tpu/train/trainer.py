@@ -31,10 +31,14 @@ def train(
     out_dir: Optional[str] = None,
     devices=None,
     on_metrics: Optional[Callable[[int, Dict[str, float]], None]] = None,
+    backbone_weights: Optional[str] = None,
 ) -> TrainState:
     """Run (or resume) training; returns the final state.
 
     `max_steps` overrides cfg.train.total_steps (smoke tests / benchmarks).
+    `backbone_weights`: optional path to a pretrained ResNet archive
+    (models/pretrained.py) applied at fresh starts — a restored checkpoint
+    takes precedence (the weights are already inside it).
     """
     tc = cfg.train
     total_steps = max_steps if max_steps is not None else tc.total_steps
@@ -58,6 +62,14 @@ def train(
     restored = ckpt.restore(state)
     if restored is not None:
         state = restored
+    elif backbone_weights:
+        from bayesod_tpu.models.pretrained import load_backbone_weights
+
+        v = {"params": state.params, "batch_stats": state.batch_stats}
+        v = load_backbone_weights(v, backbone_weights, cfg.model)
+        state = state.replace(
+            params=v["params"], batch_stats=v.get("batch_stats", {})
+        )
     state = mesh_lib.replicate_state(state, mesh)
 
     # --- data ----------------------------------------------------------------
