@@ -33,6 +33,10 @@ def main(argv=None) -> None:
         help="also dump detections in official KITTI results txt format",
     )
     p.add_argument(
+        "--bdd_results", default=None, metavar="JSON",
+        help="also dump detections in official BDD100K submission JSON",
+    )
+    p.add_argument(
         "--visualize", default=None, metavar="PNG",
         help="also render the first images' detections (boxes + covariance "
         "ellipses) into a grid PNG",
@@ -86,6 +90,12 @@ def main(argv=None) -> None:
         dataset = make_dataset(cfg.data, split=args.split)
         write_kitti_results(records, dataset, args.kitti_results_dir)
         print(f"wrote KITTI-format results -> {args.kitti_results_dir}")
+
+    if args.bdd_results:
+        from bayesod_tpu.data.bdd import write_bdd_results
+
+        write_bdd_results(records, args.bdd_results)
+        print(f"wrote BDD-format results -> {args.bdd_results}")
 
     if args.visualize:
         from bayesod_tpu.data import make_dataset

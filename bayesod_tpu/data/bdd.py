@@ -125,3 +125,40 @@ class BddDataset:
             "hw": hw,
             "annotations": None,
         }
+
+
+def write_bdd_results(
+    records,
+    out_path: str,
+    score_threshold: float = 0.0,
+) -> str:
+    """Dump detections in the official BDD100K detection submission format
+    (one JSON list, per-image entries with `labels[].category/box2d/score`
+    — consumable by the bdd100k eval toolkit; the BDD side of the
+    reference's cross-tool output surface, SURVEY.md §2 "BDD100K handler").
+
+    `records` are evaluator dump records (boxes in ORIGINAL image
+    coordinates); ids map back to `<name>.jpg` frame names.
+    """
+    out = []
+    for rec in records:
+        labels = []
+        for box, cls, score in zip(
+            rec["boxes"], rec["classes"], rec["scores"]
+        ):
+            cid = int(cls)
+            if score < score_threshold or not (1 <= cid <= len(BDD_CLASSES)):
+                continue
+            x1, y1, x2, y2 = (float(v) for v in box)
+            labels.append(
+                {
+                    "category": BDD_CLASSES[cid - 1],
+                    "box2d": {"x1": x1, "y1": y1, "x2": x2, "y2": y2},
+                    "score": float(score),
+                }
+            )
+        out.append({"name": f"{rec['id']}.jpg", "labels": labels})
+    os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)
+    with open(out_path, "w") as f:
+        json.dump(out, f)
+    return out_path
