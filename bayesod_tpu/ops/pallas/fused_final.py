@@ -294,16 +294,27 @@ def _kernel_probs(
     lane = jax.lax.broadcasted_iota(jnp.int32, accf.shape, 1)
     valid = lane < jnp.int32(cout)
     x = jnp.where(valid, accf, -jnp.inf)
-    # Per-group max: k = cout // group_size masked row reductions (VPU cost
-    # negligible next to the conv matmul), broadcast back to the group's
-    # lanes. Exact grouped softmax even for groups far below the row max.
-    m = jnp.zeros_like(accf)
-    for g in range(cout // group_size):
-        gmask = (lane >= g * group_size) & (lane < (g + 1) * group_size)
-        m_g = jnp.max(
-            jnp.where(gmask, x, -jnp.inf), axis=1, keepdims=True
+    # Per-group max via log-step segmented suffix/prefix scans built from
+    # LANE ROLLS — purely lane-local VPU work. (A loop of k masked
+    # jnp.max(axis=1) reductions measured a 10% whole-graph regression at
+    # the flagship shape: each cross-lane tree reduction is ~an order of
+    # magnitude pricier than a roll+select.) Groups are contiguous
+    # `group_size`-lane blocks; after ceil(log2(gs)) doubling steps
+    # suffix[j] = max(x[j..block_end]) and prefix[j] = max(x[start..j]), so
+    # their max is the block max at every lane. Exact grouped softmax even
+    # for groups far below the row max (exp(0)=1 at each group's max lane).
+    pos = jax.lax.rem(lane, jnp.int32(group_size))
+    suffix, prefix = x, x
+    offset = 1
+    while offset < group_size:
+        fwd = pltpu.roll(suffix, (cp - offset) % cp, 1)  # lane j+offset
+        suffix = jnp.where(
+            pos + offset < group_size, jnp.maximum(suffix, fwd), suffix
         )
-        m = jnp.where(gmask, m_g, m)
+        bwd = pltpu.roll(prefix, offset, 1)  # lane j-offset
+        prefix = jnp.where(pos >= offset, jnp.maximum(prefix, bwd), prefix)
+        offset *= 2
+    m = jnp.maximum(suffix, prefix)
     e = jnp.where(valid, jnp.exp(x - m), 0.0)
     denom = jnp.dot(e, g_ref[...], preferred_element_type=jnp.float32)
     probs = jnp.where(denom > 0.0, e / denom, 0.0)

@@ -63,6 +63,12 @@ def main() -> None:
         help="measure host input-pipeline throughput (no TPU touched)",
     )
     p.add_argument(
+        "--roofline", action="store_true",
+        help="compile-only: print XLA cost analysis + v5e compute/HBM "
+        "floors for the configured graph (Pallas custom-call bytes are NOT "
+        "counted by XLA — add kernel I/O manually, see DESIGN.md §8)",
+    )
+    p.add_argument(
         "--loader_format", default="png", choices=["png", "jpg"],
         help="on-disk image codec for --loader (KITTI ships PNG, BDD JPEG)",
     )
@@ -184,6 +190,10 @@ def main() -> None:
         jnp.float32,
     )
 
+    if args.roofline:
+        _roofline(detect, variables, images, rng, args)
+        return
+
     # Measurement note: this environment's remote-PJRT tunnel neither blocks
     # reliably in block_until_ready nor executes dropped results, so
     # per-iteration host timing is untrustworthy. Instead ITERS detect steps
@@ -261,6 +271,35 @@ def _bench_train(cfg, args) -> None:
     batch = {k: jnp.asarray(v) for k, v in batch.items()}
     step_fn = build_train_step(cfg, anchors, model)
 
+    if args.roofline:
+        t0 = time.time()
+        compiled = jax.jit(step_fn).lower(state, batch).compile()
+        print(f"[roofline] train compile: {time.time() - t0:.1f}s", file=sys.stderr)
+        ca = compiled.cost_analysis()
+        if isinstance(ca, list):
+            ca = ca[0]
+        flops = float(ca.get("flops", 0.0))
+        acc = float(ca.get("bytes accessed", 0.0))
+        print(
+            f"[roofline] train batch={args.batch}: "
+            f"{flops / args.batch / 1e9:.1f} GFLOP/img, "
+            f"{acc / args.batch / 1e9:.3f} GB/img | floors: compute "
+            f"{flops / 197e12 * 1e3:.1f} ms/step, HBM "
+            f"{acc / 819e9 * 1e3:.1f} ms/step",
+            file=sys.stderr,
+        )
+        print(
+            json.dumps(
+                {
+                    "metric": "train_roofline_hbm_floor_ms_per_step",
+                    "value": round(acc / 819e9 * 1e3, 2),
+                    "unit": "ms",
+                    "vs_baseline": 0.0,
+                }
+            )
+        )
+        return
+
     def chained(state, batch, iters):
         def body(_, s):
             s2, metrics = step_fn(s, batch)
@@ -288,6 +327,46 @@ def _bench_train(cfg, args) -> None:
         file=sys.stderr,
     )
     print(json.dumps(result))
+
+
+def _roofline(detect, variables, images, rng, args) -> None:
+    """Compile the detect graph and print XLA cost analysis + v5e floors.
+
+    v5e-1 peaks used: 197 TFLOP/s bf16 (MXU), 819 GB/s HBM. Caveat: XLA's
+    cost analysis reports 0 for Pallas custom calls, so on kernel-heavy
+    routes the true byte count is higher — the analysis bounds the XLA
+    portion; kernel I/O must be added by hand (slab DMA + outputs, see
+    DESIGN.md §8)."""
+    t0 = time.time()
+    compiled = jax.jit(detect).lower(variables, images, rng).compile()
+    print(f"[roofline] compile: {time.time() - t0:.1f}s", file=sys.stderr)
+    ca = compiled.cost_analysis()
+    if isinstance(ca, list):  # older jax: one dict per device
+        ca = ca[0]
+    flops = float(ca.get("flops", 0.0))
+    acc = float(ca.get("bytes accessed", 0.0))
+    b = args.batch
+    peak_flops = 197e12
+    peak_bw = 819e9
+    t_compute = flops / peak_flops
+    t_mem = acc / peak_bw
+    print(
+        f"[roofline] batch={b}: {flops / b / 1e9:.1f} GFLOP/img, "
+        f"{acc / b / 1e9:.3f} GB/img | floors: compute "
+        f"{t_compute * 1e3:.1f} ms/batch, HBM {t_mem * 1e3:.1f} ms/batch "
+        f"(XLA ops only — Pallas custom-call bytes excluded)",
+        file=sys.stderr,
+    )
+    print(
+        json.dumps(
+            {
+                "metric": "roofline_hbm_floor_ms_per_batch",
+                "value": round(t_mem * 1e3, 2),
+                "unit": "ms",
+                "vs_baseline": 0.0,
+            }
+        )
+    )
 
 
 def _bench_loader(args) -> None:
