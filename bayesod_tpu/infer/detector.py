@@ -273,14 +273,16 @@ def build_detect_fn(
 
     mesh/mesh_cfg (optional): a `jax.sharding.Mesh` + MeshConfig for
     latency-oriented serving — pins the MC-sample axis of the sampled head
-    outputs to the mesh's `sample` axis with sharding constraints, so GSPMD
-    splits the N stochastic head passes across devices instead of
-    replicating them (SURVEY.md §2 "Sample parallelism"). Requires the XLA
-    head path (`head_final_backend="xla"`): the fused Pallas kernel emits
-    all N samples from one opaque custom call GSPMD cannot partition.
-    Results are numerically identical to the unsharded graph up to
-    reduction order (the per-sample dropout masks depend only on the fold
-    index, not on placement).
+    outputs to the mesh's `sample` axis, so the N stochastic head passes
+    split across devices instead of replicating (SURVEY.md §2 "Sample
+    parallelism"). With the XLA head path (`head_final_backend="xla"`)
+    this is pure GSPMD sharding constraints; with the Pallas path the
+    unsharded kernel would be one opaque custom call GSPMD cannot
+    partition, so the mesh route launches the kernel PER SHARD via
+    shard_map with absolute mask offsets (mc_forward_fused_sp) — each
+    device computes its N/sp samples of its B/dp images with bit-identical
+    masks to the unsharded kernel launch. Results match the unsharded
+    graph up to reduction order in either backend.
     """
     _MODES = (
         "bayes_od", "nms", "single_pass_nms",
@@ -439,9 +441,43 @@ def build_detect_fn(
             )
             return _as_detections(fused, cfg.data.image_hw)
         else:
-            probs, deltas, log_vars = mc_forward_probs(
-                model, variables, images, rng, n_mc
-            )  # probs [B, A, C+1]; deltas/log_vars [N, B, A, 4]
+            backend = cfg.model.head_final_backend
+            if backend == "auto":
+                sp_ok = (
+                    mesh is None
+                    or (
+                        n_mc % mesh.shape[mesh_cfg.sample_axis] == 0
+                        and images.shape[0] % mesh.shape[mesh_cfg.data_axis]
+                        == 0
+                    )
+                )
+                backend = (
+                    "pallas"
+                    if jax.default_backend() == "tpu"
+                    and cfg.model.dropout_layers == "last"
+                    and sp_ok
+                    else "xla"
+                )
+            if mesh is not None and backend == "pallas":
+                # Fused kernels per shard (shard_map): each device launches
+                # the Pallas dropout+final-conv for its (sample, data)
+                # slice with absolute mask offsets — bit-identical samples
+                # to the unsharded kernel path, already laid out with the
+                # mesh sharding (models.retinanet.mc_forward_fused_sp).
+                from bayesod_tpu.models.retinanet import mc_forward_fused_sp
+
+                logits, deltas, log_vars = mc_forward_fused_sp(
+                    model, variables, images, rng, n_mc, mesh,
+                    mesh_cfg.data_axis, mesh_cfg.sample_axis,
+                )
+                probs = jnp.mean(
+                    jax.nn.softmax(logits.astype(jnp.float32), axis=-1),
+                    axis=0,
+                )
+            else:
+                probs, deltas, log_vars = mc_forward_probs(
+                    model, variables, images, rng, n_mc
+                )  # probs [B, A, C+1]; deltas/log_vars [N, B, A, 4]
             if mesh is not None:
                 from jax.sharding import NamedSharding, PartitionSpec
 

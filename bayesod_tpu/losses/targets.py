@@ -22,6 +22,7 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 
 from bayesod_tpu.ops import boxes as box_ops
@@ -78,8 +79,18 @@ def assign_targets(
     positive = (positive | forced) & any_valid
     negative = negative & ~positive
 
-    matched_boxes = gt_boxes[best_gt]  # [A, 4]
-    matched_classes = gt_classes[best_gt].astype(jnp.int32)  # [A]
+    # One-hot-matmul row selection instead of gt_boxes[best_gt]: XLA lowers
+    # an A-sized indexed gather to a serial dynamic-slice loop on TPU, and
+    # the two gathers here measured 0.95 GB/img of the train step's HBM
+    # traffic (DESIGN.md §8 "THE TPU GATHER RULE"; the one-hot form is
+    # 0.16 GB/img for the whole assignment). Exact: one_hot rows are a
+    # single 1.0, so the [A,G]x[G,4] matmul reproduces the selected rows
+    # bit-for-bit in fp32 (values and class ids are far below 2^24).
+    one_hot = jax.nn.one_hot(best_gt, gt_boxes.shape[0], dtype=jnp.float32)
+    matched_boxes = one_hot @ gt_boxes.astype(jnp.float32)  # [A, 4]
+    matched_classes = (
+        one_hot @ gt_classes.astype(jnp.float32)
+    ).astype(jnp.int32)  # [A]
 
     class_targets = jnp.where(positive, matched_classes, 0)
     box_targets = box_ops.encode_boxes(matched_boxes, anchors, scale_factors)

@@ -525,6 +525,109 @@ def mc_forward_candidates(
     return probs, idx, valid, cand
 
 
+def mc_forward_fused_sp(
+    model: RetinaNet,
+    variables,
+    images: jnp.ndarray,
+    rng: jax.Array,
+    num_samples: int,
+    mesh,
+    data_axis: str,
+    sample_axis: str,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Mesh-sharded fused MC heads: the Pallas dropout+final-conv kernel
+    launched PER SHARD via shard_map (DESIGN.md §5's designed follow-up —
+    the kernel is one opaque custom call GSPMD cannot partition, so the
+    mesh path previously had to fall back to the XLA heads).
+
+    Each (data, sample) shard runs `dropout_final_conv` on its batch slice
+    with num_samples/sp samples, passing its absolute sample/batch offsets
+    into the kernel's mask stream (`sample_base`/`batch_base`) — so the
+    sharded launch produces BIT-IDENTICAL per-sample outputs to the
+    unsharded kernel, merely laid out [N/sp, B/dp, ...] per device. The
+    deterministic trunk stays outside the shard_map (replicated over
+    `sample`, batch-sharded over `data`, GSPMD-managed); cross-device
+    traffic happens only at the downstream moment reductions.
+
+    Returns (logits [N,B,A,K+1], deltas [N,B,A,4], log_vars [N,B,A,4]),
+    sharded (sample, data) on the leading two axes."""
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from bayesod_tpu.ops.pallas.fused_final import dropout_final_conv
+
+    if model.cfg.dropout_layers != "last":
+        raise ValueError(
+            "mc_forward_fused_sp requires dropout_layers='last'"
+        )
+    sp = mesh.shape[sample_axis]
+    dp = mesh.shape[data_axis]
+    if num_samples % sp:
+        raise ValueError(
+            f"num_samples={num_samples} must be divisible by the sample "
+            f"axis ({sp} devices)"
+        )
+    if images.shape[0] % dp:
+        raise ValueError(
+            f"batch={images.shape[0]} must be divisible by the data "
+            f"axis ({dp} devices)"
+        )
+    n_loc = num_samples // sp
+
+    feats = model.apply(variables, images, method=RetinaNet.features)
+    cls_t, reg_t = model.apply(
+        variables, feats, method=RetinaNet.head_trunk_outputs
+    )
+    params = variables["params"]["heads"]
+    cls_k = params["cls_out"]["kernel"]
+    cls_b = params["cls_out"]["bias"]
+    reg_k = params["reg_out"]["kernel"]
+    reg_b = params["reg_out"]["bias"]
+    keep = 1.0 - model.cfg.dropout_rate
+
+    if jax.dtypes.issubdtype(rng.dtype, jax.dtypes.prng_key):
+        words = jax.random.key_data(rng).astype(jnp.int32)
+        seed0 = words.ravel()[0] ^ (words.ravel()[-1] << 1)
+    else:
+        seed0 = (rng[0] ^ (rng[1] << 1)).astype(jnp.int32)
+
+    def launch(t, kern, bias, seed):
+        b_loc = t.shape[0] // dp
+
+        def shard_fn(t_s, kern_s, bias_s, seed_s):
+            off = jax.lax.axis_index(sample_axis) * n_loc
+            b_base = jax.lax.axis_index(data_axis) * b_loc
+            return dropout_final_conv(
+                t_s, kern_s, bias_s, seed_s[0], n_loc, keep,
+                dtype=model.cfg.head_final_dtype,
+                sample_base=off, batch_base=b_base,
+                total_samples=num_samples,
+            )
+
+        return shard_map(
+            shard_fn,
+            mesh=mesh,
+            in_specs=(P(data_axis), P(), P(), P()),
+            out_specs=P(sample_axis, data_axis),
+            # pallas_call emits outputs without varying-mesh-axis metadata;
+            # skip the VMA check (the out_specs state the layout contract).
+            check_vma=False,
+        )(t, kern, bias, seed.reshape(1))
+
+    cls_lvls, reg_lvls = [], []
+    for lvl, (ct, rt) in enumerate(zip(cls_t, reg_t)):
+        cls_lvls.append(
+            launch(ct, cls_k, cls_b, seed0 + jnp.int32(2 * lvl))
+        )
+        reg_lvls.append(
+            launch(rt, reg_k, reg_b, seed0 + jnp.int32(2 * lvl + 1))
+        )
+    return model.apply(
+        variables, cls_lvls, reg_lvls,
+        method=RetinaNet.flatten_head_levels,
+    )
+
+
 def single_forward(
     model: RetinaNet, variables, images: jnp.ndarray
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:

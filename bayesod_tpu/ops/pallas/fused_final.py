@@ -141,7 +141,7 @@ def _compute_block(
 
 
 def _kernel_resident(
-    seed_ref,  # [1, 1] int32 SMEM
+    seed_ref,  # [1, 3] int32 SMEM: (seed, sample base, batch base)
     x_ref,  # [1, Hp+2, W+2, Cin] bf16 VMEM (zero-padded borders)
     w_ref,  # [9, Cin, Cp] bf16 or int8 VMEM
     b_ref,  # [1, Cp] fp32 VMEM
@@ -149,19 +149,24 @@ def _kernel_resident(
     out_ref,  # [1, 1, RB, W, Cp] bf16 VMEM (one row block)
     *,
     rb: int,
+    n_total: int,
     **kw,
 ):
     # Row-blocked via the grid: each program computes RB output rows from the
     # (RB+2)-row padded slab. Only the slab is ever loaded from the resident
     # input block (ref indexing, not a full-map materialization), keeping the
     # working set ~2 MB — the whole-map form blew the 16 MB VMEM budget at
-    # production shapes. Grid: (image, sample, row block).
+    # production shapes. Grid: (image, sample, row block). The sample/batch
+    # bases shift the mask stream to ABSOLUTE indices so a shard computing
+    # samples [base, base+k) of n_total draws bit-identical masks to the
+    # unsharded launch (shard_map sample-parallel serving).
     row0 = pl.program_id(2) * rb
     slab = x_ref[0, pl.ds(row0, rb + 2)]  # [RB+2, W+2, Cin]
     accf = _compute_block(
         slab, seed_ref, w_ref, b_ref, wscale_ref,
-        b_idx=pl.program_id(0), n_idx=pl.program_id(1),
-        n_total=pl.num_programs(1), row0=row0, rb=rb, **kw,
+        b_idx=pl.program_id(0) + seed_ref[0, 2],
+        n_idx=pl.program_id(1) + seed_ref[0, 1],
+        n_total=n_total, row0=row0, rb=rb, **kw,
     )
     out_ref[0, 0] = accf.reshape(
         rb, kw["w"], kw["cp"]
@@ -169,7 +174,7 @@ def _kernel_resident(
 
 
 def _kernel_dma(
-    seed_ref,  # [1, 1] int32 SMEM
+    seed_ref,  # [1, 3] int32 SMEM: (seed, sample base, batch base)
     x_ref,  # [B, Hp+2, W+2, Cin] bf16 in HBM (memory_space=ANY)
     w_ref,  # [9, Cin, Cp] VMEM
     b_ref,  # [1, Cp] VMEM
@@ -179,6 +184,7 @@ def _kernel_dma(
     sem,  # DMA semaphores (2,)
     *,
     rb: int,
+    n_total: int,
     **kw,
 ):
     """Large-image variant: the padded input never becomes VMEM-resident.
@@ -193,12 +199,12 @@ def _kernel_dma(
     sequentially on the core, so later samples see the slab ready. Lifts
     the whole-image VMEM bound that kept BDD-scale P3 levels (90x160x256
     and up) on the vmapped-XLA fallback."""
-    b_idx = pl.program_id(0)
-    n_idx = pl.program_id(2)
+    b_idx = pl.program_id(0) + seed_ref[0, 2]
+    n_idx = pl.program_id(2) + seed_ref[0, 1]
     slab = _acquire_slab_dma(x_ref, slab_ref, sem, rb)
     accf = _compute_block(
         slab, seed_ref, w_ref, b_ref, wscale_ref,
-        b_idx=b_idx, n_idx=n_idx, n_total=pl.num_programs(2),
+        b_idx=b_idx, n_idx=n_idx, n_total=n_total,
         row0=pl.program_id(1) * rb, rb=rb, **kw,
     )
     out_ref[0, 0] = accf.reshape(
@@ -476,10 +482,15 @@ VMEM_BUDGET = 12 * 1024 * 1024
 
 
 def _prep(x, kernel, bias, seed, keep_prob, dtype, input_mode, row_block,
-          interpret):
+          interpret, sample_base=0, batch_base=0):
     """Shared trace-time setup for the fused-final kernels: mode/shape
     resolution, padded input, packed (and optionally int8-quantized)
-    weights, seed scalar, kernel kwargs."""
+    weights, seed scalars, kernel kwargs.
+
+    sample_base/batch_base (traced int32 scalars) shift the dropout-mask
+    stream to absolute sample/image indices — a shard_map shard computing a
+    slice of the samples or images passes its offsets and draws exactly the
+    masks the unsharded launch would (see dropout_final_conv)."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     if dtype not in ("bf16", "int8"):
@@ -528,7 +539,13 @@ def _prep(x, kernel, bias, seed, keep_prob, dtype, input_mode, row_block,
     b_pad = jnp.zeros((1, cp), jnp.float32).at[0, :cout].set(
         bias.astype(jnp.float32)
     )
-    seed_arr = jnp.asarray(seed, jnp.int32).reshape(1, 1)
+    seed_arr = jnp.stack(
+        [
+            jnp.asarray(seed, jnp.int32).reshape(()),
+            jnp.asarray(sample_base, jnp.int32).reshape(()),
+            jnp.asarray(batch_base, jnp.int32).reshape(()),
+        ]
+    ).reshape(1, 3)
     # P[keep] = threshold / 2^31
     threshold = min(int(keep_prob * 2147483648.0), 2147483647)
     kernel_kw = dict(
@@ -562,7 +579,7 @@ def _weight_specs(cin, cp):
     jax.jit,
     static_argnames=(
         "num_samples", "keep_prob", "interpret", "dtype", "input_mode",
-        "row_block",
+        "row_block", "total_samples",
     ),
 )
 def dropout_final_conv(
@@ -576,6 +593,9 @@ def dropout_final_conv(
     dtype: str = "bf16",
     input_mode: str = "auto",
     row_block: Optional[int] = None,
+    sample_base: jnp.ndarray | int = 0,
+    batch_base: jnp.ndarray | int = 0,
+    total_samples: Optional[int] = None,
 ) -> jnp.ndarray:
     """[B,H,W,Cin] -> [N,B,H,W,Cout]: N dropout samples x 3x3 SAME conv.
 
@@ -589,12 +609,21 @@ def dropout_final_conv(
     whole-image VMEM bound — BDD-scale P3 and larger); "auto" picks
     resident when it fits the VMEM budget. Both produce BIT-IDENTICAL
     outputs (same absolute-index dropout mask).
+
+    Sharded launches (shard_map sample/data-parallel serving,
+    models.retinanet.mc_forward_fused_sp): `sample_base`/`batch_base`
+    (traced scalars) shift the mask stream to absolute indices and
+    `total_samples` pins the global sample count the stream is keyed on, so
+    a shard computing samples [base, base+num_samples) of total_samples —
+    or images [batch_base, batch_base+B) of the global batch — returns
+    exactly the corresponding slice of the unsharded launch's output.
     """
     (input_mode, interpret, b, h, w, cin, cout, cp, rb, hp, wpad,
      x_pad, w9, b_pad, wscale_pad, seed_arr, kernel_kw) = _prep(
         x, kernel, bias, seed, keep_prob, dtype, input_mode, row_block,
-        interpret,
+        interpret, sample_base=sample_base, batch_base=batch_base,
     )
+    kernel_kw = dict(kernel_kw, n_total=total_samples or num_samples)
     weight_specs = _weight_specs(cin, cp)
     if input_mode == "resident":
         grid_spec = pltpu.PrefetchScalarGridSpec(

@@ -156,6 +156,90 @@ class TestDetectEndToEnd:
             np.array(out.valid), np.array(base.valid)
         )
 
+    def test_sample_sharded_pallas_matches_unsharded_pallas(
+        self, tiny_model_and_vars, cpu_devices
+    ):
+        """Fused-kernel serving on the mesh (mc_forward_fused_sp): the
+        Pallas head-final kernel launched per (sample, data) shard with
+        absolute mask offsets draws bit-identical per-sample outputs to
+        the unsharded kernel launch, so detections match to reduction
+        order."""
+        import dataclasses
+
+        from bayesod_tpu.parallel import mesh as mesh_lib
+        from bayesod_tpu.utils.config import MeshConfig
+
+        cfg, model, variables = tiny_model_and_vars
+        cfg = dataclasses.replace(
+            cfg,
+            model=dataclasses.replace(
+                cfg.model,
+                head_final_backend="pallas",
+                probs_reduce="flat",
+                reg_finals="dense",
+            ),
+        )
+        model = RetinaNet(cfg=cfg.model, train=False)
+        images = jnp.ones((2, 128, 128, 3), jnp.float32)
+        images = images.at[:, 40:80, 30:90, :].set(0.2)
+        rng = jax.random.PRNGKey(7)
+        base = jit_detect_fn(cfg, model)(variables, images, rng)
+
+        mesh_cfg = MeshConfig(data_parallel=2, sample_parallel=4)
+        mesh = mesh_lib.make_mesh(mesh_cfg)
+        detect = jax.jit(
+            build_detect_fn(cfg, model, mesh=mesh, mesh_cfg=mesh_cfg),
+            in_shardings=(
+                mesh_lib.replicated(mesh),
+                mesh_lib.batch_sharding(mesh, mesh_cfg),
+                mesh_lib.replicated(mesh),
+            ),
+        )
+        out = detect(
+            jax.device_put(variables, mesh_lib.replicated(mesh)), images, rng
+        )
+        np.testing.assert_allclose(
+            np.array(out.boxes), np.array(base.boxes), atol=1e-3, rtol=1e-4
+        )
+        np.testing.assert_allclose(
+            np.array(out.probs), np.array(base.probs), atol=1e-5
+        )
+        np.testing.assert_array_equal(
+            np.array(out.valid), np.array(base.valid)
+        )
+
+    def test_mesh_auto_backend_falls_back_when_samples_not_divisible(
+        self, tiny_model_and_vars, cpu_devices
+    ):
+        """auto head backend on a mesh with N % sp != 0 must fall back to
+        the GSPMD XLA path (which handles uneven sample sharding) instead
+        of raising from mc_forward_fused_sp."""
+        import dataclasses
+
+        from bayesod_tpu.parallel import mesh as mesh_lib
+        from bayesod_tpu.utils.config import MeshConfig
+
+        cfg, model, variables = tiny_model_and_vars
+        cfg = dataclasses.replace(
+            cfg, bayes=dataclasses.replace(cfg.bayes, num_mc_samples=5)
+        )
+        mesh_cfg = MeshConfig(data_parallel=2, sample_parallel=4)
+        mesh = mesh_lib.make_mesh(mesh_cfg)
+        detect = jax.jit(
+            build_detect_fn(cfg, model, mesh=mesh, mesh_cfg=mesh_cfg),
+            in_shardings=(
+                mesh_lib.replicated(mesh),
+                mesh_lib.batch_sharding(mesh, mesh_cfg),
+                mesh_lib.replicated(mesh),
+            ),
+        )
+        out = detect(
+            jax.device_put(variables, mesh_lib.replicated(mesh)),
+            jnp.ones((2, 128, 128, 3), jnp.float32),
+            jax.random.PRNGKey(3),
+        )
+        assert bool(jnp.all(jnp.isfinite(out.boxes)))
+
     def test_single_pass_mode_ignores_rng(self, tiny_model_and_vars):
         cfg, model, variables = tiny_model_and_vars
         cfg_sp = tiny_config(mode="single_pass_nms")

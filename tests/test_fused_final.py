@@ -38,6 +38,38 @@ def test_rate_zero_matches_exact_conv(shape, cout):
         )  # bf16 inputs vs fp32 reference
 
 
+@pytest.mark.parametrize("input_mode", ["resident", "dma"])
+def test_sharded_launch_slices_match_unsharded(input_mode):
+    """sample_base/batch_base/total_samples (the shard_map serving seam):
+    a launch computing samples [b, b+k) of N — or an image sub-range —
+    must return EXACTLY the corresponding slice of the unsharded launch
+    (absolute-index mask stream)."""
+    key = jax.random.PRNGKey(21)
+    x = jax.random.normal(key, (4, 12, 16, 128), jnp.float32)
+    kernel = (
+        jax.random.normal(jax.random.fold_in(key, 1), (3, 3, 128, 36)) * 0.05
+    )
+    bias = jax.random.normal(jax.random.fold_in(key, 2), (36,))
+    kw = dict(keep_prob=0.6, interpret=True, input_mode=input_mode)
+    full = dropout_final_conv(
+        x, kernel, bias, jnp.int32(9), num_samples=4, **kw
+    )
+    # Sample shards: two launches of 2 samples each at bases 0 / 2.
+    for base in (0, 2):
+        part = dropout_final_conv(
+            x, kernel, bias, jnp.int32(9), num_samples=2,
+            sample_base=jnp.int32(base), total_samples=4, **kw
+        )
+        assert bool(jnp.all(part == full[base : base + 2]))
+    # Batch shards: two launches of 2 images each at bases 0 / 2.
+    for bb in (0, 2):
+        part = dropout_final_conv(
+            x[bb : bb + 2], kernel, bias, jnp.int32(9), num_samples=4,
+            batch_base=jnp.int32(bb), **kw
+        )
+        assert bool(jnp.all(part == full[:, bb : bb + 2]))
+
+
 @pytest.mark.parametrize("dtype", ["bf16", "int8"])
 def test_dma_mode_bit_identical_to_resident(dtype):
     """input_mode="dma" (HBM-resident input, manually DMA'd slabs) must
