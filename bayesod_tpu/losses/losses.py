@@ -43,7 +43,13 @@ def focal_loss(
     logits = logits.astype(jnp.float32)
     logp = jax.nn.log_softmax(logits, axis=-1)
     tgt = targets.class_targets
-    logp_t = jnp.take_along_axis(logp, tgt[..., None], axis=-1)[..., 0]
+    # One-hot multiply-reduce instead of take_along_axis: XLA lowers the
+    # per-anchor indexed gather serially on TPU (DESIGN.md §8 "THE TPU
+    # GATHER RULE"); the masked sum is one fused elementwise pass.
+    logp_t = jnp.sum(
+        logp * jax.nn.one_hot(tgt, logp.shape[-1], dtype=logp.dtype),
+        axis=-1,
+    )
     p_t = jnp.exp(logp_t)
     alpha_t = jnp.where(tgt > 0, alpha, 1.0 - alpha)
     per_anchor = -alpha_t * (1.0 - p_t) ** gamma * logp_t

@@ -51,7 +51,7 @@ def build_train_step(cfg: ExperimentConfig, anchors: jnp.ndarray, model=None):
         in_axes=(None, 0, 0, 0),
     )
 
-    def loss_fn(params, batch_stats, images, targets, dropout_rng, var_w):
+    def forward(params, batch_stats, images, dropout_rng):
         variables = {"params": params}
         if use_bn:
             variables["batch_stats"] = batch_stats
@@ -64,10 +64,22 @@ def build_train_step(cfg: ExperimentConfig, anchors: jnp.ndarray, model=None):
         )
         if use_bn:
             (logits, deltas, log_vars), mutated = out
-            new_stats = mutated["batch_stats"]
-        else:
-            logits, deltas, log_vars = out
-            new_stats = batch_stats
+            return (logits, deltas, log_vars), mutated["batch_stats"]
+        logits, deltas, log_vars = out
+        return (logits, deltas, log_vars), batch_stats
+
+    if tc.remat == "full":
+        # Backward recomputes the whole forward instead of reading saved
+        # activations from HBM (TrainConfig.remat docstring; the step is
+        # HBM-bound, so bytes are the budget).
+        forward = jax.checkpoint(forward)
+    elif tc.remat != "none":
+        raise ValueError(f"unknown TrainConfig.remat '{tc.remat}'")
+
+    def loss_fn(params, batch_stats, images, targets, dropout_rng, var_w):
+        (logits, deltas, log_vars), new_stats = forward(
+            params, batch_stats, images, dropout_rng
+        )
         total, metrics = detection_loss(
             logits,
             deltas,

@@ -187,6 +187,13 @@ class TrainConfig:
     # step; 0 disables the ramp (attenuation on from step 0).
     variance_warmup_steps: int = 2000
     grad_clip_norm: float = 10.0
+    # Rematerialization of the forward pass in the backward ("none" |
+    # "full"). "full" wraps the model apply in jax.checkpoint: saved
+    # activations never round-trip HBM, the backward recomputes them —
+    # trades ~2x forward FLOPs for activation bytes. The train step is
+    # HBM-bound (DESIGN.md §8 training roofline), so this moves the floor;
+    # measured effect documented there.
+    remat: str = "none"
     checkpoint_every: int = 2500
     checkpoint_dir: str = "data/outputs/default/checkpoints"
     log_every: int = 100

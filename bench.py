@@ -63,6 +63,10 @@ def main() -> None:
         help="measure host input-pipeline throughput (no TPU touched)",
     )
     p.add_argument(
+        "--remat", default="none", choices=["none", "full"],
+        help="train-step forward rematerialization (TrainConfig.remat)",
+    )
+    p.add_argument(
         "--roofline", action="store_true",
         help="compile-only: print XLA cost analysis + v5e compute/HBM "
         "floors for the configured graph (Pallas custom-call bytes are NOT "
@@ -251,7 +255,10 @@ def _bench_train(cfg, args) -> None:
     from bayesod_tpu.train import build_train_step, create_train_state
 
     cfg = dataclasses.replace(
-        cfg, train=dataclasses.replace(cfg.train, batch_size=args.batch)
+        cfg,
+        train=dataclasses.replace(
+            cfg.train, batch_size=args.batch, remat=args.remat
+        ),
     )
     model = RetinaNet(cfg=cfg.model, train=True)
     anchors = anchor_ops.generate_anchors(cfg.data.image_hw, cfg.anchors)
