@@ -34,9 +34,11 @@ import numpy as np
 
 def main() -> None:
     p = argparse.ArgumentParser()
-    # batch 128 measured best on v5e-1: 96 -> 535.7, 128 -> 560.9,
-    # 160 -> 515.8 img/s (HBM pressure beyond 128).
-    p.add_argument("--batch", type=int, default=128)
+    # batch 160 measured best on v5e-1 with the candidate-fused routes:
+    # 128 -> 1040.1, 160 -> 1059.5 img/s. (Pre-candidates the order was
+    # reversed — 128 -> 560.9, 160 -> 515.8 — the dense reg finals' HBM
+    # pressure is what regressed 160; the fused routes removed it.)
+    p.add_argument("--batch", type=int, default=160)
     p.add_argument("--iters", type=int, default=20)
     p.add_argument("--warmup", type=int, default=3)
     p.add_argument("--samples", type=int, default=10)
@@ -65,6 +67,13 @@ def main() -> None:
     p.add_argument(
         "--remat", default="none", choices=["none", "full"],
         help="train-step forward rematerialization (TrainConfig.remat)",
+    )
+    p.add_argument(
+        "--latency", action="store_true",
+        help="single-image serving latency (batch 1, flat/dense route): "
+        "chained-iterations mean ms/image (the tunnel makes per-iteration "
+        "percentiles unmeasurable; the graph is deterministic-shape, so "
+        "mean ~= p50)",
     )
     p.add_argument(
         "--roofline", action="store_true",
@@ -184,6 +193,13 @@ def main() -> None:
         _bench_train(cfg, args)
         return
 
+    if args.latency:
+        # Serving-latency configuration: batch 1 routes to the dense reg
+        # path + flat probs reduce (the measured-fastest batch-1 graph;
+        # reg_finals/probs_reduce "auto" pick these below batch 8).
+        args.batch = 1
+        args.iters = max(args.iters, 50)
+
     model = RetinaNet(cfg=cfg.model, train=False)
     variables = init_variables(model, jax.random.PRNGKey(0), image_hw)
     detect = build_detect_fn(cfg, model)
@@ -228,12 +244,20 @@ def main() -> None:
     per_batch = elapsed / args.iters
     imgs_per_sec = args.batch / per_batch
     target = 500.0
-    result = {
-        "metric": f"images_per_sec_per_chip@{args.samples}mc_bayesod",
-        "value": round(imgs_per_sec, 2),
-        "unit": "images/sec/chip",
-        "vs_baseline": round(imgs_per_sec / target, 4),
-    }
+    if args.latency:
+        result = {
+            "metric": f"p50_latency_ms@{args.samples}mc_bayesod",
+            "value": round(per_batch * 1e3, 2),
+            "unit": "ms/image",
+            "vs_baseline": round(imgs_per_sec / target, 4),
+        }
+    else:
+        result = {
+            "metric": f"images_per_sec_per_chip@{args.samples}mc_bayesod",
+            "value": round(imgs_per_sec, 2),
+            "unit": "images/sec/chip",
+            "vs_baseline": round(imgs_per_sec / target, 4),
+        }
     print(
         f"[bench] batch={args.batch} iters={args.iters} "
         f"batch_latency={per_batch * 1e3:.1f}ms "
