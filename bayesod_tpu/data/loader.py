@@ -76,6 +76,7 @@ class Loader:
         num_workers: int = 8,
         prefetch: int = 4,
         num_epochs: Optional[int] = None,
+        cache: bool = False,
     ):
         self.dataset = dataset
         self.batch_size = batch_size
@@ -86,6 +87,14 @@ class Loader:
         self.num_workers = num_workers
         self.prefetch = prefetch
         self.num_epochs = num_epochs
+        # Optional cross-epoch memoization of prepared examples
+        # (DataConfig.cache_examples). Handlers are deterministic per
+        # index, so this is semantically identity; dict writes are atomic
+        # under the GIL (a racing pair of workers just prepares one
+        # example twice).
+        self._cache: Optional[Dict[int, Dict[str, np.ndarray]]] = (
+            {} if cache else None
+        )
 
     def steps_per_epoch(self) -> int:
         return len(self.dataset) // self.batch_size
@@ -107,9 +116,17 @@ class Loader:
             epoch += 1
 
     def _prep(self, idx: int):
-        return prepare_example(
-            self.dataset.example(int(idx)), self.image_hw, self.max_gt_boxes
+        idx = int(idx)
+        if self._cache is not None:
+            hit = self._cache.get(idx)
+            if hit is not None:
+                return hit
+        rec = prepare_example(
+            self.dataset.example(idx), self.image_hw, self.max_gt_boxes
         )
+        if self._cache is not None:
+            self._cache[idx] = rec
+        return rec
 
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
         """PERSISTENT worker pool + cross-batch lookahead.

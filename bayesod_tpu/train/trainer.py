@@ -82,6 +82,7 @@ def train(
         shuffle=True,
         seed=tc.seed,
         num_epochs=None,  # repeat forever; step count terminates
+        cache=cfg.data.cache_examples,
     )
 
     # --- compiled step ---------------------------------------------------------

@@ -154,6 +154,14 @@ class DataConfig:
     image_hw: Tuple[int, int] = (384, 1280)
     max_gt_boxes: int = 64  # GT padded to fixed count per image
     synthetic_size: int = 512  # examples per split for dataset="synthetic"
+    # Memoize prepared (resized/padded) examples in host RAM across epochs.
+    # Semantically identical for deterministic handlers (all of ours);
+    # costs ~1.5 MB/image at flagship shape. Essential for synthetic
+    # benchmark/training runs on few-core hosts: regeneration measured
+    # 15-65 ms/img (loader-bound at 7.7 img/s on the 1-vCPU bench host vs
+    # the 130 img/s device rate); from cache the loader feeds at device
+    # rate from epoch 2. Off by default (real datasets can exceed RAM).
+    cache_examples: bool = False
     augment_flip: bool = True
     mean: Tuple[float, float, float] = (0.485, 0.456, 0.406)
     std: Tuple[float, float, float] = (0.229, 0.224, 0.225)

@@ -208,6 +208,30 @@ class TestLoaderAndSynthetic:
         assert b["gt_classes"].shape == (4, 8)
         assert b["gt_valid"].shape == (4, 8)
 
+    def test_loader_cache_identical_and_hits(self):
+        """cache=True (DataConfig.cache_examples) must be semantically
+        invisible — identical batches to the uncached loader — and must
+        stop re-preparing examples after the first epoch."""
+        calls = []
+
+        class Counting(SyntheticDataset):
+            def example(self, index):
+                calls.append(index)
+                return super().example(index)
+
+        ds = Counting(size=6, image_hw=(32, 32))
+        mk = lambda cache: Loader(
+            ds, batch_size=3, image_hw=(32, 32), num_epochs=2, seed=1,
+            num_workers=2, cache=cache,
+        )
+        plain = [b["image"] for b in mk(False)]
+        calls.clear()
+        cached = [b["image"] for b in mk(True)]
+        for x, y in zip(plain, cached):
+            np.testing.assert_array_equal(x, y)
+        # 2 epochs x 6 examples, but each index prepared only once.
+        assert len(calls) == 6
+
     def test_loader_shuffle_reproducible(self):
         ds = SyntheticDataset(size=8, image_hw=(32, 32))
         mk = lambda: Loader(
