@@ -22,6 +22,20 @@ def main(argv=None) -> None:
     p.add_argument("--min_score", type=float, default=0.05)
     p.add_argument("--iou_threshold", type=float, default=0.5)
     p.add_argument("--json_out", default=None)
+    p.add_argument(
+        "--model_dataset", default=None,
+        choices=["kitti", "bdd", "synthetic"],
+        help="dataset whose class list the DUMPING model was trained on, "
+        "when it differs from the eval dataset (cross-dataset evaluation, "
+        "paper §IV — e.g. a BDD-trained model scored on KITTI GT); "
+        "detections are remapped by class name (person<->pedestrian, "
+        "rider<->cyclist aliases built in)",
+    )
+    p.add_argument(
+        "--class_alias", action="append", default=[],
+        metavar="MODEL:EVAL",
+        help="extra model->eval class-name alias (repeatable)",
+    )
     p.add_argument("overrides", nargs="*")
     args = p.parse_args(argv)
 
@@ -35,12 +49,27 @@ def main(argv=None) -> None:
     with open(args.detections) as f:
         records = [json.loads(line) for line in f if line.strip()]
 
+    model_class_names = None
+    if args.model_dataset:
+        from bayesod_tpu.data.bdd import BDD_CLASSES
+        from bayesod_tpu.data.kitti import KITTI_CLASSES
+        from bayesod_tpu.data.synthetic import SYNTHETIC_CLASSES
+
+        model_class_names = {
+            "kitti": KITTI_CLASSES,
+            "bdd": BDD_CLASSES,
+            "synthetic": SYNTHETIC_CLASSES,
+        }[args.model_dataset]
+    aliases = dict(a.split(":", 1) for a in args.class_alias)
+
     metrics = evaluate(
         cfg,
         records,
         split=args.split,
         min_score=args.min_score,
         iou_threshold=args.iou_threshold,
+        model_class_names=model_class_names,
+        class_aliases=aliases or None,
     )
     width = max(len(k) for k in metrics)
     for k in sorted(metrics):

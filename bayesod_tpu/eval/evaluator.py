@@ -135,6 +135,84 @@ def run_inference(
     return records
 
 
+# Canonical cross-dataset class aliases (paper §IV evaluates BDD100K-trained
+# models on KITTI; SURVEY.md §2 "KITTI handler ... used mainly for
+# cross-dataset eval"): model-space name -> eval-space name, applied after
+# exact name equality.
+CROSS_DATASET_ALIASES: Dict[str, str] = {
+    "person": "pedestrian",
+    "pedestrian": "person",
+    "rider": "cyclist",
+    "cyclist": "rider",
+}
+
+
+def remap_detections(
+    records: Sequence[Dict],
+    model_class_names: Sequence[str],
+    eval_class_names: Sequence[str],
+    aliases: Optional[Dict[str, str]] = None,
+) -> List[Dict]:
+    """Re-express model-space detection records in an eval dataset's class
+    space, joined BY NAME (cross-dataset evaluation, e.g. a 10-class
+    BDD-trained model scored against 3-class KITTI ground truth).
+
+    Per record: detections whose class has no name/alias match in
+    `eval_class_names` are dropped; categorical columns are folded — each
+    mapped foreground column moves to its target index, unmapped
+    foreground mass is added to background (it is exactly the probability
+    of "none of the eval classes"), so every row remains a distribution.
+    Entropies are recomputed from the folded categoricals; scores keep the
+    model's ranking statistic.
+    """
+    aliases = dict(CROSS_DATASET_ALIASES, **(aliases or {}))
+    eval_ids = {n: i + 1 for i, n in enumerate(eval_class_names)}
+    id_map: Dict[int, int] = {}
+    for mi, name in enumerate(model_class_names, start=1):
+        target = eval_ids.get(name)
+        if target is None:
+            target = eval_ids.get(aliases.get(name, ""))
+        if target is not None:
+            id_map[mi] = target
+    n_m, n_e = len(model_class_names), len(eval_class_names)
+    # Column-folding matrix [Cm+1, Ce+1]: bg->bg, mapped fg->target fg,
+    # unmapped fg->bg.
+    fold = np.zeros((n_m + 1, n_e + 1), np.float32)
+    fold[0, 0] = 1.0
+    for mi in range(1, n_m + 1):
+        fold[mi, id_map.get(mi, 0)] = 1.0
+    lut = np.zeros(n_m + 1, np.int32)
+    for mi, ei in id_map.items():
+        lut[mi] = ei
+
+    out = []
+    for rec in records:
+        classes = np.asarray(rec["classes"], np.int32)
+        keep = np.isin(classes, list(id_map.keys()))
+        probs = np.asarray(rec["probs"], np.float32).reshape(-1, n_m + 1)
+        probs_e = probs[keep] @ fold
+        with np.errstate(divide="ignore", invalid="ignore"):
+            logp = np.where(probs_e > 0, np.log(probs_e), 0.0)
+        out.append(
+            {
+                "id": rec["id"],
+                "boxes": np.asarray(rec["boxes"], np.float32).reshape(
+                    -1, 4
+                )[keep].tolist(),
+                "covs": np.asarray(rec["covs"], np.float32).reshape(
+                    -1, 4, 4
+                )[keep].tolist(),
+                "probs": probs_e.tolist(),
+                "scores": np.asarray(rec["scores"], np.float32)[
+                    keep
+                ].tolist(),
+                "entropy": (-np.sum(probs_e * logp, axis=-1)).tolist(),
+                "classes": lut[classes[keep]].tolist(),
+            }
+        )
+    return out
+
+
 class _GtIndex:
     """Id-keyed ground-truth cache for evaluation.
 
@@ -224,6 +302,8 @@ def evaluate(
     min_score: float = 0.05,
     iou_threshold: float = 0.5,
     compute_pdq: bool = True,
+    model_class_names: Optional[Sequence[str]] = None,
+    class_aliases: Optional[Dict[str, str]] = None,
 ) -> Dict[str, float]:
     """Score dumped detections: per-class AP (+KITTI difficulty bins), mAP,
     the uncertainty metrics over all matched detections, and PDQ
@@ -231,9 +311,20 @@ def evaluate(
 
     Records are joined to ground truth BY ID (any ordering/subset of the
     split scores correctly); annotations are parsed once per image and
-    pixels are never decoded (_GtIndex)."""
+    pixels are never decoded (_GtIndex).
+
+    `model_class_names` (cross-dataset evaluation, paper §IV): the class
+    list the DUMPING model was trained on, when it differs from the eval
+    dataset's — records are remapped by name first (remap_detections;
+    `class_aliases` extends CROSS_DATASET_ALIASES)."""
     dataset = make_dataset(cfg.data, split=split)
     class_names = list(dataset.class_names)
+    if model_class_names is not None and (
+        list(model_class_names) != class_names
+    ):
+        records = remap_detections(
+            records, model_class_names, class_names, class_aliases
+        )
     is_kitti = cfg.data.dataset == "kitti"
     metrics: Dict[str, float] = {}
 

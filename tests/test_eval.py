@@ -201,6 +201,69 @@ class TestEndToEndEval:
             assert np.isfinite(v)
 
 
+class TestCrossDatasetRemap:
+    """remap_detections: cross-dataset class-space folding (paper §IV —
+    BDD-trained model scored against KITTI GT)."""
+
+    MODEL = ("car", "bus", "person", "rider")  # BDD-like
+    EVAL = ("car", "pedestrian", "cyclist")  # KITTI
+
+    def _record(self):
+        # 4 detections: car, bus (unmapped -> dropped), person, rider.
+        probs = np.array(
+            [
+                [0.1, 0.6, 0.1, 0.1, 0.1],
+                [0.1, 0.2, 0.5, 0.1, 0.1],
+                [0.2, 0.1, 0.1, 0.5, 0.1],
+                [0.1, 0.1, 0.1, 0.2, 0.5],
+            ],
+            np.float32,
+        )
+        return {
+            "id": "im0",
+            "boxes": np.arange(16, dtype=np.float32).reshape(4, 4).tolist(),
+            "covs": np.tile(np.eye(4, dtype=np.float32), (4, 1, 1)).tolist(),
+            "probs": probs.tolist(),
+            "scores": [0.6, 0.5, 0.5, 0.5],
+            "entropy": [0.0] * 4,
+            "classes": [1, 2, 3, 4],
+        }
+
+    def test_names_aliases_and_folding(self):
+        from bayesod_tpu.eval.evaluator import remap_detections
+
+        out = remap_detections([self._record()], self.MODEL, self.EVAL)
+        r = out[0]
+        # bus dropped; car->car(1), person->pedestrian(2), rider->cyclist(3)
+        assert r["classes"] == [1, 2, 3]
+        probs = np.asarray(r["probs"])
+        assert probs.shape == (3, 4)
+        np.testing.assert_allclose(probs.sum(-1), 1.0, atol=1e-6)
+        # unmapped bus mass folded into background
+        np.testing.assert_allclose(probs[0], [0.2, 0.6, 0.1, 0.1], atol=1e-6)
+        # boxes follow the keep mask
+        assert r["boxes"][1][0] == 8.0
+
+    def test_identity_mapping_is_noop(self):
+        from bayesod_tpu.eval.evaluator import remap_detections
+
+        rec = self._record()
+        out = remap_detections([rec], self.MODEL, self.MODEL)[0]
+        assert out["classes"] == rec["classes"]
+        np.testing.assert_allclose(
+            np.asarray(out["probs"]), np.asarray(rec["probs"]), atol=1e-6
+        )
+
+    def test_extra_alias(self):
+        from bayesod_tpu.eval.evaluator import remap_detections
+
+        out = remap_detections(
+            [self._record()], self.MODEL, self.EVAL,
+            aliases={"bus": "car"},
+        )[0]
+        assert out["classes"] == [1, 1, 2, 3]  # bus now maps to car
+
+
 @pytest.mark.slow
 def test_data_parallel_inference_matches_single(cpu_devices):
     """DP-sharded eval over the 8-device mesh = single-device results."""
