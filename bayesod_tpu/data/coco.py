@@ -37,10 +37,17 @@ class CocoDataset:
         self._class_names = tuple(c["name"] for c in cats)
         self.images: List[dict] = raw["images"]
         self._annos_by_image: Dict[int, List[dict]] = {}
+        # Crowd annotations are kept separately: excluded from training
+        # targets, surfaced as ignore regions to the COCO-protocol evaluator
+        # (eval/coco.py — dets inside a crowd are neither TP nor FP).
+        self._crowds_by_image: Dict[int, List[dict]] = {}
         for a in raw["annotations"]:
-            if a.get("iscrowd", 0):
-                continue
-            self._annos_by_image.setdefault(a["image_id"], []).append(a)
+            bucket = (
+                self._crowds_by_image
+                if a.get("iscrowd", 0)
+                else self._annos_by_image
+            )
+            bucket.setdefault(a["image_id"], []).append(a)
 
     def __len__(self) -> int:
         return len(self.images)
@@ -88,13 +95,23 @@ class CocoDataset:
         decode. Image size comes from the instances JSON (standard fields),
         falling back to a header read."""
         info = self.images[index]
-        boxes, classes = [], []
+        boxes, classes, areas = [], [], []
         for a in self._annos_by_image.get(info["id"], []):
             x, y, w, h = a["bbox"]
             if w <= 0 or h <= 0:
                 continue
             boxes.append([x, y, x + w, y + h])
             classes.append(self._cat_remap[a["category_id"]])
+            # COCO area-range gating uses the segmentation ``area`` field
+            # when present, not the box area.
+            areas.append(float(a.get("area", w * h)))
+        crowd_boxes, crowd_classes = [], []
+        for a in self._crowds_by_image.get(info["id"], []):
+            x, y, w, h = a["bbox"]
+            if w <= 0 or h <= 0:
+                continue
+            crowd_boxes.append([x, y, x + w, y + h])
+            crowd_classes.append(self._cat_remap[a["category_id"]])
         if "height" in info and "width" in info:
             hw = (int(info["height"]), int(info["width"]))
         else:
@@ -110,6 +127,13 @@ class CocoDataset:
                 else np.zeros((0, 4), np.float32)
             ),
             "classes": np.asarray(classes, np.int32),
+            "areas": np.asarray(areas, np.float64),
+            "crowd_boxes": (
+                np.asarray(crowd_boxes, np.float32)
+                if crowd_boxes
+                else np.zeros((0, 4), np.float32)
+            ),
+            "crowd_classes": np.asarray(crowd_classes, np.int32),
             "hw": hw,
             "annotations": None,
         }

@@ -50,6 +50,27 @@ def load_image_rgb(path: str) -> np.ndarray:
     return np.asarray(Image.open(path).convert("RGB"))
 
 
+class _Once:
+    """Compute-exactly-once cell: the first caller runs `compute` under the
+    cell lock, later callers (including concurrent ones on other workers)
+    block briefly and read the stored value. A failed compute leaves the
+    cell empty so a retry is possible."""
+
+    __slots__ = ("_lock", "_done", "_value")
+
+    def __init__(self):
+        self._lock = threading.Lock()
+        self._done = False
+        self._value = None
+
+    def get(self, compute):
+        with self._lock:
+            if not self._done:
+                self._value = compute()
+                self._done = True
+            return self._value
+
+
 class Loader:
     """Iterates fixed-shape numpy batches from any handler with .example(i).
 
@@ -89,12 +110,12 @@ class Loader:
         self.num_epochs = num_epochs
         # Optional cross-epoch memoization of prepared examples
         # (DataConfig.cache_examples). Handlers are deterministic per
-        # index, so this is semantically identity; dict writes are atomic
-        # under the GIL (a racing pair of workers just prepares one
-        # example twice).
-        self._cache: Optional[Dict[int, Dict[str, np.ndarray]]] = (
-            {} if cache else None
-        )
+        # index, so this is semantically identity. Entries are _Once cells
+        # so each index is prepared EXACTLY once even when the cross-batch
+        # lookahead submits an epoch-2 batch while epoch-1's examples are
+        # still in flight (two workers racing on the same index).
+        self._cache: Optional[Dict[int, "_Once"]] = {} if cache else None
+        self._cache_lock = threading.Lock()
 
     def steps_per_epoch(self) -> int:
         return len(self.dataset) // self.batch_size
@@ -117,16 +138,19 @@ class Loader:
 
     def _prep(self, idx: int):
         idx = int(idx)
-        if self._cache is not None:
-            hit = self._cache.get(idx)
-            if hit is not None:
-                return hit
-        rec = prepare_example(
-            self.dataset.example(idx), self.image_hw, self.max_gt_boxes
+        if self._cache is None:
+            return prepare_example(
+                self.dataset.example(idx), self.image_hw, self.max_gt_boxes
+            )
+        with self._cache_lock:
+            cell = self._cache.get(idx)
+            if cell is None:
+                cell = self._cache[idx] = _Once()
+        return cell.get(
+            lambda: prepare_example(
+                self.dataset.example(idx), self.image_hw, self.max_gt_boxes
+            )
         )
-        if self._cache is not None:
-            self._cache[idx] = rec
-        return rec
 
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
         """PERSISTENT worker pool + cross-batch lookahead.

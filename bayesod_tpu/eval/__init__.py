@@ -1,4 +1,4 @@
-"""Evaluation: AP (KITTI/VOC protocols), uncertainty metrics, drivers
+"""Evaluation: AP (KITTI/VOC/COCO protocols), uncertainty metrics, drivers
 (SURVEY.md §2 "Evaluator", §3.3)."""
 
 from bayesod_tpu.eval.ap import (
@@ -10,6 +10,7 @@ from bayesod_tpu.eval.ap import (
     match_image,
     pr_curve,
 )
+from bayesod_tpu.eval.coco import CocoImage, evaluate_coco
 from bayesod_tpu.eval.pdq import image_pdq, pdq_score, ppdq
 from bayesod_tpu.eval.uncertainty import (
     categorical_nll,
@@ -23,10 +24,12 @@ from bayesod_tpu.eval.uncertainty import (
 __all__ = [
     "ImageEval",
     "KITTI_IOU_THRESHOLDS",
+    "CocoImage",
     "ap_all_point",
     "ap_interpolated",
     "categorical_nll",
     "compute_ap",
+    "evaluate_coco",
     "entropy",
     "gaussian_entropy",
     "gaussian_nll",

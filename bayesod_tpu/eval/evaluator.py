@@ -326,32 +326,65 @@ def evaluate(
             records, model_class_names, class_names, class_aliases
         )
     is_kitti = cfg.data.dataset == "kitti"
+    is_coco = cfg.data.dataset == "coco"
     metrics: Dict[str, float] = {}
 
     gt_index = _GtIndex(dataset)
     gts = [gt_index(rec["id"]) for rec in records]
     dets = [_record_arrays(rec, len(class_names)) for rec in records]
 
-    aps = []
-    for ci, name in enumerate(class_names, start=1):
-        thr = (
-            ap_lib.KITTI_IOU_THRESHOLDS.get(name, iou_threshold)
-            if is_kitti
-            else iou_threshold
+    if is_coco:
+        # Official COCO protocol (eval/coco.py): AP@[.50:.95], AP50/75,
+        # area ranges, AR budgets, crowd-region ignores.
+        from bayesod_tpu.eval import coco as coco_lib
+
+        images = [
+            coco_lib.CocoImage(
+                det_boxes=det["boxes"],
+                det_scores=det["scores"],
+                det_classes=det["classes"],
+                gt_boxes=gt["boxes"],
+                gt_classes=gt["classes"],
+                gt_areas=gt.get("areas"),
+                crowd_boxes=gt.get("crowd_boxes"),
+                crowd_classes=gt.get("crowd_classes"),
+            )
+            for det, gt in zip(dets, gts)
+        ]
+        coco_metrics = coco_lib.evaluate_coco(
+            images, class_ids=range(1, len(class_names) + 1)
         )
-        if is_kitti:
-            for diff in ("easy", "moderate", "hard"):
-                evs = _per_class_image_evals(dets, gts, ci, diff, min_score)
-                r = ap_lib.compute_ap(evs, thr, num_points=40)
-                metrics[f"ap_{name}_{diff}"] = r["ap"]
-                if diff == "moderate":
-                    aps.append(r["ap"])
-        else:
-            evs = _per_class_image_evals(dets, gts, ci, None, min_score)
-            r = ap_lib.compute_ap(evs, thr, num_points=None)
-            metrics[f"ap_{name}"] = r["ap"]
-            aps.append(r["ap"])
-    metrics["map"] = float(np.mean(aps)) if aps else 0.0
+        for ci, name in enumerate(class_names, start=1):
+            if f"coco_ap_cls{ci}" in coco_metrics:
+                coco_metrics[f"ap_{name}"] = coco_metrics.pop(
+                    f"coco_ap_cls{ci}"
+                )
+        metrics.update(coco_metrics)
+        metrics["map"] = coco_metrics["coco_ap"]
+
+    if not is_coco:
+        aps = []
+        for ci, name in enumerate(class_names, start=1):
+            thr = (
+                ap_lib.KITTI_IOU_THRESHOLDS.get(name, iou_threshold)
+                if is_kitti
+                else iou_threshold
+            )
+            if is_kitti:
+                for diff in ("easy", "moderate", "hard"):
+                    evs = _per_class_image_evals(
+                        dets, gts, ci, diff, min_score
+                    )
+                    r = ap_lib.compute_ap(evs, thr, num_points=40)
+                    metrics[f"ap_{name}_{diff}"] = r["ap"]
+                    if diff == "moderate":
+                        aps.append(r["ap"])
+            else:
+                evs = _per_class_image_evals(dets, gts, ci, None, min_score)
+                r = ap_lib.compute_ap(evs, thr, num_points=None)
+                metrics[f"ap_{name}"] = r["ap"]
+                aps.append(r["ap"])
+        metrics["map"] = float(np.mean(aps)) if aps else 0.0
 
     # ---- uncertainty metrics over all classes pooled -----------------------
     correct_all, probs_all, covs_all, mu_all = [], [], [], []
