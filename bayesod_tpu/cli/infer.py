@@ -37,6 +37,12 @@ def main(argv=None) -> None:
         help="also dump detections in official BDD100K submission JSON",
     )
     p.add_argument(
+        "--coco_results", default=None, metavar="JSON",
+        help="also dump detections in official COCO results JSON "
+        "(pycocotools/eval-server format; category ids unmapped back to "
+        "the annotation file's sparse ids when data.dataset=coco)",
+    )
+    p.add_argument(
         "--visualize", default=None, metavar="PNG",
         help="also render the first images' detections (boxes + covariance "
         "ellipses) into a grid PNG",
@@ -96,6 +102,17 @@ def main(argv=None) -> None:
 
         write_bdd_results(records, args.bdd_results)
         print(f"wrote BDD-format results -> {args.bdd_results}")
+
+    if args.coco_results:
+        from bayesod_tpu.data.coco import write_coco_results
+
+        coco_ds = None
+        if cfg.data.dataset == "coco":
+            from bayesod_tpu.data import make_dataset
+
+            coco_ds = make_dataset(cfg.data, split=args.split)
+        write_coco_results(records, coco_ds, args.coco_results)
+        print(f"wrote COCO-format results -> {args.coco_results}")
 
     if args.visualize:
         from bayesod_tpu.data import make_dataset

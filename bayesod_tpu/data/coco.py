@@ -12,7 +12,7 @@ from __future__ import annotations
 
 import json
 import os
-from typing import Dict, List, Sequence
+from typing import Dict, List, Optional, Sequence
 
 import numpy as np
 
@@ -137,3 +137,52 @@ class CocoDataset:
             "hw": hw,
             "annotations": None,
         }
+
+
+def write_coco_results(
+    records,
+    dataset: Optional["CocoDataset"],
+    out_path: str,
+    score_threshold: float = 0.0,
+) -> str:
+    """Dump detections in the official COCO results format: one JSON list of
+    {"image_id", "category_id", "bbox" [x,y,w,h], "score"} — directly
+    consumable by pycocotools / the COCO evaluation server (the COCO side of
+    the cross-tool output surface, like write_kitti_results /
+    write_bdd_results).
+
+    `records` are evaluator dump records (corner boxes in ORIGINAL image
+    coordinates, contiguous class ids 1..C). `dataset` supplies the inverse
+    of the contiguous->sparse category-id remap; pass None to emit the
+    contiguous ids unchanged (synthetic/self-contained splits).
+    """
+    if dataset is not None:
+        inv = {v: k for k, v in dataset._cat_remap.items()}
+    else:
+        inv = None
+    out = []
+    for rec in records:
+        image_id = int(rec["id"]) if str(rec["id"]).isdigit() else rec["id"]
+        for box, cls, score in zip(
+            rec["boxes"], rec["classes"], rec["scores"]
+        ):
+            cid = int(cls)
+            if score < score_threshold or cid < 1:
+                continue
+            if inv is not None:
+                if cid not in inv:
+                    continue
+                cid = inv[cid]
+            x1, y1, x2, y2 = (float(v) for v in box)
+            out.append(
+                {
+                    "image_id": image_id,
+                    "category_id": cid,
+                    "bbox": [x1, y1, x2 - x1, y2 - y1],
+                    "score": float(score),
+                }
+            )
+    os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)
+    with open(out_path, "w") as f:
+        json.dump(out, f)
+    return out_path

@@ -93,6 +93,42 @@ class Detector:
             )
         return cls(cfg, state.variables(), batch_size)
 
+    def quantized(
+        self, calib_images: Sequence[np.ndarray], margin: float = 1.0
+    ) -> "Detector":
+        """New Detector serving the SAME weights through the int8-resident
+        backbone (models/resnet.py), calibrated on the given raw uint8
+        images. Needs norm=batchnorm; ~1.8x backbone throughput at PTQ-grade
+        accuracy (DESIGN.md §8)."""
+        import dataclasses
+
+        from bayesod_tpu.models.calibration import (
+            with_int8_resident_backbone,
+        )
+
+        batch = np.zeros(
+            (len(calib_images), *self.cfg.data.image_hw, 3), np.uint8
+        )
+        for i, img in enumerate(calib_images):
+            batch[i], _, _ = resize_and_pad(
+                np.asarray(img), np.zeros((0, 4), np.float32),
+                self.cfg.data.image_hw,
+            )
+        normalized = normalize_images(
+            jnp.asarray(batch), self.cfg.data.mean, self.cfg.data.std
+        )
+        base = dataclasses.replace(
+            self.cfg,
+            model=dataclasses.replace(
+                self.cfg.model, backbone_dtype="bf16",
+                backbone_act_scales=None,
+            ),
+        )
+        cfg8 = with_int8_resident_backbone(
+            base, self.variables, normalized, margin=margin
+        )
+        return Detector(cfg8, self.variables, self.batch_size)
+
     # -- inference ------------------------------------------------------------
 
     def __call__(

@@ -1,0 +1,93 @@
+"""Post-training calibration for the int8-resident backbone.
+
+backbone_dtype="int8_resident" (models/resnet.py) keeps activations int8 in
+HBM between layers, which requires a STATIC scale at every quantization site
+— dynamic absmax would force an extra full pass over each activation and
+break the conv-epilogue fusion (the round-1 int8 dead end, DESIGN.md §8).
+
+This module produces those scales: run the bf16 backbone over a calibration
+batch with per-site absmax capture (ResNet.capture_scales sows into the
+"intermediates" collection), convert absmax -> symmetric int8 scale, and
+return the hashable tuple that ModelConfig.backbone_act_scales expects.
+
+No reference counterpart (SURVEY.md §2 — the reference serves fp32 TF);
+this is TPU-serving machinery.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from collections.abc import Mapping
+from typing import Dict, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from bayesod_tpu.models.resnet import ResNet
+
+
+def calibrate_backbone_scales(
+    cfg,
+    variables,
+    images: jnp.ndarray,
+    margin: float = 1.0,
+) -> Tuple[Tuple[str, float], ...]:
+    """Per-site int8 activation scales for the backbone.
+
+    Args:
+      cfg: ExperimentConfig (model section is read).
+      variables: full model variables (as produced by init_variables /
+        checkpoint restore — must contain params["backbone"]).
+      images: calibration batch, ALREADY normalized the way the model sees
+        it (use bayesod_tpu.data.preprocess.normalize_images on raw uint8).
+      margin: multiplier on the observed absmax (1.0 = clip exactly at the
+        calibration range; >1 leaves headroom for unseen inputs).
+
+    Returns:
+      Sorted tuple of (site, scale) pairs for
+      ModelConfig.backbone_act_scales; sites are "stem" and
+      "<stageS_blockB>/{q1,q2,out}" ("q2" only for bottleneck variants).
+    """
+    from bayesod_tpu.models.retinanet import _dtype_of
+
+    backbone = ResNet(
+        variant=cfg.model.backbone,
+        norm=cfg.model.norm,
+        stem=cfg.model.stem,
+        dtype=_dtype_of(cfg.model),
+        train=False,
+        conv_dtype="bf16",
+        capture_scales=True,
+    )
+    bvars = {"params": variables["params"]["backbone"]}
+    if "batch_stats" in variables:
+        bvars["batch_stats"] = variables["batch_stats"]["backbone"]
+    _, state = backbone.apply(bvars, images, mutable=["intermediates"])
+
+    flat: Dict[str, float] = {}
+
+    def walk(tree, prefix=""):
+        for key, value in tree.items():
+            path = f"{prefix}/{key}" if prefix else key
+            if isinstance(value, Mapping):
+                walk(value, path)
+            else:  # sow stores a tuple of captures
+                absmax = float(np.asarray(value[0]))
+                flat[path] = max(absmax * margin, 1e-6) / 127.0
+
+    walk(state["intermediates"])
+    return tuple(sorted(flat.items()))
+
+
+def with_int8_resident_backbone(cfg, variables, images, margin: float = 1.0):
+    """Convenience: calibrate and return a new ExperimentConfig with
+    backbone_dtype="int8_resident" + the calibrated scales set."""
+    scales = calibrate_backbone_scales(cfg, variables, images, margin)
+    return dataclasses.replace(
+        cfg,
+        model=dataclasses.replace(
+            cfg.model,
+            backbone_dtype="int8_resident",
+            backbone_act_scales=scales,
+        ),
+    )

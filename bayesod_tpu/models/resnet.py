@@ -19,11 +19,22 @@ from __future__ import annotations
 from typing import Any, Callable, Dict
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
-from bayesod_tpu.models.quant import QuantConv
+from bayesod_tpu.models.quant import (
+    BNFold,
+    ConvKernel,
+    QuantConv,
+    conv_int8,
+    quantize_act,
+    quantize_kernel,
+    requant,
+)
 
 ModuleDef = Any
+
+_INIT = nn.initializers.variance_scaling(2.0, "fan_out", "normal")
 
 
 def make_conv(
@@ -94,20 +105,74 @@ class BottleneckBlock(nn.Module):
     train: bool = False
     conv_dtype: str = "bf16"
     act_scale: Any = None
+    # int8_resident: (("in", s), ("q1", s), ("q2", s), ("out", s)) static
+    # activation scales (models/calibration.py). capture: bf16 path sows
+    # per-site absmax into the "intermediates" collection for calibration.
+    scales: Any = None
+    capture: bool = False
 
     @nn.compact
     def __call__(self, x):
+        if self.conv_dtype == "int8_resident":
+            return self._int8_resident(x)
         norm = make_norm(self.norm, self.dtype, self.train)
         conv = make_conv(self.conv_dtype, self.dtype, self.act_scale)
         residual = x
         y = nn.relu(norm(name="bn1")(conv(self.features, 1, 1, "conv1")(x)))
+        if self.capture:
+            self.sow("intermediates", "q1", _absmax(y))
         y = nn.relu(norm(name="bn2")(conv(self.features, 3, self.strides, "conv2")(y)))
+        if self.capture:
+            self.sow("intermediates", "q2", _absmax(y))
         y = norm(name="bn3")(conv(4 * self.features, 1, 1, "conv3")(y))
         if residual.shape[-1] != y.shape[-1] or self.strides != 1:
             residual = norm(name="bn_proj")(
                 conv(4 * self.features, 1, self.strides, "conv_proj")(residual)
             )
-        return nn.relu(y + residual)
+        out = nn.relu(y + residual)
+        if self.capture:
+            self.sow("intermediates", "out", _absmax(out))
+        return out
+
+    def _int8_resident(self, xq):
+        """int8-in/int8-out execution: conv int32 accumulate, folded-BN
+        scale/shift + relu + requant in the conv epilogue (models/quant.py;
+        measured 1.82x over bf16 at C3 shape). xq is int8 at scales['in']."""
+        sc = dict(self.scales)
+        s_in, s1, s2, s_out = sc["in"], sc["q1"], sc["q2"], sc["out"]
+        cin, width = xq.shape[-1], self.features
+
+        wq1, ws1 = quantize_kernel(ConvKernel(width, (1, 1), _INIT, name="conv1")(cin))
+        g1, b1 = BNFold(name="bn1")(width)
+        q1 = requant(conv_int8(xq, wq1, 1), s_in * ws1 * g1, b1, s1)
+
+        wq2, ws2 = quantize_kernel(ConvKernel(width, (3, 3), _INIT, name="conv2")(width))
+        g2, b2 = BNFold(name="bn2")(width)
+        q2 = requant(conv_int8(q1, wq2, self.strides), s1 * ws2 * g2, b2, s2)
+
+        wq3, ws3 = quantize_kernel(
+            ConvKernel(4 * width, (1, 1), _INIT, name="conv3")(width)
+        )
+        g3, b3 = BNFold(name="bn3")(4 * width)
+        y = conv_int8(q2, wq3, 1).astype(jnp.float32) * (s2 * ws3 * g3) + b3
+
+        if cin != 4 * width or self.strides != 1:
+            wqp, wsp = quantize_kernel(
+                ConvKernel(4 * width, (1, 1), _INIT, name="conv_proj")(cin)
+            )
+            gp, bp = BNFold(name="bn_proj")(4 * width)
+            r = (
+                conv_int8(xq, wqp, self.strides).astype(jnp.float32)
+                * (s_in * wsp * gp)
+                + bp
+            )
+        else:
+            r = xq.astype(jnp.float32) * s_in
+        return quantize_act(jax.nn.relu(y + r), s_out)
+
+
+def _absmax(x) -> jnp.ndarray:
+    return jnp.max(jnp.abs(x.astype(jnp.float32)))
 
 
 class BasicBlock(nn.Module):
@@ -120,19 +185,56 @@ class BasicBlock(nn.Module):
     train: bool = False
     conv_dtype: str = "bf16"
     act_scale: Any = None
+    scales: Any = None  # int8_resident: (("in",s),("q1",s),("out",s))
+    capture: bool = False
 
     @nn.compact
     def __call__(self, x):
+        if self.conv_dtype == "int8_resident":
+            return self._int8_resident(x)
         norm = make_norm(self.norm, self.dtype, self.train)
         conv = make_conv(self.conv_dtype, self.dtype, self.act_scale)
         residual = x
         y = nn.relu(norm(name="bn1")(conv(self.features, 3, self.strides, "conv1")(x)))
+        if self.capture:
+            self.sow("intermediates", "q1", _absmax(y))
         y = norm(name="bn2")(conv(self.features, 3, 1, "conv2")(y))
         if residual.shape[-1] != y.shape[-1] or self.strides != 1:
             residual = norm(name="bn_proj")(
                 conv(self.features, 1, self.strides, "conv_proj")(residual)
             )
-        return nn.relu(y + residual)
+        out = nn.relu(y + residual)
+        if self.capture:
+            self.sow("intermediates", "out", _absmax(out))
+        return out
+
+    def _int8_resident(self, xq):
+        """See BottleneckBlock._int8_resident."""
+        sc = dict(self.scales)
+        s_in, s1, s_out = sc["in"], sc["q1"], sc["out"]
+        cin, width = xq.shape[-1], self.features
+
+        wq1, ws1 = quantize_kernel(ConvKernel(width, (3, 3), _INIT, name="conv1")(cin))
+        g1, b1 = BNFold(name="bn1")(width)
+        q1 = requant(conv_int8(xq, wq1, self.strides), s_in * ws1 * g1, b1, s1)
+
+        wq2, ws2 = quantize_kernel(ConvKernel(width, (3, 3), _INIT, name="conv2")(width))
+        g2, b2 = BNFold(name="bn2")(width)
+        y = conv_int8(q1, wq2, 1).astype(jnp.float32) * (s1 * ws2 * g2) + b2
+
+        if cin != width or self.strides != 1:
+            wqp, wsp = quantize_kernel(
+                ConvKernel(width, (1, 1), _INIT, name="conv_proj")(cin)
+            )
+            gp, bp = BNFold(name="bn_proj")(width)
+            r = (
+                conv_int8(xq, wqp, self.strides).astype(jnp.float32)
+                * (s_in * wsp * gp)
+                + bp
+            )
+        else:
+            r = xq.astype(jnp.float32) * s_in
+        return quantize_act(jax.nn.relu(y + r), s_out)
 
 
 class ResNet(nn.Module):
@@ -154,16 +256,44 @@ class ResNet(nn.Module):
     stem: str = "space_to_depth"
     dtype: Any = jnp.bfloat16
     train: bool = False
-    # Residual-block conv execution: "bf16" exact, "int8" dynamic-quantized
-    # MXU path (serving; the stem stays bf16 — 12-channel contraction gains
-    # nothing from int8 and pixel statistics quantize worst).
+    # Residual-block conv execution: "bf16" exact; "int8" dynamic-quantized
+    # inside each conv (block I/O stays bf16 — measured neutral, DESIGN §8);
+    # "int8_resident" int8 activations IN HBM between layers with folded-BN
+    # epilogues (1.82x at C3 shape; needs norm=batchnorm + act_scales).
+    # The stem stays bf16 in every mode — 12-channel contraction gains
+    # nothing from int8 and pixel statistics quantize worst.
     conv_dtype: str = "bf16"
     act_scale: Any = None  # static int8 activation scale (None = dynamic)
+    # int8_resident per-site scales: (("stem", s), ("<block>/q1", s), ...)
+    # from models/calibration.py:calibrate_backbone_scales.
+    act_scales: Any = None
+    # bf16 path: sow per-site activation absmax into "intermediates" for
+    # the calibration pass.
+    capture_scales: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> Dict[str, jnp.ndarray]:
         stage_sizes = STAGE_SIZES[self.variant]
         block_cls = BottleneckBlock if BOTTLENECK[self.variant] else BasicBlock
+        resident = self.conv_dtype == "int8_resident"
+        if resident:
+            if self.train:
+                raise ValueError(
+                    "backbone_dtype='int8_resident' is a serving path; "
+                    "train in bf16 and flip the knob for inference"
+                )
+            if self.norm != "batchnorm":
+                raise ValueError(
+                    "int8_resident folds batchnorm statically; "
+                    f"norm='{self.norm}' cannot fold (group statistics "
+                    "depend on the input)"
+                )
+            if self.act_scales is None:
+                raise ValueError(
+                    "int8_resident needs calibrated activation scales: run "
+                    "models/calibration.py:calibrate_backbone_scales and "
+                    "set model.backbone_act_scales"
+                )
         norm = make_norm(self.norm, self.dtype, self.train)
 
         x = x.astype(self.dtype)
@@ -192,12 +322,29 @@ class ResNet(nn.Module):
             raise ValueError(f"unknown stem '{self.stem}'")
         x = nn.relu(norm(name="bn_stem")(x))
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding="SAME")
+        if self.capture_scales:
+            self.sow("intermediates", "stem", _absmax(x))
+
+        sc = dict(self.act_scales) if resident else None
+        in_scale = None
+        if resident:
+            in_scale = sc["stem"]
+            x = quantize_act(x, in_scale)
 
         outputs: Dict[str, jnp.ndarray] = {}
         widths = (64, 128, 256, 512)
+        bottleneck = BOTTLENECK[self.variant]
         for stage, (num_blocks, width) in enumerate(zip(stage_sizes, widths)):
             for block in range(num_blocks):
                 strides = 2 if (stage > 0 and block == 0) else 1
+                name = f"stage{stage + 2}_block{block}"
+                block_scales = None
+                if resident:
+                    keys = ("q1", "q2", "out") if bottleneck else ("q1", "out")
+                    block_scales = (("in", in_scale),) + tuple(
+                        (k, sc[f"{name}/{k}"]) for k in keys
+                    )
+                    in_scale = sc[f"{name}/out"]
                 x = block_cls(
                     features=width,
                     strides=strides,
@@ -206,8 +353,14 @@ class ResNet(nn.Module):
                     train=self.train,
                     conv_dtype=self.conv_dtype,
                     act_scale=self.act_scale,
-                    name=f"stage{stage + 2}_block{block}",
+                    scales=block_scales,
+                    capture=self.capture_scales,
+                    name=name,
                 )(x)
             if stage >= 1:  # stages 3, 4, 5 -> strides 8, 16, 32
-                outputs[f"c{stage + 2}"] = x
+                outputs[f"c{stage + 2}"] = (
+                    (x.astype(self.dtype) * jnp.asarray(in_scale, self.dtype))
+                    if resident
+                    else x
+                )
         return outputs

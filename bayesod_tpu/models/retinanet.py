@@ -48,6 +48,7 @@ class RetinaNet(nn.Module):
             stem=self.cfg.stem, dtype=dtype,
             train=self.train, conv_dtype=self.cfg.backbone_dtype,
             act_scale=self.cfg.backbone_act_scale,
+            act_scales=self.cfg.backbone_act_scales,
             name="backbone",
         )
         self.fpn = FPN(channels=self.cfg.fpn_channels, dtype=dtype, name="fpn")

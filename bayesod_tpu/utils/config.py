@@ -40,14 +40,25 @@ class ModelConfig:
     # Head-trunk conv precision: "bf16" (exact) or "int8" (XLA-native int8
     # convs; dynamic activation + per-channel weight scales).
     head_trunk_dtype: str = "bf16"
-    # Backbone residual-block conv precision: "bf16" (exact, training) or
-    # "int8" (dynamic-quantized serving path — same checkpoint; the graph is
-    # HBM-bound and int8 halves backbone activation traffic, DESIGN.md §8).
+    # Backbone residual-block conv precision:
+    #   "bf16"          — exact (training + default serving);
+    #   "int8"          — round-1 inside-quant path (block I/O stays bf16 in
+    #     HBM; measured neutral end-to-end — kept for comparison);
+    #   "int8_resident" — activations LIVE in HBM as int8 between layers:
+    #     conv int8xint8->int32, folded-batchnorm scale/shift + relu +
+    #     requant fused into the conv epilogue (models/resnet.py). Needs
+    #     norm=batchnorm and per-site calibrated scales
+    #     (backbone_act_scales; models/calibration.py). Microbench: 1.82x
+    #     over bf16 at C3 shape, bytes 5.30 -> 2.90 GB (DESIGN.md §8).
     backbone_dtype: str = "bf16"
     # Static int8 activation scale for the backbone (None = dynamic absmax).
     # Dynamic is robust but costs an extra activation pass; a calibrated
     # static scale keeps quantization fully fused (models/quant.py).
     backbone_act_scale: Optional[float] = None
+    # Per-site activation scales for backbone_dtype="int8_resident": sorted
+    # tuple of ("stem" | "<block>/q1|q2|out", scale) pairs produced by
+    # models/calibration.py:calibrate_backbone_scales (YAML dicts coerce).
+    backbone_act_scales: Optional[Tuple[Tuple[str, float], ...]] = None
     # Fused-final matmul precision: "bf16" (exact) or "int8" (2x MXU
     # throughput; dynamic activation + per-channel weight scales, <1%
     # relative logit error — negligible next to MC-dropout noise).
@@ -240,9 +251,14 @@ _SECTIONS = {
 
 
 def _coerce(field: dataclasses.Field, value: Any) -> Any:
-    """Coerce YAML/CLI values into the declared field type (lists->tuples)."""
+    """Coerce YAML/CLI values into the declared field type: lists -> tuples,
+    dicts -> sorted tuples of pairs (configs must stay hashable for jit)."""
     if isinstance(value, list):
-        return tuple(value)
+        return tuple(
+            tuple(v) if isinstance(v, list) else v for v in value
+        )
+    if isinstance(value, dict):
+        return tuple(sorted(value.items()))
     return value
 
 

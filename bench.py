@@ -106,7 +106,12 @@ def main() -> None:
         help="head-trunk conv precision",
     )
     p.add_argument(
-        "--backbone_dtype", default="bf16", choices=["bf16", "int8"],
+        # int8_resident: activations stay int8 in HBM between layers with
+        # folded-batchnorm conv epilogues (calibrated on the bench batch at
+        # startup; models/calibration.py). "int8" is the round-1
+        # inside-quant path, kept for comparison (measured neutral).
+        "--backbone_dtype", default="bf16",
+        choices=["bf16", "int8", "int8_resident"],
         help="backbone residual-block conv precision",
     )
     p.add_argument(
@@ -199,6 +204,40 @@ def main() -> None:
         # reg_finals/probs_reduce "auto" pick these below batch 8).
         args.batch = 1
         args.iters = max(args.iters, 50)
+
+    if args.backbone_dtype == "int8_resident":
+        # init + calibrate through the bf16 path, then rebuild with static
+        # per-site scales (ModelConfig.backbone_act_scales).
+        import dataclasses
+
+        from bayesod_tpu.models.calibration import calibrate_backbone_scales
+
+        bf16_cfg = dataclasses.replace(
+            cfg, model=dataclasses.replace(cfg.model, backbone_dtype="bf16")
+        )
+        model = RetinaNet(cfg=bf16_cfg.model, train=False)
+        variables = init_variables(model, jax.random.PRNGKey(0), image_hw)
+        calib = jnp.asarray(
+            np.random.default_rng(0).uniform(
+                0, 1, (min(args.batch, 8), *image_hw, 3)
+            ),
+            jnp.float32,
+        )
+        t0 = time.time()
+        scales = calibrate_backbone_scales(bf16_cfg, variables, calib)
+        print(
+            f"[bench] int8_resident calibration: {len(scales)} sites "
+            f"in {time.time() - t0:.1f}s",
+            file=sys.stderr,
+        )
+        cfg = dataclasses.replace(
+            cfg,
+            model=dataclasses.replace(
+                cfg.model,
+                backbone_dtype="int8_resident",
+                backbone_act_scales=scales,
+            ),
+        )
 
     model = RetinaNet(cfg=cfg.model, train=False)
     variables = init_variables(model, jax.random.PRNGKey(0), image_hw)

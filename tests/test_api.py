@@ -73,3 +73,36 @@ def test_from_checkpoint_missing_raises(tmp_path):
     )
     with pytest.raises(FileNotFoundError):
         Detector.from_checkpoint(cfg, checkpoint_dir=str(tmp_path / "none"))
+
+
+def test_quantized_detector_roundtrip():
+    """Detector.quantized(): same weights through the int8-resident
+    backbone, calibrated on raw uint8 frames, still produces finite
+    original-coordinate detections."""
+    cfg = ExperimentConfig(
+        name="api_tiny_q",
+        model=ModelConfig(
+            num_classes=3, backbone="resnet18", fpn_channels=32,
+            head_depth=1, head_channels=32, norm="batchnorm",
+            compute_dtype="float32",
+        ),
+        bayes=BayesConfig(
+            num_mc_samples=2, score_threshold=0.0, pre_cluster_topk=32,
+            max_detections=8,
+        ),
+        data=DataConfig(dataset="synthetic", image_hw=(128, 128)),
+    )
+    det = Detector.from_config(cfg, batch_size=1)
+    frames = [
+        (np.random.default_rng(i).uniform(0, 255, (96, 160, 3))).astype(
+            np.uint8
+        )
+        for i in range(2)
+    ]
+    det8 = det.quantized(frames)
+    assert det8.cfg.model.backbone_dtype == "int8_resident"
+    assert det8.cfg.model.backbone_act_scales is not None
+    out = det8(frames[:1])
+    assert len(out) == 1
+    assert np.isfinite(out[0]["boxes"]).all()
+    assert np.isfinite(out[0]["probs"]).all()

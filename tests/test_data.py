@@ -146,6 +146,62 @@ class TestCoco:
         # category id 3 (car) remaps to contiguous 2 (person=1 sorts first).
         assert list(ex["classes"]) == [2]
 
+    def test_ground_truth_crowds_and_areas(self, tmp_path):
+        root = tmp_path / "coco"
+        (root / "annotations").mkdir(parents=True)
+        raw = {
+            "categories": [{"id": 3, "name": "car"}],
+            "images": [{"id": 7, "file_name": "a.jpg", "width": 64, "height": 48}],
+            "annotations": [
+                {"image_id": 7, "category_id": 3, "bbox": [10, 10, 20, 15],
+                 "area": 123.0, "iscrowd": 0},
+                {"image_id": 7, "category_id": 3, "bbox": [0, 0, 5, 5],
+                 "iscrowd": 1},
+            ],
+        }
+        with open(root / "annotations" / "instances_val2017.json", "w") as f:
+            json.dump(raw, f)
+        gt = CocoDataset(str(root), "val2017").ground_truth(0)
+        assert gt["hw"] == (48, 64)
+        np.testing.assert_allclose(gt["areas"], [123.0])  # seg area, not box
+        np.testing.assert_allclose(gt["crowd_boxes"], [[0, 0, 5, 5]])
+        assert list(gt["crowd_classes"]) == [1]
+
+    def test_results_writer_unmaps_category_ids(self, tmp_path):
+        from bayesod_tpu.data.coco import write_coco_results
+
+        root = tmp_path / "coco"
+        (root / "annotations").mkdir(parents=True)
+        raw = {
+            "categories": [{"id": 3, "name": "car"}, {"id": 1, "name": "person"}],
+            "images": [{"id": 7, "file_name": "a.jpg", "width": 64, "height": 48}],
+            "annotations": [],
+        }
+        with open(root / "annotations" / "instances_val2017.json", "w") as f:
+            json.dump(raw, f)
+        ds = CocoDataset(str(root), "val2017")
+        records = [
+            {
+                "id": "7",
+                "boxes": [[10.0, 10.0, 30.0, 25.0], [0.0, 0.0, 5.0, 5.0]],
+                "scores": [0.9, 0.2],
+                "classes": [2, 1],  # contiguous: car=2, person=1
+            }
+        ]
+        path = write_coco_results(
+            records, ds, str(tmp_path / "res.json"), score_threshold=0.5
+        )
+        out = json.load(open(path))
+        # low-score det filtered; contiguous 2 unmapped to sparse id 3
+        assert out == [
+            {
+                "image_id": 7,
+                "category_id": 3,
+                "bbox": [10.0, 10.0, 20.0, 15.0],
+                "score": 0.9,
+            }
+        ]
+
 
 class TestPreprocess:
     def test_resize_and_pad_scales_boxes(self):

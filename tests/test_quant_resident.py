@@ -1,0 +1,160 @@
+"""int8-resident backbone tests (models/resnet.py int8_resident path,
+models/quant.py primitives, models/calibration.py).
+
+The contract under test: a bf16-trained checkpoint serves the int8_resident
+path UNCHANGED (param-path compatibility), features stay close to the bf16
+reference (PTQ-grade error), and the guards reject configurations the path
+cannot honor (groupnorm, training, missing scales).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from bayesod_tpu.models.calibration import (
+    calibrate_backbone_scales,
+    with_int8_resident_backbone,
+)
+from bayesod_tpu.models.resnet import ResNet
+from bayesod_tpu.utils.config import ExperimentConfig, ModelConfig
+
+
+def _backbone(variant, conv_dtype="bf16", **kw):
+    return ResNet(
+        variant=variant, norm="batchnorm", stem="space_to_depth",
+        dtype=jnp.float32, train=False, conv_dtype=conv_dtype, **kw,
+    )
+
+
+def _full_vars(v):
+    return {
+        "params": {"backbone": v["params"]},
+        "batch_stats": {"backbone": v["batch_stats"]},
+    }
+
+
+def _cfg(variant):
+    return ExperimentConfig(
+        model=ModelConfig(backbone=variant, norm="batchnorm",
+                          compute_dtype="float32")
+    )
+
+
+class TestInt8Resident:
+    @pytest.mark.parametrize("variant", ["resnet18", "resnet50"])
+    def test_feature_parity_with_bf16(self, variant):
+        """Same checkpoint through both paths: int8-resident features must
+        track the fp32 reference at PTQ-grade error (few % of absmax)."""
+        bk = _backbone(variant)
+        x = jax.random.normal(jax.random.PRNGKey(0), (2, 64, 128, 3))
+        v = bk.init(jax.random.PRNGKey(1), x)
+        scales = calibrate_backbone_scales(_cfg(variant), _full_vars(v), x)
+        bk8 = _backbone(variant, "int8_resident", act_scales=scales)
+        out, out8 = bk.apply(v, x), bk8.apply(v, x)
+        for k in ("c3", "c4", "c5"):
+            a = np.asarray(out[k], np.float32)
+            b = np.asarray(out8[k], np.float32)
+            assert b.dtype == a.dtype and a.shape == b.shape
+            rel = np.abs(a - b).max() / np.abs(a).max()
+            assert rel < 0.10, (k, rel)
+            corr = np.corrcoef(a.ravel(), b.ravel())[0, 1]
+            assert corr > 0.99, (k, corr)
+
+    def test_param_tree_identical(self):
+        """init through the int8 path must create EXACTLY the bf16 tree
+        (names, shapes, dtypes) — the checkpoint-compat guarantee."""
+        x = jnp.zeros((1, 64, 64, 3))
+        bk = _backbone("resnet50")
+        v = bk.init(jax.random.PRNGKey(0), x)
+        scales = calibrate_backbone_scales(
+            _cfg("resnet50"), _full_vars(v), jnp.ones((1, 64, 64, 3))
+        )
+        v8 = _backbone("resnet50", "int8_resident", act_scales=scales).init(
+            jax.random.PRNGKey(0), x
+        )
+        flat = jax.tree_util.tree_map(lambda a: (a.shape, str(a.dtype)), v)
+        flat8 = jax.tree_util.tree_map(lambda a: (a.shape, str(a.dtype)), v8)
+        assert flat == flat8
+
+    def test_calibration_sites_cover_all_blocks(self):
+        x = jnp.ones((1, 64, 64, 3))
+        bk = _backbone("resnet50")
+        v = bk.init(jax.random.PRNGKey(0), x)
+        scales = dict(
+            calibrate_backbone_scales(_cfg("resnet50"), _full_vars(v), x)
+        )
+        assert "stem" in scales
+        # resnet50: 3+4+6+3 = 16 bottleneck blocks x 3 sites + stem = 49
+        assert len(scales) == 49
+        assert all(s > 0 for s in scales.values())
+        assert "stage5_block2/out" in scales
+
+    def test_margin_scales_linearly(self):
+        x = jnp.ones((1, 64, 64, 3))
+        bk = _backbone("resnet18")
+        v = bk.init(jax.random.PRNGKey(0), x)
+        s1 = dict(calibrate_backbone_scales(_cfg("resnet18"), _full_vars(v), x))
+        s2 = dict(
+            calibrate_backbone_scales(
+                _cfg("resnet18"), _full_vars(v), x, margin=2.0
+            )
+        )
+        for k in s1:
+            assert s2[k] == pytest.approx(2.0 * s1[k], rel=1e-6)
+
+    def test_groupnorm_rejected(self):
+        bk = ResNet(variant="resnet18", norm="groupnorm", dtype=jnp.float32,
+                    train=False, conv_dtype="int8_resident",
+                    act_scales=(("stem", 0.1),))
+        with pytest.raises(ValueError, match="batchnorm"):
+            bk.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))
+
+    def test_train_rejected(self):
+        bk = ResNet(variant="resnet18", norm="batchnorm", dtype=jnp.float32,
+                    train=True, conv_dtype="int8_resident",
+                    act_scales=(("stem", 0.1),))
+        with pytest.raises(ValueError, match="serving"):
+            bk.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))
+
+    def test_missing_scales_rejected(self):
+        bk = ResNet(variant="resnet18", norm="batchnorm", dtype=jnp.float32,
+                    train=False, conv_dtype="int8_resident")
+        with pytest.raises(ValueError, match="calibrate"):
+            bk.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))
+
+
+class TestEndToEnd:
+    def test_detect_with_int8_resident(self):
+        """Full detect() graph on the int8-resident backbone: finite outputs,
+        and detections track the bf16 run on the same weights."""
+        from bayesod_tpu.infer import build_detect_fn
+        from bayesod_tpu.models.retinanet import RetinaNet, init_variables
+        from bayesod_tpu.utils.config import BayesConfig, DataConfig
+
+        cfg = ExperimentConfig(
+            model=ModelConfig(
+                num_classes=3, backbone="resnet18", fpn_channels=32,
+                head_depth=1, head_channels=32, norm="batchnorm",
+                compute_dtype="float32",
+            ),
+            bayes=BayesConfig(num_mc_samples=4, score_threshold=0.0,
+                              pre_cluster_topk=64, max_detections=10),
+            data=DataConfig(image_hw=(128, 256)),
+        )
+        model = RetinaNet(cfg=cfg.model, train=False)
+        v = init_variables(model, jax.random.PRNGKey(0), cfg.data.image_hw)
+        images = jax.random.uniform(
+            jax.random.PRNGKey(2), (1, 128, 256, 3), jnp.float32
+        )
+        out_bf16 = build_detect_fn(cfg, model)(v, images, jax.random.PRNGKey(1))
+
+        cfg8 = with_int8_resident_backbone(cfg, v, images)
+        assert cfg8.model.backbone_act_scales is not None
+        model8 = RetinaNet(cfg=cfg8.model, train=False)
+        out8 = build_detect_fn(cfg8, model8)(v, images, jax.random.PRNGKey(1))
+        assert bool(jnp.all(jnp.isfinite(out8.boxes)))
+        assert bool(jnp.all(jnp.isfinite(out8.probs)))
+        # same valid count and box agreement on the shared valid prefix
+        n, n8 = int(out_bf16.valid.sum()), int(out8.valid.sum())
+        assert abs(n - n8) <= 2, (n, n8)
