@@ -94,17 +94,20 @@ class Detector:
         return cls(cfg, state.variables(), batch_size)
 
     def quantized(
-        self, calib_images: Sequence[np.ndarray], margin: float = 1.0
+        self,
+        calib_images: Sequence[np.ndarray],
+        margin: float = 1.0,
+        backbone: bool = True,
+        trunk: bool = True,
     ) -> "Detector":
         """New Detector serving the SAME weights through the int8-resident
-        backbone (models/resnet.py), calibrated on the given raw uint8
-        images. Needs norm=batchnorm; ~1.8x backbone throughput at PTQ-grade
-        accuracy (DESIGN.md §8)."""
+        backbone and/or head trunks (models/{resnet,heads}.py), calibrated
+        on the given raw uint8 images. The backbone path needs
+        norm=batchnorm (skipped otherwise); the trunks quantize under any
+        config. PTQ-grade accuracy — DESIGN.md §8 ablations."""
         import dataclasses
 
-        from bayesod_tpu.models.calibration import (
-            with_int8_resident_backbone,
-        )
+        from bayesod_tpu.models.calibration import quantized_serving_config
 
         batch = np.zeros(
             (len(calib_images), *self.cfg.data.image_hw, 3), np.uint8
@@ -122,10 +125,12 @@ class Detector:
             model=dataclasses.replace(
                 self.cfg.model, backbone_dtype="bf16",
                 backbone_act_scales=None,
+                head_trunk_dtype="bf16", head_trunk_act_scales=None,
             ),
         )
-        cfg8 = with_int8_resident_backbone(
-            base, self.variables, normalized, margin=margin
+        cfg8 = quantized_serving_config(
+            base, self.variables, normalized, margin=margin,
+            backbone=backbone, trunk=trunk,
         )
         return Detector(cfg8, self.variables, self.batch_size)
 

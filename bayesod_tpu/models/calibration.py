@@ -91,3 +91,87 @@ def with_int8_resident_backbone(cfg, variables, images, margin: float = 1.0):
             backbone_act_scales=scales,
         ),
     )
+
+
+def calibrate_serving_scales(
+    cfg,
+    variables,
+    images: jnp.ndarray,
+    margin: float = 1.0,
+) -> Tuple[Tuple[Tuple[str, float], ...], Tuple[Tuple[str, float], ...]]:
+    """ONE bf16 capture pass over backbone + FPN + head trunks, returning
+    (backbone_scales, trunk_scales) — the inputs for
+    ModelConfig.backbone_act_scales / .head_trunk_act_scales.
+
+    Trunk sites are "{cls|reg}/p{level}_{in|conv{i}}": the trunk weights are
+    shared across pyramid levels, but activation statistics are not, so each
+    level gets its own requant constants (free — they're epilogue scalars).
+    """
+    from bayesod_tpu.models.retinanet import RetinaNet
+
+    bf16_model = dataclasses.replace(
+        cfg.model, backbone_dtype="bf16", backbone_act_scales=None,
+        head_trunk_dtype="bf16", head_trunk_act_scales=None,
+    )
+    model = RetinaNet(cfg=bf16_model, train=False, capture_scales=True)
+
+    def run(m, imgs):
+        return m.head_trunk_outputs(m.features(imgs))
+
+    _, state = model.apply(
+        variables, images, method=run, mutable=["intermediates"]
+    )
+    inter = state["intermediates"]
+
+    def to_scale(value) -> float:
+        return max(float(np.asarray(value[0])) * margin, 1e-6) / 127.0
+
+    backbone: Dict[str, float] = {}
+
+    def walk(tree, prefix=""):
+        for key, value in tree.items():
+            path = f"{prefix}/{key}" if prefix else key
+            if isinstance(value, Mapping):
+                walk(value, path)
+            else:
+                backbone[path] = to_scale(value)
+
+    walk(inter["backbone"])
+
+    trunk: Dict[str, float] = {}
+    for trunk_key, prefix in (("cls_trunk", "cls"), ("reg_trunk", "reg")):
+        for site, value in inter["heads"][trunk_key].items():
+            trunk[f"{prefix}/{site}"] = to_scale(value)
+
+    return tuple(sorted(backbone.items())), tuple(sorted(trunk.items()))
+
+
+def quantized_serving_config(
+    cfg,
+    variables,
+    images: jnp.ndarray,
+    margin: float = 1.0,
+    backbone: bool = True,
+    trunk: bool = True,
+):
+    """Calibrate and return an ExperimentConfig serving the same weights
+    through the int8-resident backbone and/or head trunks. The backbone path
+    needs norm="batchnorm" (it folds BN statically); the trunk path has no
+    norm so it works under any config."""
+    if backbone and cfg.model.norm != "batchnorm":
+        backbone = False  # trunk-only quantization still applies
+    backbone_scales, trunk_scales = calibrate_serving_scales(
+        cfg, variables, images, margin
+    )
+    model = cfg.model
+    if backbone:
+        model = dataclasses.replace(
+            model, backbone_dtype="int8_resident",
+            backbone_act_scales=backbone_scales,
+        )
+    if trunk:
+        model = dataclasses.replace(
+            model, head_trunk_dtype="int8_resident",
+            head_trunk_act_scales=trunk_scales,
+        )
+    return dataclasses.replace(cfg, model=model)

@@ -28,11 +28,23 @@ from __future__ import annotations
 from typing import Any, List, Sequence, Tuple
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 import numpy as np
 
 
-from bayesod_tpu.models.quant import QuantConv
+from bayesod_tpu.models.quant import (
+    ConvKernelBias,
+    QuantConv,
+    conv_int8,
+    quantize_act,
+    quantize_kernel,
+    requant,
+)
+
+
+def _absmax(x) -> jnp.ndarray:
+    return jnp.max(jnp.abs(x.astype(jnp.float32)))
 
 
 class QuantConv3x3(QuantConv):
@@ -55,8 +67,18 @@ class SubnetTrunk(nn.Module):
         prediction convs replicate per sample — the TPU-first default
         (measured ~4x faster end-to-end at N=10 on v5e).
 
-    `trunk_dtype="int8"` runs the 3x3 convs on the MXU's int8 path
-    (dynamic activation / per-channel weight scales); "bf16" is exact.
+    `trunk_dtype` selects the conv execution:
+      * "bf16" — exact (training + default serving).
+      * "int8" — round-1 inside-quant path (dynamic activation scales; block
+        I/O stays bf16 in HBM — measured neutral, kept for comparison).
+      * "int8_resident" — activations stay int8 IN HBM between the trunk
+        convs: conv int8xint8->int32, bias + relu + requant fused into the
+        conv epilogue (models/quant.py; same redesign that won 1.82x/layer
+        on the backbone, DESIGN.md §8). Needs static per-level per-conv
+        scales (`act_scales`, models/calibration.py) and
+        dropout_layers="last" (residency is broken by interleaved dropout).
+        The LAST conv dequantizes to `dtype` — its output feeds the sampled
+        final convs / fused Pallas kernels exactly like the bf16 path.
     """
 
     depth: int
@@ -65,11 +87,22 @@ class SubnetTrunk(nn.Module):
     dropout_layers: str = "last"
     dtype: Any = jnp.bfloat16
     trunk_dtype: str = "bf16"
+    # int8_resident: (("p{level}_in", s), ("p{level}_conv{i}", s), ...)
+    # static activation scales. capture: bf16 path sows per-site absmax into
+    # "intermediates" for calibration (models/calibration.py).
+    act_scales: Any = None
+    capture: bool = False
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, *, stochastic: bool) -> jnp.ndarray:
+    def __call__(
+        self, x: jnp.ndarray, *, stochastic: bool, level: int = 0
+    ) -> jnp.ndarray:
         if self.dropout_layers not in ("all", "last"):
             raise ValueError(f"unknown dropout_layers '{self.dropout_layers}'")
+        if self.trunk_dtype == "int8_resident":
+            return self._int8_resident(x, stochastic=stochastic, level=level)
+        if self.capture:
+            self.sow("intermediates", f"p{level}_in", _absmax(x))
         for i in range(self.depth):
             if self.trunk_dtype == "int8":
                 x = QuantConv3x3(self.channels, name=f"conv{i}")(x)
@@ -81,12 +114,53 @@ class SubnetTrunk(nn.Module):
                     name=f"conv{i}",
                 )(x)
             x = nn.relu(x)
+            if self.capture and i < self.depth - 1:
+                self.sow("intermediates", f"p{level}_conv{i}", _absmax(x))
             if self.dropout_layers == "all" or i == self.depth - 1:
                 x = nn.Dropout(
                     rate=self.dropout_rate, deterministic=not stochastic,
                     name=f"dropout{i}",
                 )(x)
         return x
+
+    def _int8_resident(self, x, *, stochastic: bool, level: int):
+        """int8-in-HBM trunk: requant chains conv0..conv{d-2}; the last conv
+        dequantizes to `dtype` so downstream (dropout + finals) is unchanged.
+        Scales are per (level, conv) — weights are shared across levels but
+        activation statistics are not."""
+        if self.dropout_layers != "last":
+            raise ValueError(
+                "trunk_dtype='int8_resident' requires dropout_layers='last' "
+                "(interleaved dropout breaks int8 residency)"
+            )
+        if self.act_scales is None:
+            raise ValueError(
+                "int8_resident trunk needs calibrated activation scales: run "
+                "models/calibration.py:calibrate_serving_scales and set "
+                "model.head_trunk_act_scales"
+            )
+        sc = dict(self.act_scales)
+        s_in = sc[f"p{level}_in"]
+        xq = quantize_act(x, s_in)
+        y = None
+        for i in range(self.depth):
+            kernel, bias = ConvKernelBias(
+                self.channels, (3, 3), name=f"conv{i}"
+            )(xq.shape[-1])
+            wq, ws = quantize_kernel(kernel)
+            acc = conv_int8(xq, wq, 1)
+            if i < self.depth - 1:
+                s_out = sc[f"p{level}_conv{i}"]
+                xq = requant(acc, s_in * ws, bias, s_out)
+                s_in = s_out
+            else:
+                y = jax.nn.relu(
+                    acc.astype(jnp.float32) * (s_in * ws) + bias
+                ).astype(self.dtype)
+        return nn.Dropout(
+            rate=self.dropout_rate, deterministic=not stochastic,
+            name=f"dropout{self.depth - 1}",
+        )(y)
 
 
 class RetinaNetHeads(nn.Module):
@@ -101,6 +175,20 @@ class RetinaNetHeads(nn.Module):
     trunk_dtype: str = "bf16"
     prior_prob: float = 0.01
     dtype: Any = jnp.bfloat16
+    # int8_resident trunks: (("cls/p0_in", s), ("reg/p2_conv1", s), ...) —
+    # the "cls/"/"reg/" prefix routes each site to its subnet's SubnetTrunk.
+    trunk_act_scales: Any = None
+    capture_scales: bool = False
+
+    def _trunk_scales(self, prefix: str):
+        if self.trunk_act_scales is None:
+            return None
+        p = prefix + "/"
+        return tuple(
+            (site[len(p):], s)
+            for site, s in self.trunk_act_scales
+            if site.startswith(p)
+        )
 
     def setup(self):
         k = self.anchors_per_cell
@@ -108,10 +196,14 @@ class RetinaNetHeads(nn.Module):
         self.cls_trunk = SubnetTrunk(
             self.depth, self.channels, self.dropout_rate,
             self.dropout_layers, self.dtype, self.trunk_dtype,
+            act_scales=self._trunk_scales("cls"),
+            capture=self.capture_scales,
         )
         self.reg_trunk = SubnetTrunk(
             self.depth, self.channels, self.dropout_rate,
             self.dropout_layers, self.dtype, self.trunk_dtype,
+            act_scales=self._trunk_scales("reg"),
+            capture=self.capture_scales,
         )
         # Background starts near-certain: foreground logits biased to
         # -log((1-pi)/pi) so initial softmax fg mass ~ pi (focal convention).
@@ -161,8 +253,14 @@ class RetinaNetHeads(nn.Module):
         """Deterministic (pre-dropout) trunk activations per level — the
         input of the fused Pallas dropout+final kernel (dropout_layers=last
         puts the only stochastic op after these)."""
-        cls_t = [self.cls_trunk(f, stochastic=False) for f in feats]
-        reg_t = [self.reg_trunk(f, stochastic=False) for f in feats]
+        cls_t = [
+            self.cls_trunk(f, stochastic=False, level=li)
+            for li, f in enumerate(feats)
+        ]
+        reg_t = [
+            self.reg_trunk(f, stochastic=False, level=li)
+            for li, f in enumerate(feats)
+        ]
         return cls_t, reg_t
 
     def __call__(
@@ -172,7 +270,11 @@ class RetinaNetHeads(nn.Module):
         deltas [B, A, 4], log_vars [B, A, 4]) in fp32."""
         cls_lvls: List[jnp.ndarray] = []
         reg_lvls: List[jnp.ndarray] = []
-        for feat in feats:
-            cls_lvls.append(self.cls_out(self.cls_trunk(feat, stochastic=stochastic)))
-            reg_lvls.append(self.reg_out(self.reg_trunk(feat, stochastic=stochastic)))
+        for li, feat in enumerate(feats):
+            cls_lvls.append(
+                self.cls_out(self.cls_trunk(feat, stochastic=stochastic, level=li))
+            )
+            reg_lvls.append(
+                self.reg_out(self.reg_trunk(feat, stochastic=stochastic, level=li))
+            )
         return self.flatten_levels(cls_lvls, reg_lvls)

@@ -106,6 +106,27 @@ class ConvKernel(nn.Module):
         )
 
 
+class ConvKernelBias(nn.Module):
+    """Parameter-only conv kernel + bias, path-compatible with a biased
+    nn.Conv ("kernel" [kh,kw,cin,cout] + "bias" [cout], fp32) so bf16-trained
+    head checkpoints serve the int8-resident trunk unchanged."""
+
+    features: int
+    kernel_size: Tuple[int, int]
+    kernel_init: Callable = nn.initializers.normal(0.01)
+
+    @nn.compact
+    def __call__(self, cin: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        kernel = self.param(
+            "kernel", self.kernel_init,
+            (*self.kernel_size, cin, self.features), jnp.float32,
+        )
+        bias = self.param(
+            "bias", nn.initializers.zeros, (self.features,), jnp.float32
+        )
+        return kernel, bias
+
+
 class BNFold(nn.Module):
     """Parameter-only BatchNorm, path-compatible with nn.BatchNorm
     ("scale"/"bias" params + "mean"/"var" batch_stats). Returns the folded

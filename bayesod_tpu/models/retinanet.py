@@ -40,8 +40,16 @@ class RetinaNet(nn.Module):
     cfg: ModelConfig
     anchors_per_cell: int = 9
     train: bool = False
+    # Calibration mode: bf16 paths sow per-site activation absmax into the
+    # "intermediates" collection (models/calibration.py reads them).
+    capture_scales: bool = False
 
     def setup(self):
+        if self.train and self.cfg.head_trunk_dtype == "int8_resident":
+            raise ValueError(
+                "head_trunk_dtype='int8_resident' is a serving path: train "
+                "in bf16 and flip the knob for inference"
+            )
         dtype = _dtype_of(self.cfg)
         self.backbone = ResNet(
             variant=self.cfg.backbone, norm=self.cfg.norm,
@@ -49,6 +57,7 @@ class RetinaNet(nn.Module):
             train=self.train, conv_dtype=self.cfg.backbone_dtype,
             act_scale=self.cfg.backbone_act_scale,
             act_scales=self.cfg.backbone_act_scales,
+            capture_scales=self.capture_scales,
             name="backbone",
         )
         self.fpn = FPN(channels=self.cfg.fpn_channels, dtype=dtype, name="fpn")
@@ -62,6 +71,8 @@ class RetinaNet(nn.Module):
             trunk_dtype=self.cfg.head_trunk_dtype,
             prior_prob=self.cfg.prior_prob,
             dtype=dtype,
+            trunk_act_scales=self.cfg.head_trunk_act_scales,
+            capture_scales=self.capture_scales,
             name="heads",
         )
 

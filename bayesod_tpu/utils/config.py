@@ -37,9 +37,16 @@ class ModelConfig:
     # "pallas" = fused on-chip dropout+final-conv kernel (TPU; requires
     # dropout_layers="last"); "auto" = pallas on TPU else xla.
     head_final_backend: str = "auto"
-    # Head-trunk conv precision: "bf16" (exact) or "int8" (XLA-native int8
-    # convs; dynamic activation + per-channel weight scales).
+    # Head-trunk conv precision: "bf16" (exact), "int8" (inside-quant,
+    # dynamic scales — measured neutral), or "int8_resident" (activations
+    # stay int8 in HBM between the trunk convs, bias+relu+requant fused into
+    # each conv epilogue — models/heads.py; needs head_trunk_act_scales and
+    # dropout_layers="last". The trunk is ~50% of the serving graph's FLOPs).
     head_trunk_dtype: str = "bf16"
+    # Per-site scales for head_trunk_dtype="int8_resident": sorted tuple of
+    # ("{cls|reg}/p{level}_{in|conv{i}}", scale) pairs from
+    # models/calibration.py:calibrate_serving_scales (YAML dicts coerce).
+    head_trunk_act_scales: Optional[Tuple[Tuple[str, float], ...]] = None
     # Backbone residual-block conv precision:
     #   "bf16"          — exact (training + default serving);
     #   "int8"          — round-1 inside-quant path (block I/O stays bf16 in

@@ -102,7 +102,12 @@ def main() -> None:
         help="fused final-conv matmul precision",
     )
     p.add_argument(
-        "--trunk_dtype", default="bf16", choices=["bf16", "int8"],
+        # int8_resident: trunk activations stay int8 in HBM (bias+relu+
+        # requant conv epilogues, calibrated at startup). The trunks are
+        # ~50% of the serving graph's FLOPs. "int8" is the round-1
+        # inside-quant path (measured neutral).
+        "--trunk_dtype", default="bf16",
+        choices=["bf16", "int8", "int8_resident"],
         help="head-trunk conv precision",
     )
     p.add_argument(
@@ -205,15 +210,17 @@ def main() -> None:
         args.batch = 1
         args.iters = max(args.iters, 50)
 
-    if args.backbone_dtype == "int8_resident":
+    if "int8_resident" in (args.backbone_dtype, args.trunk_dtype):
         # init + calibrate through the bf16 path, then rebuild with static
-        # per-site scales (ModelConfig.backbone_act_scales).
+        # per-site scales (backbone_act_scales / head_trunk_act_scales).
         import dataclasses
 
-        from bayesod_tpu.models.calibration import calibrate_backbone_scales
+        from bayesod_tpu.models.calibration import quantized_serving_config
 
         bf16_cfg = dataclasses.replace(
-            cfg, model=dataclasses.replace(cfg.model, backbone_dtype="bf16")
+            cfg, model=dataclasses.replace(
+                cfg.model, backbone_dtype="bf16", head_trunk_dtype="bf16",
+            )
         )
         model = RetinaNet(cfg=bf16_cfg.model, train=False)
         variables = init_variables(model, jax.random.PRNGKey(0), image_hw)
@@ -224,19 +231,18 @@ def main() -> None:
             jnp.float32,
         )
         t0 = time.time()
-        scales = calibrate_backbone_scales(bf16_cfg, variables, calib)
+        cfg = quantized_serving_config(
+            bf16_cfg, variables, calib,
+            backbone=args.backbone_dtype == "int8_resident",
+            trunk=args.trunk_dtype == "int8_resident",
+        )
+        n_sites = len(cfg.model.backbone_act_scales or ()) + len(
+            cfg.model.head_trunk_act_scales or ()
+        )
         print(
-            f"[bench] int8_resident calibration: {len(scales)} sites "
+            f"[bench] int8_resident calibration: {n_sites} sites "
             f"in {time.time() - t0:.1f}s",
             file=sys.stderr,
-        )
-        cfg = dataclasses.replace(
-            cfg,
-            model=dataclasses.replace(
-                cfg.model,
-                backbone_dtype="int8_resident",
-                backbone_act_scales=scales,
-            ),
         )
 
     model = RetinaNet(cfg=cfg.model, train=False)

@@ -158,3 +158,143 @@ class TestEndToEnd:
         # same valid count and box agreement on the shared valid prefix
         n, n8 = int(out_bf16.valid.sum()), int(out8.valid.sum())
         assert abs(n - n8) <= 2, (n, n8)
+
+
+class TestInt8ResidentTrunk:
+    """int8-resident head trunks (models/heads.py SubnetTrunk)."""
+
+    def _cfg(self, **model_kw):
+        from bayesod_tpu.utils.config import (
+            BayesConfig, DataConfig, ExperimentConfig, ModelConfig,
+        )
+
+        return ExperimentConfig(
+            model=ModelConfig(
+                num_classes=3, backbone="resnet18", fpn_channels=32,
+                head_depth=2, head_channels=32, norm="batchnorm",
+                compute_dtype="float32", **model_kw,
+            ),
+            bayes=BayesConfig(num_mc_samples=2, score_threshold=0.0,
+                              pre_cluster_topk=32, max_detections=8),
+            data=DataConfig(image_hw=(128, 256)),
+        )
+
+    def _model_and_vars(self, cfg):
+        from bayesod_tpu.models.retinanet import RetinaNet, init_variables
+
+        model = RetinaNet(cfg=cfg.model, train=False)
+        v = init_variables(model, jax.random.PRNGKey(0), cfg.data.image_hw)
+        return model, v
+
+    def test_serving_scales_cover_both_trunks_and_all_levels(self):
+        from bayesod_tpu.models.calibration import calibrate_serving_scales
+
+        cfg = self._cfg()
+        _, v = self._model_and_vars(cfg)
+        x = jax.random.uniform(jax.random.PRNGKey(1), (1, 128, 256, 3))
+        backbone, trunk = calibrate_serving_scales(cfg, v, x)
+        tsc = dict(trunk)
+        # 5 levels x (in + conv0) x 2 trunks at depth 2 = 20 sites
+        assert len(tsc) == 20
+        for prefix in ("cls", "reg"):
+            for lvl in range(5):
+                assert f"{prefix}/p{lvl}_in" in tsc
+                assert f"{prefix}/p{lvl}_conv0" in tsc
+        assert all(s > 0 for s in tsc.values())
+        assert dict(backbone)  # backbone sites came from the same pass
+
+    def test_trunk_parity_with_bf16(self):
+        """Same checkpoint through bf16 and int8-resident trunks: logits
+        must track at PTQ-grade error."""
+        import dataclasses
+
+        from bayesod_tpu.models.calibration import quantized_serving_config
+        from bayesod_tpu.models.retinanet import RetinaNet
+
+        cfg = self._cfg()
+        model, v = self._model_and_vars(cfg)
+        x = jax.random.uniform(jax.random.PRNGKey(2), (1, 128, 256, 3))
+        logits, deltas, log_vars = model.apply(v, x, stochastic=False)
+
+        cfg8 = quantized_serving_config(cfg, v, x, backbone=False, trunk=True)
+        assert cfg8.model.head_trunk_dtype == "int8_resident"
+        assert cfg8.model.backbone_dtype == "bf16"  # trunk-only
+        model8 = RetinaNet(cfg=cfg8.model, train=False)
+        logits8, deltas8, _ = model8.apply(v, x, stochastic=False)
+        for a, b in ((logits, logits8), (deltas, deltas8)):
+            a, b = np.asarray(a, np.float32), np.asarray(b, np.float32)
+            rel = np.abs(a - b).max() / max(np.abs(a).max(), 1e-6)
+            assert rel < 0.12, rel
+            assert np.corrcoef(a.ravel(), b.ravel())[0, 1] > 0.99
+
+    def test_param_tree_identical(self):
+        from bayesod_tpu.models.calibration import quantized_serving_config
+        from bayesod_tpu.models.retinanet import RetinaNet, init_variables
+
+        cfg = self._cfg()
+        model, v = self._model_and_vars(cfg)
+        x = jnp.ones((1, 128, 256, 3))
+        cfg8 = quantized_serving_config(cfg, v, x)
+        v8 = init_variables(
+            RetinaNet(cfg=cfg8.model, train=False),
+            jax.random.PRNGKey(0), cfg.data.image_hw,
+        )
+        flat = jax.tree_util.tree_map(lambda a: (a.shape, str(a.dtype)), v)
+        flat8 = jax.tree_util.tree_map(lambda a: (a.shape, str(a.dtype)), v8)
+        assert flat == flat8
+
+    def test_dropout_all_rejected(self):
+        cfg = self._cfg(dropout_layers="all",
+                        head_trunk_dtype="int8_resident",
+                        head_trunk_act_scales=(("cls/p0_in", 0.1),))
+        from bayesod_tpu.models.retinanet import RetinaNet, init_variables
+
+        with pytest.raises(ValueError, match="dropout_layers"):
+            init_variables(
+                RetinaNet(cfg=cfg.model, train=False),
+                jax.random.PRNGKey(0), cfg.data.image_hw,
+            )
+
+    def test_missing_scales_rejected(self):
+        cfg = self._cfg(head_trunk_dtype="int8_resident")
+        from bayesod_tpu.models.retinanet import RetinaNet, init_variables
+
+        with pytest.raises(ValueError, match="calibrate"):
+            init_variables(
+                RetinaNet(cfg=cfg.model, train=False),
+                jax.random.PRNGKey(0), cfg.data.image_hw,
+            )
+
+    def test_train_rejected(self):
+        cfg = self._cfg(head_trunk_dtype="int8_resident",
+                        head_trunk_act_scales=(("cls/p0_in", 0.1),))
+        from bayesod_tpu.models.retinanet import RetinaNet, init_variables
+
+        with pytest.raises(ValueError, match="serving"):
+            init_variables(
+                RetinaNet(cfg=cfg.model, train=True),
+                jax.random.PRNGKey(0), cfg.data.image_hw,
+            )
+
+    def test_detect_end_to_end_backbone_and_trunk(self):
+        """Full detect() with BOTH int8-resident backbone and trunks."""
+        from bayesod_tpu.infer import build_detect_fn
+        from bayesod_tpu.models.calibration import quantized_serving_config
+        from bayesod_tpu.models.retinanet import RetinaNet
+
+        cfg = self._cfg()
+        model, v = self._model_and_vars(cfg)
+        images = jax.random.uniform(
+            jax.random.PRNGKey(3), (1, 128, 256, 3), jnp.float32
+        )
+        out = build_detect_fn(cfg, model)(v, images, jax.random.PRNGKey(1))
+
+        cfg8 = quantized_serving_config(cfg, v, images)
+        assert cfg8.model.backbone_dtype == "int8_resident"
+        assert cfg8.model.head_trunk_dtype == "int8_resident"
+        model8 = RetinaNet(cfg=cfg8.model, train=False)
+        out8 = build_detect_fn(cfg8, model8)(v, images, jax.random.PRNGKey(1))
+        assert bool(jnp.all(jnp.isfinite(out8.boxes)))
+        assert bool(jnp.all(jnp.isfinite(out8.probs)))
+        n, n8 = int(out.valid.sum()), int(out8.valid.sum())
+        assert abs(n - n8) <= 2, (n, n8)
