@@ -298,3 +298,45 @@ class TestInt8ResidentTrunk:
         assert bool(jnp.all(jnp.isfinite(out8.probs)))
         n, n8 = int(out.valid.sum()), int(out8.valid.sum())
         assert abs(n - n8) <= 2, (n, n8)
+
+    def test_detect_quantized_on_mesh(self):
+        """Quantized serving composes with the (data, sample) mesh: the
+        int8-resident trunks/backbone are sample-independent (replicated
+        pre-sharding work), so GSPMD sharding must not change results
+        semantics — finite outputs, same valid count as unsharded."""
+        import dataclasses
+
+        from bayesod_tpu.infer import build_detect_fn
+        from bayesod_tpu.models.calibration import quantized_serving_config
+        from bayesod_tpu.models.retinanet import RetinaNet
+        from bayesod_tpu.parallel import mesh as mesh_lib
+        from bayesod_tpu.utils.config import MeshConfig
+
+        cfg = self._cfg()
+        cfg = dataclasses.replace(
+            cfg, bayes=dataclasses.replace(cfg.bayes, num_mc_samples=4)
+        )
+        model, v = self._model_and_vars(cfg)
+        images = jax.random.uniform(
+            jax.random.PRNGKey(5), (2, 128, 256, 3), jnp.float32
+        )
+        cfg8 = quantized_serving_config(cfg, v, images)
+        model8 = RetinaNet(cfg=cfg8.model, train=False)
+        out = build_detect_fn(cfg8, model8)(v, images, jax.random.PRNGKey(1))
+
+        mesh_cfg = MeshConfig(data_parallel=2, sample_parallel=4)
+        mesh = mesh_lib.make_mesh(mesh_cfg)
+        detect_m = jax.jit(
+            build_detect_fn(cfg8, model8, mesh=mesh, mesh_cfg=mesh_cfg),
+            in_shardings=(
+                mesh_lib.replicated(mesh),
+                mesh_lib.batch_sharding(mesh, mesh_cfg),
+                mesh_lib.replicated(mesh),
+            ),
+        )
+        out_m = detect_m(
+            jax.device_put(v, mesh_lib.replicated(mesh)),
+            images, jax.random.PRNGKey(1),
+        )
+        assert bool(jnp.all(jnp.isfinite(out_m.boxes)))
+        assert int(out_m.valid.sum()) == int(out.valid.sum())

@@ -32,7 +32,10 @@ import numpy as np  # noqa: E402
 
 from bayesod_tpu.data import Loader, make_dataset, normalize_images  # noqa: E402
 from bayesod_tpu.eval.evaluator import evaluate, run_inference  # noqa: E402
-from bayesod_tpu.models.calibration import with_int8_resident_backbone  # noqa: E402
+from bayesod_tpu.models.calibration import (  # noqa: E402
+    quantized_serving_config,
+    with_int8_resident_backbone,
+)
 from bayesod_tpu.train import train  # noqa: E402
 from bayesod_tpu.utils.config import (  # noqa: E402
     BayesConfig,
@@ -98,16 +101,22 @@ def main():
     variables = state.variables()
     print(f"[ablation] trained {int(state.step)} steps", file=sys.stderr)
 
-    cfg8 = with_int8_resident_backbone(
-        cfg, variables, calibration_batch(cfg)
-    )
+    calib = calibration_batch(cfg)
+    cfg8 = with_int8_resident_backbone(cfg, variables, calib)
+    cfg8_full = quantized_serving_config(cfg, variables, calib)
     print(
-        f"[ablation] calibrated {len(cfg8.model.backbone_act_scales)} sites",
+        f"[ablation] calibrated {len(cfg8.model.backbone_act_scales)} "
+        f"backbone + {len(cfg8_full.model.head_trunk_act_scales)} trunk "
+        "sites",
         file=sys.stderr,
     )
 
     results = {}
-    for tag, vcfg in {"bf16": cfg, "int8_resident": cfg8}.items():
+    for tag, vcfg in {
+        "bf16": cfg,
+        "int8_resident": cfg8,
+        "int8_resident_full": cfg8_full,  # backbone + head trunks
+    }.items():
         records = run_inference(
             vcfg, variables, split="val", max_images=args.images, batch_size=8
         )
