@@ -99,12 +99,13 @@ class Detector:
         margin: float = 1.0,
         backbone: bool = True,
         trunk: bool = True,
+        fpn: bool = True,
     ) -> "Detector":
         """New Detector serving the SAME weights through the int8-resident
-        backbone and/or head trunks (models/{resnet,heads}.py), calibrated
-        on the given raw uint8 images. The backbone path needs
-        norm=batchnorm (skipped otherwise); the trunks quantize under any
-        config. PTQ-grade accuracy — DESIGN.md §8 ablations."""
+        backbone / FPN / head trunks (models/{resnet,fpn,heads}.py),
+        calibrated on the given raw uint8 images. The backbone path needs
+        norm=batchnorm (skipped otherwise); FPN and trunks quantize under
+        any config. PTQ-grade accuracy — DESIGN.md §8 ablations."""
         import dataclasses
 
         from bayesod_tpu.models.calibration import quantized_serving_config
@@ -126,11 +127,12 @@ class Detector:
                 self.cfg.model, backbone_dtype="bf16",
                 backbone_act_scales=None,
                 head_trunk_dtype="bf16", head_trunk_act_scales=None,
+                fpn_dtype="bf16", fpn_act_scales=None,
             ),
         )
         cfg8 = quantized_serving_config(
             base, self.variables, normalized, margin=margin,
-            backbone=backbone, trunk=trunk,
+            backbone=backbone, trunk=trunk, fpn=fpn,
         )
         return Detector(cfg8, self.variables, self.batch_size)
 

@@ -98,20 +98,27 @@ def calibrate_serving_scales(
     variables,
     images: jnp.ndarray,
     margin: float = 1.0,
-) -> Tuple[Tuple[Tuple[str, float], ...], Tuple[Tuple[str, float], ...]]:
+) -> Tuple[
+    Tuple[Tuple[str, float], ...],
+    Tuple[Tuple[str, float], ...],
+    Tuple[Tuple[str, float], ...],
+]:
     """ONE bf16 capture pass over backbone + FPN + head trunks, returning
-    (backbone_scales, trunk_scales) — the inputs for
-    ModelConfig.backbone_act_scales / .head_trunk_act_scales.
+    (backbone_scales, fpn_scales, trunk_scales) — the inputs for
+    ModelConfig.backbone_act_scales / .fpn_act_scales /
+    .head_trunk_act_scales.
 
     Trunk sites are "{cls|reg}/p{level}_{in|conv{i}}": the trunk weights are
     shared across pyramid levels, but activation statistics are not, so each
     level gets its own requant constants (free — they're epilogue scalars).
+    FPN sites are c3,c4,c5 (inputs), l3,l4,l5 (post-add, pre-smooth), p6r.
     """
     from bayesod_tpu.models.retinanet import RetinaNet
 
     bf16_model = dataclasses.replace(
         cfg.model, backbone_dtype="bf16", backbone_act_scales=None,
         head_trunk_dtype="bf16", head_trunk_act_scales=None,
+        fpn_dtype="bf16", fpn_act_scales=None,
     )
     model = RetinaNet(cfg=bf16_model, train=False, capture_scales=True)
 
@@ -138,12 +145,20 @@ def calibrate_serving_scales(
 
     walk(inter["backbone"])
 
+    fpn = {
+        site: to_scale(value) for site, value in inter["fpn"].items()
+    }
+
     trunk: Dict[str, float] = {}
     for trunk_key, prefix in (("cls_trunk", "cls"), ("reg_trunk", "reg")):
         for site, value in inter["heads"][trunk_key].items():
             trunk[f"{prefix}/{site}"] = to_scale(value)
 
-    return tuple(sorted(backbone.items())), tuple(sorted(trunk.items()))
+    return (
+        tuple(sorted(backbone.items())),
+        tuple(sorted(fpn.items())),
+        tuple(sorted(trunk.items())),
+    )
 
 
 def quantized_serving_config(
@@ -153,14 +168,15 @@ def quantized_serving_config(
     margin: float = 1.0,
     backbone: bool = True,
     trunk: bool = True,
+    fpn: bool = True,
 ):
     """Calibrate and return an ExperimentConfig serving the same weights
-    through the int8-resident backbone and/or head trunks. The backbone path
-    needs norm="batchnorm" (it folds BN statically); the trunk path has no
-    norm so it works under any config."""
+    through the int8-resident backbone / FPN / head trunks. The backbone
+    path needs norm="batchnorm" (it folds BN statically); the FPN and trunk
+    paths have no norm so they work under any config."""
     if backbone and cfg.model.norm != "batchnorm":
-        backbone = False  # trunk-only quantization still applies
-    backbone_scales, trunk_scales = calibrate_serving_scales(
+        backbone = False  # fpn/trunk-only quantization still applies
+    backbone_scales, fpn_scales, trunk_scales = calibrate_serving_scales(
         cfg, variables, images, margin
     )
     model = cfg.model
@@ -168,6 +184,10 @@ def quantized_serving_config(
         model = dataclasses.replace(
             model, backbone_dtype="int8_resident",
             backbone_act_scales=backbone_scales,
+        )
+    if fpn:
+        model = dataclasses.replace(
+            model, fpn_dtype="int8_resident", fpn_act_scales=fpn_scales,
         )
     if trunk:
         model = dataclasses.replace(

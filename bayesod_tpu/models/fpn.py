@@ -9,6 +9,13 @@ Upsampling is done with a static-shape reshape/broadcast (jnp.repeat on
 spatial axes) rather than a resize op — the factor is always exactly 2 because
 padded image shapes are multiples of the coarsest stride (ops/anchors.py), and
 this form fuses trivially in XLA.
+
+`conv_dtype="int8_resident"` (serving) runs every FPN conv as int8xint8->int32
+on the MXU with the dequant/bias epilogue fused in (models/quant.py — the same
+redesign as the backbone/trunk paths, DESIGN.md §8). The top-down adds happen
+in fp32 (two different scales meet), then requantize at a calibrated per-site
+scale for the smoothing convs. Outputs stay bf16 — the head trunks requantize
+at their own calibrated scales.
 """
 
 from __future__ import annotations
@@ -16,7 +23,15 @@ from __future__ import annotations
 from typing import Any, Dict, List
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
+
+from bayesod_tpu.models.quant import (
+    ConvKernelBias,
+    conv_int8,
+    quantize_act,
+    quantize_kernel,
+)
 
 
 def _upsample2x(x: jnp.ndarray) -> jnp.ndarray:
@@ -26,25 +41,83 @@ def _upsample2x(x: jnp.ndarray) -> jnp.ndarray:
     return x.reshape(b, h * 2, w * 2, c)
 
 
+def _absmax(x) -> jnp.ndarray:
+    return jnp.max(jnp.abs(x.astype(jnp.float32)))
+
+
 class FPN(nn.Module):
     channels: int = 256
     dtype: Any = jnp.bfloat16
+    # "bf16" (exact) or "int8_resident" (serving; needs act_scales with
+    # sites c3,c4,c5,l3,l4,l5,p6r — models/calibration.py).
+    conv_dtype: str = "bf16"
+    act_scales: Any = None
+    capture: bool = False
 
     @nn.compact
     def __call__(self, feats: Dict[str, jnp.ndarray]) -> List[jnp.ndarray]:
+        if self.conv_dtype == "int8_resident":
+            return self._int8_resident(feats)
         conv = lambda f, k, s, name: nn.Conv(
             f, (k, k), strides=(s, s), padding="SAME",
             dtype=self.dtype, param_dtype=jnp.float32, name=name,
         )
         c3, c4, c5 = feats["c3"], feats["c4"], feats["c5"]
+        if self.capture:
+            for name, c in (("c3", c3), ("c4", c4), ("c5", c5)):
+                self.sow("intermediates", name, _absmax(c))
 
         l5 = conv(self.channels, 1, 1, "lateral5")(c5)
         l4 = conv(self.channels, 1, 1, "lateral4")(c4) + _upsample2x(l5)
         l3 = conv(self.channels, 1, 1, "lateral3")(c3) + _upsample2x(l4)
+        if self.capture:
+            for name, l in (("l3", l3), ("l4", l4), ("l5", l5)):
+                self.sow("intermediates", name, _absmax(l))
 
         p3 = conv(self.channels, 3, 1, "smooth3")(l3)
         p4 = conv(self.channels, 3, 1, "smooth4")(l4)
         p5 = conv(self.channels, 3, 1, "smooth5")(l5)
         p6 = conv(self.channels, 3, 2, "p6")(c5)
+        if self.capture:
+            self.sow("intermediates", "p6r", _absmax(nn.relu(p6)))
         p7 = conv(self.channels, 3, 2, "p7")(nn.relu(p6))
         return [p3, p4, p5, p6, p7]
+
+    def _int8_resident(self, feats: Dict[str, jnp.ndarray]) -> List[jnp.ndarray]:
+        """int8 FPN: laterals/smooths/p6/p7 as int8 convs with fused
+        dequant+bias epilogues; adds in fp32 where scales meet."""
+        if self.act_scales is None:
+            raise ValueError(
+                "int8_resident FPN needs calibrated activation scales: run "
+                "models/calibration.py:calibrate_serving_scales and set "
+                "model.fpn_act_scales"
+            )
+        sc = dict(self.act_scales)
+
+        def qconv(xq, s_in, features, ksize, strides, name):
+            """int8 conv -> fp32 (dequant + bias fused into the epilogue)."""
+            kernel, bias = ConvKernelBias(
+                features, (ksize, ksize),
+                nn.initializers.lecun_normal(), name=name,
+            )(xq.shape[-1])
+            wq, ws = quantize_kernel(kernel)
+            acc = conv_int8(xq, wq, strides)
+            return acc.astype(jnp.float32) * (s_in * ws) + bias
+
+        c3q = quantize_act(feats["c3"], sc["c3"])
+        c4q = quantize_act(feats["c4"], sc["c4"])
+        c5q = quantize_act(feats["c5"], sc["c5"])
+
+        l5 = qconv(c5q, sc["c5"], self.channels, 1, 1, "lateral5")
+        l4 = qconv(c4q, sc["c4"], self.channels, 1, 1, "lateral4") + _upsample2x(l5)
+        l3 = qconv(c3q, sc["c3"], self.channels, 1, 1, "lateral3") + _upsample2x(l4)
+
+        p3 = qconv(quantize_act(l3, sc["l3"]), sc["l3"], self.channels, 3, 1, "smooth3")
+        p4 = qconv(quantize_act(l4, sc["l4"]), sc["l4"], self.channels, 3, 1, "smooth4")
+        p5 = qconv(quantize_act(l5, sc["l5"]), sc["l5"], self.channels, 3, 1, "smooth5")
+        p6 = qconv(c5q, sc["c5"], self.channels, 3, 2, "p6")
+        p7 = qconv(
+            quantize_act(jax.nn.relu(p6), sc["p6r"]), sc["p6r"],
+            self.channels, 3, 2, "p7",
+        )
+        return [p.astype(self.dtype) for p in (p3, p4, p5, p6, p7)]

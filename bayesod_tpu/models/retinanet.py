@@ -60,7 +60,13 @@ class RetinaNet(nn.Module):
             capture_scales=self.capture_scales,
             name="backbone",
         )
-        self.fpn = FPN(channels=self.cfg.fpn_channels, dtype=dtype, name="fpn")
+        self.fpn = FPN(
+            channels=self.cfg.fpn_channels, dtype=dtype,
+            conv_dtype=self.cfg.fpn_dtype,
+            act_scales=self.cfg.fpn_act_scales,
+            capture=self.capture_scales,
+            name="fpn",
+        )
         self.heads = RetinaNetHeads(
             num_classes=self.cfg.num_classes,
             anchors_per_cell=self.anchors_per_cell,

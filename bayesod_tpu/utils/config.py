@@ -47,6 +47,14 @@ class ModelConfig:
     # ("{cls|reg}/p{level}_{in|conv{i}}", scale) pairs from
     # models/calibration.py:calibrate_serving_scales (YAML dicts coerce).
     head_trunk_act_scales: Optional[Tuple[Tuple[str, float], ...]] = None
+    # FPN conv precision: "bf16" (exact) or "int8_resident" (serving —
+    # int8 convs with fused dequant+bias epilogues, adds in fp32;
+    # models/fpn.py). Completes the quantized single-pass graph together
+    # with backbone_dtype/head_trunk_dtype="int8_resident".
+    fpn_dtype: str = "bf16"
+    # Per-site scales for fpn_dtype="int8_resident": sites
+    # c3,c4,c5,l3,l4,l5,p6r (models/calibration.py).
+    fpn_act_scales: Optional[Tuple[Tuple[str, float], ...]] = None
     # Backbone residual-block conv precision:
     #   "bf16"          — exact (training + default serving);
     #   "int8"          — round-1 inside-quant path (block I/O stays bf16 in

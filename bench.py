@@ -124,6 +124,10 @@ def main() -> None:
         help="static int8 activation scale (None = dynamic absmax)",
     )
     p.add_argument(
+        "--fpn_dtype", default="bf16", choices=["bf16", "int8_resident"],
+        help="FPN conv precision (int8_resident calibrates at startup)",
+    )
+    p.add_argument(
         "--probs_reduce", default="auto", choices=["auto", "flat", "fused"],
         help="MC class-prob reduction: XLA flat or in-kernel softmax-mean",
     )
@@ -210,9 +214,9 @@ def main() -> None:
         args.batch = 1
         args.iters = max(args.iters, 50)
 
-    if "int8_resident" in (args.backbone_dtype, args.trunk_dtype):
+    if "int8_resident" in (args.backbone_dtype, args.trunk_dtype, args.fpn_dtype):
         # init + calibrate through the bf16 path, then rebuild with static
-        # per-site scales (backbone_act_scales / head_trunk_act_scales).
+        # per-site scales (backbone/fpn/head_trunk act_scales).
         import dataclasses
 
         from bayesod_tpu.models.calibration import quantized_serving_config
@@ -220,6 +224,7 @@ def main() -> None:
         bf16_cfg = dataclasses.replace(
             cfg, model=dataclasses.replace(
                 cfg.model, backbone_dtype="bf16", head_trunk_dtype="bf16",
+                fpn_dtype="bf16",
             )
         )
         model = RetinaNet(cfg=bf16_cfg.model, train=False)
@@ -235,9 +240,12 @@ def main() -> None:
             bf16_cfg, variables, calib,
             backbone=args.backbone_dtype == "int8_resident",
             trunk=args.trunk_dtype == "int8_resident",
+            fpn=args.fpn_dtype == "int8_resident",
         )
-        n_sites = len(cfg.model.backbone_act_scales or ()) + len(
-            cfg.model.head_trunk_act_scales or ()
+        n_sites = (
+            len(cfg.model.backbone_act_scales or ())
+            + len(cfg.model.fpn_act_scales or ())
+            + len(cfg.model.head_trunk_act_scales or ())
         )
         print(
             f"[bench] int8_resident calibration: {n_sites} sites "

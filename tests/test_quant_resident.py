@@ -192,7 +192,7 @@ class TestInt8ResidentTrunk:
         cfg = self._cfg()
         _, v = self._model_and_vars(cfg)
         x = jax.random.uniform(jax.random.PRNGKey(1), (1, 128, 256, 3))
-        backbone, trunk = calibrate_serving_scales(cfg, v, x)
+        backbone, fpn, trunk = calibrate_serving_scales(cfg, v, x)
         tsc = dict(trunk)
         # 5 levels x (in + conv0) x 2 trunks at depth 2 = 20 sites
         assert len(tsc) == 20
@@ -202,6 +202,7 @@ class TestInt8ResidentTrunk:
                 assert f"{prefix}/p{lvl}_conv0" in tsc
         assert all(s > 0 for s in tsc.values())
         assert dict(backbone)  # backbone sites came from the same pass
+        assert set(dict(fpn)) == {"c3", "c4", "c5", "l3", "l4", "l5", "p6r"}
 
     def test_trunk_parity_with_bf16(self):
         """Same checkpoint through bf16 and int8-resident trunks: logits
@@ -216,7 +217,9 @@ class TestInt8ResidentTrunk:
         x = jax.random.uniform(jax.random.PRNGKey(2), (1, 128, 256, 3))
         logits, deltas, log_vars = model.apply(v, x, stochastic=False)
 
-        cfg8 = quantized_serving_config(cfg, v, x, backbone=False, trunk=True)
+        cfg8 = quantized_serving_config(
+            cfg, v, x, backbone=False, trunk=True, fpn=False
+        )
         assert cfg8.model.head_trunk_dtype == "int8_resident"
         assert cfg8.model.backbone_dtype == "bf16"  # trunk-only
         model8 = RetinaNet(cfg=cfg8.model, train=False)
@@ -292,6 +295,7 @@ class TestInt8ResidentTrunk:
         cfg8 = quantized_serving_config(cfg, v, images)
         assert cfg8.model.backbone_dtype == "int8_resident"
         assert cfg8.model.head_trunk_dtype == "int8_resident"
+        assert cfg8.model.fpn_dtype == "int8_resident"
         model8 = RetinaNet(cfg=cfg8.model, train=False)
         out8 = build_detect_fn(cfg8, model8)(v, images, jax.random.PRNGKey(1))
         assert bool(jnp.all(jnp.isfinite(out8.boxes)))
@@ -340,3 +344,75 @@ class TestInt8ResidentTrunk:
         )
         assert bool(jnp.all(jnp.isfinite(out_m.boxes)))
         assert int(out_m.valid.sum()) == int(out.valid.sum())
+
+
+class TestInt8ResidentFPN:
+    """int8-resident FPN (models/fpn.py)."""
+
+    def test_fpn_parity_with_bf16(self):
+        """Same params through bf16 and int8-resident FPN: P3..P7 must
+        track at PTQ-grade error."""
+        from bayesod_tpu.models.fpn import FPN
+
+        rng = jax.random.PRNGKey(0)
+        feats = {
+            "c3": jax.random.normal(rng, (1, 16, 32, 64)),
+            "c4": jax.random.normal(rng, (1, 8, 16, 128)),
+            "c5": jax.random.normal(rng, (1, 4, 8, 256)),
+        }
+        fpn = FPN(channels=64, dtype=jnp.float32, capture=True)
+        v = fpn.init(jax.random.PRNGKey(1), feats)
+        outs, state = fpn.apply(
+            {"params": v["params"]}, feats, mutable=["intermediates"]
+        )
+        scales = tuple(
+            sorted(
+                (site, max(float(np.asarray(val[0])), 1e-6) / 127.0)
+                for site, val in state["intermediates"].items()
+            )
+        )
+        assert set(dict(scales)) == {"c3", "c4", "c5", "l3", "l4", "l5", "p6r"}
+
+        fpn8 = FPN(
+            channels=64, dtype=jnp.float32,
+            conv_dtype="int8_resident", act_scales=scales,
+        )
+        outs8 = fpn8.apply({"params": v["params"]}, feats)
+        for i, (a, b) in enumerate(zip(outs, outs8)):
+            a, b = np.asarray(a, np.float32), np.asarray(b, np.float32)
+            rel = np.abs(a - b).max() / max(np.abs(a).max(), 1e-6)
+            assert rel < 0.15, (i, rel)
+            assert np.corrcoef(a.ravel(), b.ravel())[0, 1] > 0.985, i
+
+    def test_param_tree_identical(self):
+        from bayesod_tpu.models.fpn import FPN
+
+        feats = {
+            "c3": jnp.zeros((1, 16, 32, 64)),
+            "c4": jnp.zeros((1, 8, 16, 128)),
+            "c5": jnp.zeros((1, 4, 8, 256)),
+        }
+        v = FPN(channels=64, dtype=jnp.float32).init(
+            jax.random.PRNGKey(0), feats
+        )
+        sites = ("c3", "c4", "c5", "l3", "l4", "l5", "p6r")
+        v8 = FPN(
+            channels=64, dtype=jnp.float32, conv_dtype="int8_resident",
+            act_scales=tuple((s, 0.1) for s in sites),
+        ).init(jax.random.PRNGKey(0), feats)
+        flat = jax.tree_util.tree_map(lambda a: (a.shape, str(a.dtype)), v)
+        flat8 = jax.tree_util.tree_map(lambda a: (a.shape, str(a.dtype)), v8)
+        assert flat == flat8
+
+    def test_missing_scales_rejected(self):
+        from bayesod_tpu.models.fpn import FPN
+
+        feats = {
+            "c3": jnp.zeros((1, 16, 32, 64)),
+            "c4": jnp.zeros((1, 8, 16, 128)),
+            "c5": jnp.zeros((1, 4, 8, 256)),
+        }
+        with pytest.raises(ValueError, match="calibrate"):
+            FPN(channels=64, conv_dtype="int8_resident").init(
+                jax.random.PRNGKey(0), feats
+            )
