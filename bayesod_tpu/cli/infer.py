@@ -43,6 +43,16 @@ def main(argv=None) -> None:
         "the annotation file's sparse ids when data.dataset=coco)",
     )
     p.add_argument(
+        "--quantize", action="store_true",
+        help="serve through the int8-resident backbone/FPN/head-trunks "
+        "(PTQ; calibrated on the split's first images — "
+        "models/calibration.py, accuracy ablation in DESIGN.md §8)",
+    )
+    p.add_argument(
+        "--calib_images", type=int, default=8,
+        help="calibration batch size for --quantize",
+    )
+    p.add_argument(
         "--visualize", default=None, metavar="PNG",
         help="also render the first images' detections (boxes + covariance "
         "ellipses) into a grid PNG",
@@ -77,6 +87,29 @@ def main(argv=None) -> None:
             )
         state = template
     variables = state.variables()
+
+    if args.quantize:
+        import jax.numpy as jnp
+        import numpy as np
+
+        from bayesod_tpu.data import Loader, make_dataset, normalize_images
+        from bayesod_tpu.models.calibration import quantized_serving_config
+
+        calib_ds = make_dataset(cfg.data, split=args.split)
+        loader = Loader(
+            calib_ds, batch_size=min(args.calib_images, len(calib_ds)),
+            image_hw=cfg.data.image_hw, shuffle=False, num_epochs=1,
+            num_workers=1,
+        )
+        calib = normalize_images(
+            jnp.asarray(np.asarray(next(iter(loader))["image"])),
+            cfg.data.mean, cfg.data.std,
+        )
+        cfg = quantized_serving_config(cfg, variables, calib)
+        print(
+            f"quantized serving: backbone={cfg.model.backbone_dtype} "
+            f"fpn={cfg.model.fpn_dtype} trunks={cfg.model.head_trunk_dtype}"
+        )
 
     out_path = args.out or f"data/outputs/{cfg.name}/detections_{args.split}.jsonl"
     records = run_inference(

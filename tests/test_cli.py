@@ -104,3 +104,27 @@ def test_config_override_surface(tmp_path):
     )
     assert r.returncode == 0, r.stderr[-1500:]
     assert "OVERRIDES_OK" in r.stdout
+
+
+@pytest.mark.slow
+def test_infer_quantized(tmp_path):
+    """--quantize serves the int8-resident paths from the CLI (tiny config
+    is groupnorm, so the backbone is skipped and FPN+trunks quantize)."""
+    cfg_path = os.path.join(REPO, "configs", "tiny_synthetic.yaml")
+    det_path = str(tmp_path / "dets_q.jsonl")
+    r = run_cli(
+        "bayesod_tpu.cli.infer",
+        "--yaml_path", cfg_path,
+        "--allow_random",
+        "--quantize",
+        "--calib_images", "2",
+        "--out", det_path,
+        "--max_images", "2",
+        "--batch_size", "2",
+        cwd=str(tmp_path),
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "quantized serving: backbone=bf16 fpn=int8_resident" in r.stdout
+    with open(det_path) as f:
+        recs = [json.loads(l) for l in f]
+    assert len(recs) == 2
