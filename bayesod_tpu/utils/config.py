@@ -317,6 +317,25 @@ def config_to_dict(cfg: ExperimentConfig) -> Dict[str, Any]:
     return dataclasses.asdict(cfg)
 
 
+def _yamlable(value):
+    """Tuples -> lists recursively (yaml.safe_dump rejects python tuples);
+    load_config's _coerce restores them."""
+    if isinstance(value, tuple):
+        return [_yamlable(v) for v in value]
+    if isinstance(value, dict):
+        return {k: _yamlable(v) for k, v in value.items()}
+    return value
+
+
+def save_config(cfg: ExperimentConfig, yaml_path: str) -> str:
+    """Dump a config to YAML such that load_config round-trips it exactly —
+    including calibrated int8-resident activation scales, so a quantized
+    serving config can be saved once and reused without recalibrating."""
+    with open(yaml_path, "w") as f:
+        yaml.safe_dump(_yamlable(config_to_dict(cfg)), f, sort_keys=False)
+    return yaml_path
+
+
 def parse_override(text: str) -> Tuple[str, Any]:
     """Parse a CLI `section.key=value` override, YAML-decoding the value."""
     dotted, _, raw_value = text.partition("=")

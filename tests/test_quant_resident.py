@@ -416,3 +416,36 @@ class TestInt8ResidentFPN:
             FPN(channels=64, conv_dtype="int8_resident").init(
                 jax.random.PRNGKey(0), feats
             )
+
+
+def test_quantized_config_yaml_roundtrip(tmp_path):
+    """A calibrated serving config saved with save_config must load back
+    EXACTLY (scales included), so calibration can be done once and the
+    quantized config shipped as a plain YAML."""
+    from bayesod_tpu.models.calibration import quantized_serving_config
+    from bayesod_tpu.models.retinanet import RetinaNet, init_variables
+    from bayesod_tpu.utils.config import (
+        BayesConfig, DataConfig, ExperimentConfig, ModelConfig,
+        load_config, save_config,
+    )
+
+    cfg = ExperimentConfig(
+        name="yaml_roundtrip_q",
+        model=ModelConfig(
+            num_classes=3, backbone="resnet18", fpn_channels=32,
+            head_depth=1, head_channels=32, norm="batchnorm",
+            compute_dtype="float32",
+        ),
+        bayes=BayesConfig(num_mc_samples=2, pre_cluster_topk=32,
+                          max_detections=8),
+        data=DataConfig(image_hw=(64, 128)),
+    )
+    model = RetinaNet(cfg=cfg.model, train=False)
+    v = init_variables(model, jax.random.PRNGKey(0), cfg.data.image_hw)
+    x = jax.random.uniform(jax.random.PRNGKey(1), (1, 64, 128, 3))
+    cfg8 = quantized_serving_config(cfg, v, x)
+    assert cfg8.model.backbone_act_scales  # non-trivial payload
+
+    path = save_config(cfg8, str(tmp_path / "quantized.yaml"))
+    cfg_back = load_config(path)
+    assert cfg_back == cfg8
