@@ -16,7 +16,6 @@ Run: python tools/int8_ablation.py [--steps 400] [--images 64]
 from __future__ import annotations
 
 import argparse
-import dataclasses
 import json
 import os
 import sys
@@ -115,7 +114,7 @@ def main():
     for tag, vcfg in {
         "bf16": cfg,
         "int8_resident": cfg8,
-        "int8_resident_full": cfg8_full,  # backbone + head trunks
+        "int8_resident_full": cfg8_full,  # backbone + FPN + head trunks
     }.items():
         records = run_inference(
             vcfg, variables, split="val", max_images=args.images, batch_size=8

@@ -1,0 +1,24 @@
+#!/bin/bash
+# TPU sweep for the int8-resident serving work (run when the tunnel is up).
+# ONE job at a time (CLAUDE.md: concurrent TPU procs corrupt timings).
+set -u
+cd /root/repo
+export JAX_COMPILATION_CACHE_DIR=/tmp/jax_cache_bayesod
+LOG=/tmp/quant_sweep
+mkdir -p $LOG
+run() {  # run <tag> <args...>
+  tag=$1; shift
+  echo "=== $tag: bench.py $* ==="
+  timeout 3600 python bench.py "$@" > "$LOG/$tag.json" 2> "$LOG/$tag.err"
+  tail -1 "$LOG/$tag.json"
+}
+Q="--backbone_dtype int8_resident --trunk_dtype int8_resident --fpn_dtype int8_resident"
+run baseline_default           # sanity: ~1059.5 expected
+run quant_full $Q
+run quant_backbone --backbone_dtype int8_resident
+run quant_trunk --trunk_dtype int8_resident
+run quant_full_b128 $Q --batch 128
+run quant_full_b192 $Q --batch 192
+run bdd_quant $Q --hw 768 1280 --classes 10 --batch 48
+run latency_quant $Q --latency
+echo "sweep done"
