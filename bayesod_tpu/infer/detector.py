@@ -205,9 +205,11 @@ def _candidate_fused_ok(cfg, anchors_per_cell: int = 9) -> bool:
 
 def _reg_route(cfg, images, anchors_per_cell: int = 9) -> str:
     """Resolve ModelConfig.reg_finals at trace time (ModelConfig docstring
-    for the measured trade-offs). Sample-axis mesh sharding
-    (build_detect_fn mesh arg) always uses the dense route — the reduced
-    paths have no shardable sample tensor.
+    for the measured trade-offs). SAMPLE-axis mesh sharding
+    (build_detect_fn mesh arg, sample_parallel > 1) always uses the dense
+    route — the reduced paths have no shardable sample tensor. A pure
+    DATA-parallel mesh (sample_parallel == 1) takes the candidates_fused
+    fast path via shard_map over the data axis (see build_detect_fn).
 
     The reduced routes (stats/candidates/candidates_fused) build on
     deterministic head trunks with dropout only at the final conv, so they
@@ -339,10 +341,22 @@ def build_detect_fn(
 
             fused = jax.vmap(per_image_stats)(probs, stats)
             return _as_detections(fused, cfg.data.image_hw)
-        elif mesh is None and _reg_route(cfg, images, model.anchors_per_cell) == "candidates_fused":
+        elif (
+            mesh is None
+            or (
+                mesh.shape[mesh_cfg.sample_axis] == 1
+                and images.shape[0] % mesh.shape[mesh_cfg.data_axis] == 0
+            )
+        ) and _reg_route(cfg, images, model.anchors_per_cell) == "candidates_fused":
             # Fully-fused candidate finals (ops/pallas/candidate_finals.py):
             # gather + masks + finals + moment stats in one kernel; moments
-            # reconstructed via moments_from_stats.
+            # reconstructed via moments_from_stats. On a pure data-parallel
+            # mesh (sample_parallel=1, batch divisible) the WHOLE body is
+            # per-image independent, so it runs under shard_map over the
+            # data axis — each device executes the single-chip fast path on
+            # its batch slice, with `batch_base` shifting the kernels' mask
+            # streams to absolute image indices (bit-identical masks to the
+            # unsharded launch; no collectives anywhere in the body).
             from bayesod_tpu.models.retinanet import (
                 mc_forward_candidates,
                 mc_forward_candidates_det,
@@ -354,55 +368,83 @@ def build_detect_fn(
                 feature_shapes(cfg.data.image_hw, cfg.anchors),
                 model.anchors_per_cell,
             )
-            if cfg.bayes.preselect_source == "deterministic":
-                # Preselect on one dropout-off pass; ALL N-sample work
-                # (both heads) runs only at the K candidates.
-                idx, valid_sel, cand_probs, cand_stats = (
-                    mc_forward_candidates_det(
-                        model, variables, images, rng, n_mc,
-                        cfg.bayes.pre_cluster_topk,
-                        cfg.bayes.score_threshold,
-                        cfg.bayes.approx_topk, tables,
-                        cfg.bayes.box_scale_factors,
-                        cfg.bayes.log_var_clip,
+
+            def candidates_fused_body(variables, images, rng, batch_base):
+                if cfg.bayes.preselect_source == "deterministic":
+                    # Preselect on one dropout-off pass; ALL N-sample work
+                    # (both heads) runs only at the K candidates.
+                    idx, valid_sel, cand_probs, cand_stats = (
+                        mc_forward_candidates_det(
+                            model, variables, images, rng, n_mc,
+                            cfg.bayes.pre_cluster_topk,
+                            cfg.bayes.score_threshold,
+                            cfg.bayes.approx_topk, tables,
+                            cfg.bayes.box_scale_factors,
+                            cfg.bayes.log_var_clip,
+                            batch_base=batch_base,
+                        )
                     )
+
+                    def per_image_det(idx_b, valid_b, probs_b, stats_b):
+                        boxes_c, covs_c = mom.moments_from_stats(
+                            stats_b, anchors[idx_b],
+                            cfg.bayes.box_scale_factors,
+                        )
+                        cand = mom.AnchorPosteriors(
+                            boxes=boxes_c, covs=covs_c, probs=probs_b
+                        )
+                        return _postprocess_posteriors(cand, valid_b, cfg)
+
+                    fused = jax.vmap(per_image_det)(
+                        idx, valid_sel, cand_probs, cand_stats
+                    )
+                    return _as_detections(fused, cfg.data.image_hw)
+                preselect = lambda p: _preselect(
+                    p, cfg.bayes.pre_cluster_topk, cfg.bayes.score_threshold,
+                    approx=cfg.bayes.approx_topk,
+                )
+                probs, idx, valid_sel, cand_stats = mc_forward_candidates(
+                    model, variables, images, rng, n_mc, preselect, tables,
+                    stats=True, scale_factors=cfg.bayes.box_scale_factors,
+                    log_var_clip=cfg.bayes.log_var_clip,
+                    batch_base=batch_base,
                 )
 
-                def per_image_det(idx_b, valid_b, probs_b, stats_b):
+                def per_image_cs(probs_b, idx_b, valid_b, stats_b):
                     boxes_c, covs_c = mom.moments_from_stats(
-                        stats_b, anchors[idx_b],
-                        cfg.bayes.box_scale_factors,
+                        stats_b, anchors[idx_b], cfg.bayes.box_scale_factors
                     )
                     cand = mom.AnchorPosteriors(
-                        boxes=boxes_c, covs=covs_c, probs=probs_b
+                        boxes=boxes_c, covs=covs_c, probs=probs_b[idx_b]
                     )
                     return _postprocess_posteriors(cand, valid_b, cfg)
 
-                fused = jax.vmap(per_image_det)(
-                    idx, valid_sel, cand_probs, cand_stats
+                fused = jax.vmap(per_image_cs)(
+                    probs, idx, valid_sel, cand_stats
                 )
                 return _as_detections(fused, cfg.data.image_hw)
-            preselect = lambda p: _preselect(
-                p, cfg.bayes.pre_cluster_topk, cfg.bayes.score_threshold,
-                approx=cfg.bayes.approx_topk,
-            )
-            probs, idx, valid_sel, cand_stats = mc_forward_candidates(
-                model, variables, images, rng, n_mc, preselect, tables,
-                stats=True, scale_factors=cfg.bayes.box_scale_factors,
-                log_var_clip=cfg.bayes.log_var_clip,
-            )
 
-            def per_image_cs(probs_b, idx_b, valid_b, stats_b):
-                boxes_c, covs_c = mom.moments_from_stats(
-                    stats_b, anchors[idx_b], cfg.bayes.box_scale_factors
-                )
-                cand = mom.AnchorPosteriors(
-                    boxes=boxes_c, covs=covs_c, probs=probs_b[idx_b]
-                )
-                return _postprocess_posteriors(cand, valid_b, cfg)
+            if mesh is None:
+                return candidates_fused_body(variables, images, rng, 0)
 
-            fused = jax.vmap(per_image_cs)(probs, idx, valid_sel, cand_stats)
-            return _as_detections(fused, cfg.data.image_hw)
+            from jax import shard_map
+            from jax.sharding import PartitionSpec as P
+
+            local_b = images.shape[0] // mesh.shape[mesh_cfg.data_axis]
+
+            def shard_body(v, im, r):
+                base = jax.lax.axis_index(mesh_cfg.data_axis) * local_b
+                return candidates_fused_body(v, im, r, base)
+
+            return shard_map(
+                shard_body,
+                mesh=mesh,
+                in_specs=(P(), P(mesh_cfg.data_axis), P()),
+                out_specs=P(mesh_cfg.data_axis),
+                # pallas_call emits outputs without varying-mesh-axis
+                # metadata; the out_specs state the layout contract.
+                check_vma=False,
+            )(variables, images, rng)
         elif mesh is None and _reg_route(cfg, images, model.anchors_per_cell) == "candidates":
             # Candidates-only reg finals: per-sample reg outputs exist ONLY
             # at the preselected anchors (models.retinanet.

@@ -320,11 +320,16 @@ def _mc_heads_fused(model, variables, feats, rng, num_samples,
 
 def _fused_mean_probs(
     model, cls_t, cls_k, cls_b, seed0, num_samples, keep,
-    slab_vmem_bytes, xla_level,
+    slab_vmem_bytes, xla_level, batch_base=0,
 ):
     """Per-level fused mean-softmax cls maps, flattened and concatenated
     to [B, A, C+1] fp32 (shared by the dense-reg and candidates-reg
-    routes)."""
+    routes).
+
+    batch_base shifts the fused kernel's mask stream to absolute image
+    indices (data-parallel shard_map shards). The oversized-level XLA
+    fallback draws its masks from an rbg key over the LOCAL batch — valid
+    i.i.d. dropout, but not bit-identical across shardings."""
     from bayesod_tpu.ops.pallas.fused_final import dropout_final_probs
 
     vmem_budget = 12 * 1024 * 1024
@@ -336,6 +341,7 @@ def _fused_mean_probs(
             p_map = dropout_final_probs(
                 ct, cls_k, cls_b, seed0 + 2 * lvl, num_samples, keep,
                 n_cls, dtype=model.cfg.head_final_dtype,
+                batch_base=batch_base,
             )  # [B, h, w, k*(C+1)] fp32
         else:
             logits_l = xla_level(ct, cls_k, cls_b, seed0 + 2 * lvl)
@@ -470,6 +476,7 @@ def mc_forward_candidates(
     stats: bool = False,
     scale_factors=(1.0, 1.0, 1.0, 1.0),
     log_var_clip: float = 10.0,
+    batch_base=0,
 ):
     """Candidates-only MC forward (ops/candidate_reg.py):
 
@@ -526,7 +533,7 @@ def mc_forward_candidates(
 
     probs = _fused_mean_probs(
         model, cls_t, cls_k, cls_b, seed0, num_samples, keep,
-        slab_vmem_bytes, xla_level,
+        slab_vmem_bytes, xla_level, batch_base=batch_base,
     )
     idx, valid = jax.vmap(preselect_fn)(probs)
     if stats:
@@ -534,11 +541,12 @@ def mc_forward_candidates(
             list(reg_t), reg_k, reg_b, idx, seed0 + jnp.int32(7919),
             num_samples, keep, tables,
             scale_factors=tuple(scale_factors), log_var_clip=log_var_clip,
+            batch_base=batch_base,
         )  # [B, K, 18]
     else:
         cand = candidate_reg_outputs(
             list(reg_t), reg_k, reg_b, idx, seed0 + jnp.int32(7919),
-            num_samples, keep, tables,
+            num_samples, keep, tables, batch_base=batch_base,
         )  # [N, B, K, 8]
     return probs, idx, valid, cand
 
@@ -665,6 +673,7 @@ def mc_forward_candidates_det(
     tables,
     scale_factors=(1.0, 1.0, 1.0, 1.0),
     log_var_clip: float = 10.0,
+    batch_base=0,
 ):
     """Candidates-only MC forward with DETERMINISTIC preselection
     (BayesConfig.preselect_source="deterministic"):
@@ -728,7 +737,7 @@ def mc_forward_candidates_det(
 
     cand_probs = candidate_cls_probs(
         list(cls_t), cls_k, cls_b, idx, seed0 + jnp.int32(104729),
-        num_samples, keep, tables, n_cls,
+        num_samples, keep, tables, n_cls, batch_base=batch_base,
     )
     # Validity gate on the MC-MEAN categorical (the statistic fusion
     # consumes), not the deterministic preselect scores: only the top-k
@@ -739,5 +748,6 @@ def mc_forward_candidates_det(
         list(reg_t), reg_k, reg_b, idx, seed0 + jnp.int32(7919),
         num_samples, keep, tables,
         scale_factors=tuple(scale_factors), log_var_clip=log_var_clip,
+        batch_base=batch_base,
     )
     return idx, valid, cand_probs, cand_stats

@@ -90,8 +90,13 @@ def candidate_reg_outputs(
     num_samples: int,
     keep_prob: float,
     tables: LevelTables,
+    batch_base: "jnp.ndarray | int" = 0,
 ) -> jnp.ndarray:
-    """[N, B, K, 8] per-sample (deltas, log_vars) at the candidates."""
+    """[N, B, K, 8] per-sample (deltas, log_vars) at the candidates.
+
+    batch_base shifts the dropout-mask stream to absolute image indices so
+    a data-parallel shard_map shard draws exactly the masks the unsharded
+    call would (zero when unsharded)."""
     b = reg_t_levels[0].shape[0]
     c = reg_t_levels[0].shape[-1]
     kk = idx.shape[1]
@@ -139,7 +144,9 @@ def candidate_reg_outputs(
         rows.reshape(b, kk * 9)[..., None].astype(jnp.uint32) * jnp.uint32(c)
         + jnp.arange(c, dtype=jnp.uint32)[None, None, :]
     ).reshape(b, kk, 9 * c)  # absolute (row, channel) ids
-    b_ids = jnp.arange(b, dtype=jnp.int32)
+    b_ids = jnp.arange(b, dtype=jnp.int32) + jnp.asarray(
+        batch_base, jnp.int32
+    )
     threshold = jnp.uint32(min(int(keep_prob * 2147483648.0), 2147483647))
     w9f = kernel.reshape(9 * c, cout)
     compute_dtype = reg_t_levels[0].dtype
@@ -219,6 +226,7 @@ def candidate_reg_stats(
     scale_factors=(1.0, 1.0, 1.0, 1.0),
     log_var_clip: float = 10.0,
     backend: str = "auto",
+    batch_base: "jnp.ndarray | int" = 0,
 ) -> jnp.ndarray:
     """[B, K, 18] per-candidate moment statistics.
 
@@ -232,7 +240,7 @@ def candidate_reg_stats(
     if backend == "xla":
         samples = candidate_reg_outputs(
             reg_t_levels, kernel, bias, idx, seed, num_samples, keep_prob,
-            tables,
+            tables, batch_base=batch_base,
         )
         return _stats_from_candidate_samples(
             samples, scale_factors, log_var_clip
@@ -249,7 +257,7 @@ def candidate_reg_stats(
     return candidate_finals_stats(
         flat, rows_pm, a_idx, kernel, bias, seed, num_samples, keep_prob,
         tables.k, scale_factors=tuple(scale_factors),
-        log_var_clip=log_var_clip,
+        log_var_clip=log_var_clip, batch_base=batch_base,
     )
 
 
@@ -289,6 +297,7 @@ def candidate_cls_probs(
     tables: LevelTables,
     num_classes_incl_bg: int,
     backend: str = "auto",
+    batch_base: "jnp.ndarray | int" = 0,
 ) -> jnp.ndarray:
     """[B, K, C+1] MC mean-softmax categoricals at the candidates only.
 
@@ -301,7 +310,7 @@ def candidate_cls_probs(
     if backend == "xla":
         samples = candidate_reg_outputs(
             cls_t_levels, kernel, bias, idx, seed, num_samples, keep_prob,
-            tables,
+            tables, batch_base=batch_base,
         )  # [N, B, K, C+1] logits
         return jnp.mean(
             jax.nn.softmax(samples.astype(jnp.float32), axis=-1), axis=0
@@ -317,5 +326,5 @@ def candidate_cls_probs(
     rows_pm, a_idx = tap_major_rows(idx, tables)
     return candidate_finals_probs(
         flat, rows_pm, a_idx, kernel, bias, seed, num_samples, keep_prob,
-        tables.k, num_classes_incl_bg,
+        tables.k, num_classes_incl_bg, batch_base=batch_base,
     )

@@ -45,7 +45,7 @@ def _round_up(x: int, m: int) -> int:
 
 
 def _kernel(
-    seed_ref,  # [1, 1] int32 SMEM (scalar prefetch)
+    seed_ref,  # [1, 2] int32 SMEM (scalar prefetch): (seed, batch base)
     rows_ref,  # [1, 1, K9] int32 — tap-major window row ids (-1 = off-map)
     aidx_ref,  # [1, 1, Kp] int32 — anchor-in-cell per candidate
     flat_ref,  # [B, Rp, C] bf16 HBM (ANY)
@@ -77,6 +77,10 @@ def _kernel(
     group: int,  # lanes per anchor group (8 for reg, C+1 for cls)
 ):
     b_idx = pl.program_id(0)
+    # Absolute image index for the mask stream: seed_ref[0, 1] carries the
+    # shard's batch offset (zero unsharded) so a data-parallel shard_map
+    # shard draws exactly the unsharded launch's masks.
+    b_abs = b_idx + seed_ref[0, 1]
     k9 = 9 * kp
     n_chunks = rp // chunk
 
@@ -128,7 +132,7 @@ def _kernel(
             stream = (
                 seed_ref[0, 0] * jnp.int32(1000003)
                 + jnp.int32(-1640531527)
-                * (b_idx * jnp.int32(num_samples) + jnp.int32(n))
+                * (b_abs * jnp.int32(num_samples) + jnp.int32(n))
             ).astype(jnp.uint32)
             z = elem + stream
             z = z ^ (z >> jnp.uint32(16))
@@ -213,6 +217,7 @@ def _candidate_finals(
     chunk: int = 512,
     mode: str = "stats",
     group_size: int = 8,
+    batch_base: jnp.ndarray | int = 0,
 ) -> jnp.ndarray:
     """mode="stats": [B, K, REG_STATS] reg moment statistics;
     mode="probs": [B, K, group_size] mean softmax over each candidate's
@@ -266,7 +271,12 @@ def _candidate_finals(
 
     sx, sy, sw, sh = (float(v) for v in scale_factors)
     threshold = min(int(keep_prob * 2147483648.0), 2147483647)
-    seed_arr = jnp.asarray(seed, jnp.int32).reshape(1, 1)
+    seed_arr = jnp.stack(
+        [
+            jnp.asarray(seed, jnp.int32).reshape(()),
+            jnp.asarray(batch_base, jnp.int32).reshape(()),
+        ]
+    ).reshape(1, 2)
 
     vec_spec = lambda n: pl.BlockSpec(
         (1, 1, n), lambda bi, sref: (bi, 0, 0), memory_space=pltpu.VMEM
@@ -331,7 +341,7 @@ def candidate_finals_stats(*args, **kwargs):
 
 def candidate_finals_probs(
     flat, rows, a_idx, kernel, bias, seed, num_samples, keep_prob,
-    anchors_per_cell, group_size, interpret=None, chunk=512,
+    anchors_per_cell, group_size, interpret=None, chunk=512, batch_base=0,
 ):
     """Mean-softmax class probabilities at candidates (mode="probs"):
     [B, K, C+1] — the MC categorical (paper §III.A) computed only where
@@ -339,5 +349,5 @@ def candidate_finals_probs(
     return _candidate_finals(
         flat, rows, a_idx, kernel, bias, seed, num_samples, keep_prob,
         anchors_per_cell, interpret=interpret, chunk=chunk,
-        mode="probs", group_size=group_size,
+        mode="probs", group_size=group_size, batch_base=batch_base,
     )

@@ -249,7 +249,7 @@ def _acquire_slab_dma(x_ref, slab_ref, sem, rb: int):
 
 
 def _kernel_probs(
-    seed_ref,  # [1, 1] int32 SMEM
+    seed_ref,  # [1, 3] int32 SMEM: (seed, sample base, batch base)
     x_ref,  # resident: [1, Hp+2, W+2, Cin] VMEM block; dma: [B, ...] HBM
     w_ref,  # [9, Cin, Cp] VMEM
     b_ref,  # [1, Cp] VMEM
@@ -282,8 +282,11 @@ def _kernel_probs(
     off."""
     cout = kw.pop("cout")
     group_size = kw.pop("group_size")
-    b_idx = pl.program_id(0)
-    n_idx = pl.program_id(2)
+    # Absolute sample/image indices: the seed scalars carry shard offsets
+    # (zero for an unsharded launch) so a shard_map shard draws exactly the
+    # masks the unsharded kernel would (see dropout_final_conv).
+    b_idx = pl.program_id(0) + seed_ref[0, 2]
+    n_idx = pl.program_id(2) + seed_ref[0, 1]
     nn = pl.num_programs(2)
     row0 = pl.program_id(1) * rb
     if dma:
@@ -415,8 +418,9 @@ def _kernel_reg_stats(
     th_clip = kw.pop("th_clip")
     inv_sw = kw.pop("inv_sw")
     inv_sh = kw.pop("inv_sh")
-    b_idx = pl.program_id(0)
-    n_idx = pl.program_id(2)
+    # Shard offsets from the seed scalars (see _kernel_probs).
+    b_idx = pl.program_id(0) + seed_ref[0, 2]
+    n_idx = pl.program_id(2) + seed_ref[0, 1]
     nn = pl.num_programs(2)
     row0 = pl.program_id(1) * rb
     if dma:
@@ -693,12 +697,18 @@ def dropout_final_probs(
     dtype: str = "bf16",
     input_mode: str = "auto",
     row_block: Optional[int] = None,
+    sample_base: jnp.ndarray | int = 0,
+    batch_base: jnp.ndarray | int = 0,
 ) -> jnp.ndarray:
     """[B,H,W,Cin] -> [B,H,W,K*(C+1)] fp32 MEAN SOFTMAX over N dropout
     samples — the fused MC classification head (see _kernel_probs).
 
     Same dropout-mask stream as dropout_final_conv, so
     mean(softmax(dropout_final_conv(...))) is the reference oracle.
+    sample_base/batch_base shift the mask stream to absolute indices for
+    shard_map shards (see dropout_final_conv) — note the mean here is over
+    ALL N samples locally, so only batch_base is useful for data-parallel
+    shards; sample sharding of the mean needs the conv kernel + reduction.
     """
     if input_mode == "auto":
         # Tighter resident budget than the plain conv kernel: the softmax
@@ -714,7 +724,7 @@ def dropout_final_probs(
     (input_mode, interpret, b, h, w, cin, cout, cp, rb, hp, wpad,
      x_pad, w9, b_pad, wscale_pad, seed_arr, kernel_kw) = _prep(
         x, kernel, bias, seed, keep_prob, dtype, input_mode, row_block,
-        interpret,
+        interpret, sample_base=sample_base, batch_base=batch_base,
     )
     if cout % group_size:
         raise ValueError(f"cout {cout} not divisible by C+1={group_size}")
@@ -802,6 +812,8 @@ def dropout_final_reg_stats(
     dtype: str = "bf16",
     input_mode: str = "auto",
     row_block: Optional[int] = None,
+    sample_base: jnp.ndarray | int = 0,
+    batch_base: jnp.ndarray | int = 0,
 ) -> jnp.ndarray:
     """[B,H,W,Cin] -> [B,H,W,K*REG_STATS] fp32 per-anchor regression
     sufficient statistics averaged over N dropout samples (_kernel_reg_stats;
@@ -809,6 +821,7 @@ def dropout_final_reg_stats(
 
     Same dropout-mask stream as dropout_final_conv with the same seed, so
     mc_box_moments over dropout_final_conv's samples is the exact oracle.
+    sample_base/batch_base: see dropout_final_probs.
     """
     if input_mode == "auto":
         bh, bw, bc = x.shape[1], x.shape[2], x.shape[3]
@@ -824,7 +837,7 @@ def dropout_final_reg_stats(
     (input_mode, interpret, b, h, w, cin, cout, cp, rb, hp, wpad,
      x_pad, w9, b_pad, wscale_pad, seed_arr, kernel_kw) = _prep(
         x, kernel, bias, seed, keep_prob, dtype, input_mode, row_block,
-        interpret,
+        interpret, sample_base=sample_base, batch_base=batch_base,
     )
     k = anchors_per_cell
     if cout != k * 8:

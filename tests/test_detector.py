@@ -444,3 +444,83 @@ def test_sample_parallel_batch1_latency_graph(cpu_devices):
         np.array(out.boxes), np.array(base.boxes), atol=1e-3, rtol=1e-4
     )
     np.testing.assert_array_equal(np.array(out.valid), np.array(base.valid))
+
+
+class TestDataParallelFastPath:
+    """Pure-DP mesh serving on the candidates_fused fast path: the whole
+    per-image body runs under shard_map over the data axis with absolute
+    batch offsets into the kernels' mask streams — results must match the
+    unsharded fast path (same masks, same candidates, same fusion)."""
+
+    def _cfg(self, preselect):
+        import dataclasses
+
+        from bayesod_tpu.utils.config import (
+            BayesConfig, DataConfig, ExperimentConfig, ModelConfig,
+        )
+
+        return ExperimentConfig(
+            model=ModelConfig(
+                num_classes=3, backbone="resnet18", fpn_channels=32,
+                head_depth=1, head_channels=32, norm="groupnorm",
+                compute_dtype="float32", reg_finals="candidates_fused",
+                dropout_rate=0.2,
+            ),
+            bayes=BayesConfig(
+                num_mc_samples=4, score_threshold=0.0,
+                pre_cluster_topk=128, max_detections=10,
+                preselect_source=preselect,
+            ),
+            data=DataConfig(image_hw=(128, 256)),
+        )
+
+    @pytest.mark.parametrize("preselect", ["deterministic", "mc_mean"])
+    def test_dp_mesh_matches_unsharded(self, preselect, cpu_devices):
+        from bayesod_tpu.infer import build_detect_fn
+        from bayesod_tpu.models.retinanet import RetinaNet, init_variables
+        from bayesod_tpu.parallel import mesh as mesh_lib
+        from bayesod_tpu.utils.config import MeshConfig
+
+        cfg = self._cfg(preselect)
+        model = RetinaNet(cfg=cfg.model, train=False)
+        variables = init_variables(
+            model, jax.random.PRNGKey(0), cfg.data.image_hw
+        )
+        images = jax.random.uniform(
+            jax.random.PRNGKey(1), (8, 128, 256, 3), jnp.float32
+        )
+        rng = jax.random.PRNGKey(2)
+
+        out = build_detect_fn(cfg, model)(variables, images, rng)
+
+        mesh_cfg = MeshConfig(data_parallel=8, sample_parallel=1)
+        mesh = mesh_lib.make_mesh(mesh_cfg)
+        detect_dp = jax.jit(
+            build_detect_fn(cfg, model, mesh=mesh, mesh_cfg=mesh_cfg),
+            in_shardings=(
+                mesh_lib.replicated(mesh),
+                mesh_lib.batch_sharding(mesh, mesh_cfg),
+                mesh_lib.replicated(mesh),
+            ),
+        )
+        out_dp = detect_dp(
+            jax.device_put(variables, mesh_lib.replicated(mesh)),
+            images, rng,
+        )
+
+        # same masks + same per-image work -> same detections (tolerance
+        # for conv batch-size-dependent reduction order on CPU).
+        np.testing.assert_array_equal(
+            np.asarray(out_dp.valid), np.asarray(out.valid)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(out_dp.classes), np.asarray(out.classes)
+        )
+        np.testing.assert_allclose(
+            np.asarray(out_dp.boxes), np.asarray(out.boxes),
+            rtol=1e-4, atol=1e-3,
+        )
+        np.testing.assert_allclose(
+            np.asarray(out_dp.probs), np.asarray(out.probs),
+            rtol=1e-4, atol=1e-4,
+        )
