@@ -49,7 +49,17 @@ def run_inference(
     n = len(dataset) if max_images is None else min(max_images, len(dataset))
 
     model = RetinaNet(cfg=cfg.model, train=False)
-    detect_raw = build_detect_fn(cfg, model)
+    mesh = None
+    if data_parallel and len(jax.devices()) > 1:
+        from bayesod_tpu.parallel import mesh as mesh_lib
+
+        mesh = mesh_lib.make_mesh(cfg.mesh)
+    # Passing the mesh lets the detector take its sharded fast paths (a
+    # pure-DP mesh runs candidates_fused per shard via shard_map) instead
+    # of GSPMD-replicating an opaque Pallas call.
+    detect_raw = build_detect_fn(
+        cfg, model, mesh=mesh, mesh_cfg=cfg.mesh if mesh is not None else None
+    )
 
     def detect_uint8(variables, images_u8, rng):
         return detect_raw(
@@ -58,10 +68,7 @@ def run_inference(
             rng,
         )
 
-    if data_parallel and len(jax.devices()) > 1:
-        from bayesod_tpu.parallel import mesh as mesh_lib
-
-        mesh = mesh_lib.make_mesh(cfg.mesh)
+    if mesh is not None:
         n_data = mesh.shape[cfg.mesh.data_axis]
         if batch_size % n_data:
             raise ValueError(
