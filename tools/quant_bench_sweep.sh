@@ -22,3 +22,5 @@ run quant_full_b192 $Q --batch 192
 run bdd_quant $Q --hw 768 1280 --classes 10 --batch 48
 run latency_quant $Q --latency
 echo "sweep done"
+# BDD-shape roofline (VERDICT item 7 parity-of-effort)
+run bdd_roofline --hw 768 1280 --classes 10 --batch 48 --roofline
