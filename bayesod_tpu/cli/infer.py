@@ -88,14 +88,26 @@ def main(argv=None) -> None:
         state = template
     variables = state.variables()
 
+    _dataset_cache = {}
+
+    def get_dataset():
+        """Split dataset, built at most once per CLI run (a real COCO
+        annotation parse is seconds — calibration, results writers, and
+        visualization all reuse it)."""
+        if "ds" not in _dataset_cache:
+            from bayesod_tpu.data import make_dataset
+
+            _dataset_cache["ds"] = make_dataset(cfg.data, split=args.split)
+        return _dataset_cache["ds"]
+
     if args.quantize:
         import jax.numpy as jnp
         import numpy as np
 
-        from bayesod_tpu.data import Loader, make_dataset, normalize_images
+        from bayesod_tpu.data import Loader, normalize_images
         from bayesod_tpu.models.calibration import quantized_serving_config
 
-        calib_ds = make_dataset(cfg.data, split=args.split)
+        calib_ds = get_dataset()
         loader = Loader(
             calib_ds, batch_size=min(args.calib_images, len(calib_ds)),
             image_hw=cfg.data.image_hw, shuffle=False, num_epochs=1,
@@ -123,11 +135,9 @@ def main(argv=None) -> None:
     print(f"wrote {len(records)} image records -> {out_path}")
 
     if args.kitti_results_dir:
-        from bayesod_tpu.data import make_dataset
         from bayesod_tpu.data.kitti import write_kitti_results
 
-        dataset = make_dataset(cfg.data, split=args.split)
-        write_kitti_results(records, dataset, args.kitti_results_dir)
+        write_kitti_results(records, get_dataset(), args.kitti_results_dir)
         print(f"wrote KITTI-format results -> {args.kitti_results_dir}")
 
     if args.bdd_results:
@@ -139,19 +149,14 @@ def main(argv=None) -> None:
     if args.coco_results:
         from bayesod_tpu.data.coco import write_coco_results
 
-        coco_ds = None
-        if cfg.data.dataset == "coco":
-            from bayesod_tpu.data import make_dataset
-
-            coco_ds = make_dataset(cfg.data, split=args.split)
+        coco_ds = get_dataset() if cfg.data.dataset == "coco" else None
         write_coco_results(records, coco_ds, args.coco_results)
         print(f"wrote COCO-format results -> {args.coco_results}")
 
     if args.visualize:
-        from bayesod_tpu.data import make_dataset
         from bayesod_tpu.utils.visualize import save_detection_grid
 
-        dataset = make_dataset(cfg.data, split=args.split)
+        dataset = get_dataset()
         save_detection_grid(records, dataset, args.visualize)
         print(f"wrote visualization -> {args.visualize}")
 

@@ -203,7 +203,7 @@ def _candidate_fused_ok(cfg, anchors_per_cell: int = 9) -> bool:
     return True
 
 
-def _reg_route(cfg, images, anchors_per_cell: int = 9) -> str:
+def _reg_route(cfg, images, anchors_per_cell: int = 9, batch=None) -> str:
     """Resolve ModelConfig.reg_finals at trace time (ModelConfig docstring
     for the measured trade-offs). SAMPLE-axis mesh sharding
     (build_detect_fn mesh arg, sample_parallel > 1) always uses the dense
@@ -225,11 +225,15 @@ def _reg_route(cfg, images, anchors_per_cell: int = 9) -> str:
         and dropout_last
     )
     if mode == "auto":
+        # `batch` overrides the batch the >=8 heuristic sees — a DP
+        # shard_map launches the kernels at the LOCAL batch B/dp, which is
+        # the regime the threshold was measured for.
+        eff_batch = images.shape[0] if batch is None else batch
         return (
             "candidates_fused"
             if (
                 pallas_ok
-                and images.shape[0] >= 8
+                and eff_batch >= 8
                 and _candidate_fused_ok(cfg, anchors_per_cell)
             )
             else "dense"
@@ -343,11 +347,18 @@ def build_detect_fn(
             return _as_detections(fused, cfg.data.image_hw)
         elif (
             mesh is None
-            or (
-                mesh.shape[mesh_cfg.sample_axis] == 1
-                and images.shape[0] % mesh.shape[mesh_cfg.data_axis] == 0
+            and _reg_route(cfg, images, model.anchors_per_cell)
+            == "candidates_fused"
+        ) or (
+            mesh is not None
+            and mesh.shape[mesh_cfg.sample_axis] == 1
+            and images.shape[0] % mesh.shape[mesh_cfg.data_axis] == 0
+            and _reg_route(
+                cfg, images, model.anchors_per_cell,
+                batch=images.shape[0] // mesh.shape[mesh_cfg.data_axis],
             )
-        ) and _reg_route(cfg, images, model.anchors_per_cell) == "candidates_fused":
+            == "candidates_fused"
+        ):
             # Fully-fused candidate finals (ops/pallas/candidate_finals.py):
             # gather + masks + finals + moment stats in one kernel; moments
             # reconstructed via moments_from_stats. On a pure data-parallel

@@ -26,6 +26,25 @@ import numpy as np
 from bayesod_tpu.models.resnet import ResNet
 
 
+
+def _to_scale(sown_value, margin: float) -> float:
+    """absmax capture -> symmetric int8 scale: max(absmax*margin, 1e-6)/127.
+    THE calibration rule — every quantized subgraph derives its scales here
+    so the formula cannot diverge between backbone-only and full-graph
+    calibration."""
+    return max(float(np.asarray(sown_value[0])) * margin, 1e-6) / 127.0
+
+
+def _walk_absmax(tree, margin: float, out: Dict[str, float], prefix=""):
+    """Flatten a sown "intermediates" subtree into {site: scale}."""
+    for key, value in tree.items():
+        path = f"{prefix}/{key}" if prefix else key
+        if isinstance(value, Mapping):
+            _walk_absmax(value, margin, out, path)
+        else:
+            out[path] = _to_scale(value, margin)
+
+
 def calibrate_backbone_scales(
     cfg,
     variables,
@@ -65,17 +84,7 @@ def calibrate_backbone_scales(
     _, state = backbone.apply(bvars, images, mutable=["intermediates"])
 
     flat: Dict[str, float] = {}
-
-    def walk(tree, prefix=""):
-        for key, value in tree.items():
-            path = f"{prefix}/{key}" if prefix else key
-            if isinstance(value, Mapping):
-                walk(value, path)
-            else:  # sow stores a tuple of captures
-                absmax = float(np.asarray(value[0]))
-                flat[path] = max(absmax * margin, 1e-6) / 127.0
-
-    walk(state["intermediates"])
+    _walk_absmax(state["intermediates"], margin, flat)
     return tuple(sorted(flat.items()))
 
 
@@ -130,29 +139,17 @@ def calibrate_serving_scales(
     )
     inter = state["intermediates"]
 
-    def to_scale(value) -> float:
-        return max(float(np.asarray(value[0])) * margin, 1e-6) / 127.0
-
     backbone: Dict[str, float] = {}
-
-    def walk(tree, prefix=""):
-        for key, value in tree.items():
-            path = f"{prefix}/{key}" if prefix else key
-            if isinstance(value, Mapping):
-                walk(value, path)
-            else:
-                backbone[path] = to_scale(value)
-
-    walk(inter["backbone"])
+    _walk_absmax(inter["backbone"], margin, backbone)
 
     fpn = {
-        site: to_scale(value) for site, value in inter["fpn"].items()
+        site: _to_scale(value, margin) for site, value in inter["fpn"].items()
     }
 
     trunk: Dict[str, float] = {}
     for trunk_key, prefix in (("cls_trunk", "cls"), ("reg_trunk", "reg")):
         for site, value in inter["heads"][trunk_key].items():
-            trunk[f"{prefix}/{site}"] = to_scale(value)
+            trunk[f"{prefix}/{site}"] = _to_scale(value, margin)
 
     return (
         tuple(sorted(backbone.items())),

@@ -28,6 +28,7 @@ import jax.numpy as jnp
 
 from bayesod_tpu.models.quant import (
     ConvKernelBias,
+    absmax as _absmax,
     conv_int8,
     quantize_act,
     quantize_kernel,
@@ -39,10 +40,6 @@ def _upsample2x(x: jnp.ndarray) -> jnp.ndarray:
     b, h, w, c = x.shape
     x = jnp.broadcast_to(x[:, :, None, :, None, :], (b, h, 2, w, 2, c))
     return x.reshape(b, h * 2, w * 2, c)
-
-
-def _absmax(x) -> jnp.ndarray:
-    return jnp.max(jnp.abs(x.astype(jnp.float32)))
 
 
 class FPN(nn.Module):

@@ -35,16 +35,13 @@ import numpy as np
 
 from bayesod_tpu.models.quant import (
     ConvKernelBias,
+    absmax as _absmax,
     QuantConv,
     conv_int8,
     quantize_act,
     quantize_kernel,
     requant,
 )
-
-
-def _absmax(x) -> jnp.ndarray:
-    return jnp.max(jnp.abs(x.astype(jnp.float32)))
 
 
 class QuantConv3x3(QuantConv):
@@ -184,11 +181,18 @@ class RetinaNetHeads(nn.Module):
         if self.trunk_act_scales is None:
             return None
         p = prefix + "/"
-        return tuple(
+        scales = tuple(
             (site[len(p):], s)
             for site, s in self.trunk_act_scales
             if site.startswith(p)
         )
+        if not scales:
+            raise ValueError(
+                f"head_trunk_act_scales has no '{prefix}/' sites — expected "
+                "the tuple produced by models/calibration.py:"
+                "calibrate_serving_scales (sites like 'cls/p0_in')"
+            )
+        return scales
 
     def setup(self):
         k = self.anchors_per_cell

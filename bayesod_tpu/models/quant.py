@@ -24,6 +24,12 @@ import jax
 import jax.numpy as jnp
 
 
+def absmax(x) -> jnp.ndarray:
+    """Per-site activation absmax (the int8-resident calibration statistic;
+    models/calibration.py converts it to a symmetric scale)."""
+    return jnp.max(jnp.abs(x.astype(jnp.float32)))
+
+
 class QuantConv(nn.Module):
     """k x k SAME conv executed as int8 x int8 -> int32 on the MXU."""
 

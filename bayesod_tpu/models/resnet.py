@@ -24,6 +24,7 @@ import jax.numpy as jnp
 
 from bayesod_tpu.models.quant import (
     BNFold,
+    absmax as _absmax,
     ConvKernel,
     QuantConv,
     conv_int8,
@@ -169,10 +170,6 @@ class BottleneckBlock(nn.Module):
         else:
             r = xq.astype(jnp.float32) * s_in
         return quantize_act(jax.nn.relu(y + r), s_out)
-
-
-def _absmax(x) -> jnp.ndarray:
-    return jnp.max(jnp.abs(x.astype(jnp.float32)))
 
 
 class BasicBlock(nn.Module):

@@ -45,10 +45,14 @@ class RetinaNet(nn.Module):
     capture_scales: bool = False
 
     def setup(self):
-        if self.train and self.cfg.head_trunk_dtype == "int8_resident":
+        if self.train and "int8_resident" in (
+            self.cfg.head_trunk_dtype, self.cfg.fpn_dtype
+        ):
+            # (The backbone path raises its own guard inside ResNet.)
             raise ValueError(
-                "head_trunk_dtype='int8_resident' is a serving path: train "
-                "in bf16 and flip the knob for inference"
+                "head_trunk_dtype/fpn_dtype='int8_resident' are serving "
+                "paths (round/clip has zero gradient): train in bf16 and "
+                "flip the knob for inference"
             )
         dtype = _dtype_of(self.cfg)
         self.backbone = ResNet(

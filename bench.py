@@ -252,9 +252,13 @@ def main() -> None:
             f"in {time.time() - t0:.1f}s",
             file=sys.stderr,
         )
-
-    model = RetinaNet(cfg=cfg.model, train=False)
-    variables = init_variables(model, jax.random.PRNGKey(0), image_hw)
+        # Quantized param trees are identical to bf16 (pinned by
+        # test_param_tree_identical) — reuse the calibration init instead
+        # of paying a second full-model init over the tunnel.
+        model = RetinaNet(cfg=cfg.model, train=False)
+    else:
+        model = RetinaNet(cfg=cfg.model, train=False)
+        variables = init_variables(model, jax.random.PRNGKey(0), image_hw)
     detect = build_detect_fn(cfg, model)
 
     rng = jax.random.PRNGKey(7)

@@ -249,7 +249,8 @@ class TestInt8ResidentTrunk:
     def test_dropout_all_rejected(self):
         cfg = self._cfg(dropout_layers="all",
                         head_trunk_dtype="int8_resident",
-                        head_trunk_act_scales=(("cls/p0_in", 0.1),))
+                        head_trunk_act_scales=(("cls/p0_in", 0.1),
+                                               ("reg/p0_in", 0.1)))
         from bayesod_tpu.models.retinanet import RetinaNet, init_variables
 
         with pytest.raises(ValueError, match="dropout_layers"):
@@ -449,3 +450,24 @@ def test_quantized_config_yaml_roundtrip(tmp_path):
     path = save_config(cfg8, str(tmp_path / "quantized.yaml"))
     cfg_back = load_config(path)
     assert cfg_back == cfg8
+
+
+def test_unprefixed_trunk_scales_rejected():
+    """head_trunk_act_scales without the cls/reg prefixes must raise the
+    informative calibration error, not a KeyError deep in tracing."""
+    from bayesod_tpu.models.retinanet import RetinaNet, init_variables
+    from bayesod_tpu.utils.config import ExperimentConfig, ModelConfig
+
+    cfg = ExperimentConfig(
+        model=ModelConfig(
+            num_classes=3, backbone="resnet18", fpn_channels=32,
+            head_depth=1, head_channels=32, norm="batchnorm",
+            compute_dtype="float32", head_trunk_dtype="int8_resident",
+            head_trunk_act_scales=(("p0_in", 0.1),),  # missing cls/reg
+        )
+    )
+    with pytest.raises(ValueError, match="cls/"):
+        init_variables(
+            RetinaNet(cfg=cfg.model, train=False),
+            jax.random.PRNGKey(0), (128, 256),
+        )
