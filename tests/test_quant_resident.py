@@ -471,3 +471,85 @@ def test_unprefixed_trunk_scales_rejected():
             RetinaNet(cfg=cfg.model, train=False),
             jax.random.PRNGKey(0), (128, 256),
         )
+
+
+def test_quantized_dp_mesh_serving():
+    """The full production serving stack COMBINED: int8-resident backbone+
+    FPN+trunks under a pure-DP shard_map mesh on the candidates_fused fast
+    path. int8 round() sits on numeric cliffs, so a different compilation
+    context (shard_map) can flip quantization levels and reshuffle
+    borderline NOISE detections from these random weights — the sharding
+    MECHANISM itself is pinned bit-tight by the bf16 test above
+    (TestDataParallelFastPath). Here we assert semantic equivalence: same
+    valid counts, and the detection sets agree (IoU-matched, same class)
+    with near-identical matched boxes."""
+    import dataclasses
+
+    from bayesod_tpu.infer import build_detect_fn
+    from bayesod_tpu.models.calibration import quantized_serving_config
+    from bayesod_tpu.models.retinanet import RetinaNet, init_variables
+    from bayesod_tpu.ops import boxes as box_ops
+    from bayesod_tpu.parallel import mesh as mesh_lib
+    from bayesod_tpu.utils.config import (
+        BayesConfig, DataConfig, ExperimentConfig, MeshConfig, ModelConfig,
+    )
+
+    cfg = ExperimentConfig(
+        model=ModelConfig(
+            num_classes=3, backbone="resnet18", fpn_channels=32,
+            head_depth=1, head_channels=32, norm="batchnorm",
+            compute_dtype="float32", reg_finals="candidates_fused",
+            dropout_rate=0.2,
+        ),
+        bayes=BayesConfig(
+            num_mc_samples=4, score_threshold=0.0, pre_cluster_topk=128,
+            max_detections=10, preselect_source="deterministic",
+        ),
+        data=DataConfig(image_hw=(128, 256)),
+    )
+    model = RetinaNet(cfg=cfg.model, train=False)
+    v = init_variables(model, jax.random.PRNGKey(0), cfg.data.image_hw)
+    images = jax.random.uniform(
+        jax.random.PRNGKey(1), (8, 128, 256, 3), jnp.float32
+    )
+    rng = jax.random.PRNGKey(2)
+
+    cfg8 = quantized_serving_config(cfg, v, images)
+    model8 = RetinaNet(cfg=cfg8.model, train=False)
+    out = build_detect_fn(cfg8, model8)(v, images, rng)
+
+    mesh_cfg = MeshConfig(data_parallel=8, sample_parallel=1)
+    mesh = mesh_lib.make_mesh(mesh_cfg)
+    detect_dp = jax.jit(
+        build_detect_fn(cfg8, model8, mesh=mesh, mesh_cfg=mesh_cfg),
+        in_shardings=(
+            mesh_lib.replicated(mesh),
+            mesh_lib.batch_sharding(mesh, mesh_cfg),
+            mesh_lib.replicated(mesh),
+        ),
+    )
+    out_dp = detect_dp(
+        jax.device_put(v, mesh_lib.replicated(mesh)), images, rng
+    )
+    np.testing.assert_array_equal(
+        np.asarray(out_dp.valid).sum(-1), np.asarray(out.valid).sum(-1)
+    )
+    total, matched, matched_ious = 0, 0, []
+    for b in range(images.shape[0]):
+        m = np.asarray(out.valid[b])
+        bx = np.asarray(out.boxes[b])[m]
+        cl = np.asarray(out.classes[b])[m]
+        m2 = np.asarray(out_dp.valid[b])
+        bx2 = np.asarray(out_dp.boxes[b])[m2]
+        cl2 = np.asarray(out_dp.classes[b])[m2]
+        iou = np.asarray(
+            box_ops.pairwise_iou(jnp.asarray(bx), jnp.asarray(bx2))
+        )
+        for i in range(len(bx)):
+            total += 1
+            j = int(np.argmax(iou[i]))
+            if iou[i, j] > 0.8 and cl[i] == cl2[j]:
+                matched += 1
+                matched_ious.append(iou[i, j])
+    assert matched / total >= 0.7, (matched, total)
+    assert np.mean(matched_ious) > 0.98
