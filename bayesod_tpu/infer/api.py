@@ -93,6 +93,55 @@ class Detector:
             )
         return cls(cfg, state.variables(), batch_size)
 
+    @classmethod
+    def from_ensemble(
+        cls,
+        yaml_path_or_cfg: Union[str, ExperimentConfig],
+        members: Union[int, Sequence],
+        batch_size: int = 1,
+    ) -> "Detector":
+        """Deep-ensemble detector (BayesConfig.epistemic docs): the sample
+        axis comes from M independent weight sets instead of (or, with
+        epistemic='ensemble_mc', on top of) MC dropout.
+
+        members: a list of variable trees, a list of Orbax checkpoint
+        directories (each holding an independently trained run), or an int
+        M for M random-init members (smoke/shape tests).
+        """
+        import dataclasses
+
+        cfg = _load(yaml_path_or_cfg)
+        if cfg.bayes.epistemic == "mc_dropout":
+            cfg = dataclasses.replace(
+                cfg, bayes=dataclasses.replace(cfg.bayes, epistemic="ensemble")
+            )
+        from bayesod_tpu.models.retinanet import stack_variables
+
+        model = RetinaNet(cfg=cfg.model, train=False)
+        if isinstance(members, int):
+            trees = [
+                init_variables(
+                    model, jax.random.PRNGKey(i), cfg.data.image_hw
+                )
+                for i in range(members)
+            ]
+        elif members and isinstance(members[0], str):
+            from bayesod_tpu.train import CheckpointManager, create_train_state
+
+            template = create_train_state(
+                model, cfg.train, jax.random.PRNGKey(cfg.train.seed),
+                cfg.data.image_hw,
+            )
+            trees = []
+            for d in members:
+                state = CheckpointManager(d, async_save=False).restore(template)
+                if state is None:
+                    raise FileNotFoundError(f"no checkpoint under {d}")
+                trees.append(state.variables())
+        else:
+            trees = list(members)
+        return cls(cfg, stack_variables(trees), batch_size)
+
     def quantized(
         self,
         calib_images: Sequence[np.ndarray],
@@ -109,6 +158,12 @@ class Detector:
         import dataclasses
 
         from bayesod_tpu.models.calibration import quantized_serving_config
+
+        if self.cfg.bayes.epistemic != "mc_dropout":
+            raise ValueError(
+                "int8-resident calibration assumes ONE weight set; "
+                "quantize per member before stacking an ensemble"
+            )
 
         batch = np.zeros(
             (len(calib_images), *self.cfg.data.image_hw, 3), np.uint8

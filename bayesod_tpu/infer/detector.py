@@ -307,6 +307,22 @@ def build_detect_fn(
     single_pass = cfg.bayes.mode in (
         "single_pass_nms", "sampling_free", "anchor_redundancy"
     )
+    if cfg.bayes.epistemic not in ("mc_dropout", "ensemble", "ensemble_mc"):
+        raise ValueError(
+            f"unknown epistemic source '{cfg.bayes.epistemic}' "
+            "(mc_dropout | ensemble | ensemble_mc)"
+        )
+    # Deep-ensemble sampling: variables carry a leading member axis and the
+    # sample axis comes from independent weight sets (models.retinanet.
+    # ensemble_forward). Dense post-processing route — members own their
+    # backbones, so none of the shared-trunk fast paths apply.
+    ensemble = cfg.bayes.epistemic != "mc_dropout" and not single_pass
+    if cfg.bayes.epistemic != "mc_dropout" and single_pass:
+        raise ValueError(
+            f"bayes.mode='{cfg.bayes.mode}' is a single-deterministic-pass "
+            "estimator; epistemic='ensemble*' has no effect there — use a "
+            "sampled mode (bayes_od | nms | black_box)"
+        )
 
     def detect(variables, images: jnp.ndarray, rng: jax.Array) -> Detections:
         if tuple(images.shape[1:3]) != tuple(cfg.data.image_hw):
@@ -320,6 +336,32 @@ def build_detect_fn(
             logits, deltas, log_vars = single_forward(model, variables, images)
             probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
             deltas, log_vars = deltas[None], log_vars[None]  # N=1 sample axis
+        elif ensemble:
+            from bayesod_tpu.models.retinanet import ensemble_forward
+
+            logits, deltas, log_vars = ensemble_forward(
+                model, variables, images, rng,
+                mc_per_member=(
+                    n_mc if cfg.bayes.epistemic == "ensemble_mc" else 0
+                ),
+            )
+            probs = jnp.mean(
+                jax.nn.softmax(logits.astype(jnp.float32), axis=-1), axis=0
+            )
+            if mesh is not None:
+                from jax.sharding import NamedSharding, PartitionSpec
+
+                mc = mesh_cfg
+                sample_nb = NamedSharding(
+                    mesh, PartitionSpec(mc.sample_axis, mc.data_axis)
+                )
+                deltas = jax.lax.with_sharding_constraint(deltas, sample_nb)
+                log_vars = jax.lax.with_sharding_constraint(
+                    log_vars, sample_nb
+                )
+                probs = jax.lax.with_sharding_constraint(
+                    probs, NamedSharding(mesh, PartitionSpec(mc.data_axis))
+                )
         elif mesh is None and _reg_route(cfg, images, model.anchors_per_cell) == "stats":
             # In-kernel moment accumulation on both heads: no per-sample
             # tensor reaches HBM (models.retinanet.mc_forward_stats).

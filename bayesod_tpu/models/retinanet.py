@@ -665,6 +665,84 @@ def single_forward(
     return model.apply(variables, images, stochastic=False)
 
 
+def stack_variables(variables_list):
+    """Stack M per-member variable trees onto a leading member axis.
+
+    The inverse of indexing: `member_variables(stacked, i)` recovers member
+    i. All trees must share one structure/shapes (same ModelConfig).
+    """
+    if len(variables_list) < 2:
+        raise ValueError("an ensemble needs >= 2 members")
+    return jax.tree_util.tree_map(
+        lambda *xs: jnp.stack(xs), *variables_list
+    )
+
+
+def member_variables(stacked_variables, i: int):
+    """Slice member `i` out of a stack_variables tree."""
+    return jax.tree_util.tree_map(lambda x: x[i], stacked_variables)
+
+
+def ensemble_forward(
+    model: RetinaNet,
+    stacked_variables,
+    images: jnp.ndarray,
+    rng: jax.Array,
+    mc_per_member: int = 0,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Deep-ensemble sampling: vmap the FULL network over the member axis.
+
+    Epistemic uncertainty from independent weight sets instead of (or on
+    top of) shared-weight dropout — the standard ensemble estimator the
+    BayesOD machinery is agnostic to: downstream moments/clustering/fusion
+    only see a sample axis. Unlike `mc_forward` there is no shared trunk to
+    amortize (members own their backbones), so the whole forward vmaps —
+    XLA batches the M member convs into single MXU ops, the TPU analogue of
+    the reference's would-be M-checkpoint Python loop (SURVEY.md §3.2).
+
+    stacked_variables: `stack_variables` tree with leading member axis M.
+    mc_per_member <= 0: one deterministic pass per member (dropout off),
+        sample axis S = M.
+    mc_per_member >= 1: that many dropout passes per member,
+        S = M * mc_per_member, member-major order.
+
+    Returns (logits [S,B,A,K+1], deltas [S,B,A,4], log_vars [S,B,A,4]).
+    Always the XLA head path: the Pallas fused finals assume one weight
+    set per launch and are not vmappable over parameters.
+    """
+    num_members = jax.tree_util.tree_leaves(stacked_variables)[0].shape[0]
+    if mc_per_member <= 0:
+
+        def member_det(vars_m):
+            return model.apply(vars_m, images, stochastic=False)
+
+        return jax.vmap(member_det)(stacked_variables)
+
+    if jax.dtypes.issubdtype(rng.dtype, jax.dtypes.prng_key):
+        base = rng
+    else:
+        base = jax.random.key(rng[0] ^ (rng[1] << 1), impl="rbg")
+    member_keys = jax.random.split(base, num_members)
+
+    def member_mc(vars_m, key):
+        feats = model.apply(vars_m, images, method=RetinaNet.features)
+        keys = jax.random.split(key, mc_per_member)
+
+        def sample(k):
+            return model.apply(
+                vars_m, feats, stochastic=True, rngs={"dropout": k},
+                method=RetinaNet.predict_heads,
+            )
+
+        return jax.vmap(sample)(keys)
+
+    out = jax.vmap(member_mc)(stacked_variables, member_keys)
+    # [M, mc, B, A, .] -> [M*mc, B, A, .], member-major.
+    return jax.tree_util.tree_map(
+        lambda t: t.reshape(-1, *t.shape[2:]), out
+    )
+
+
 def mc_forward_candidates_det(
     model: RetinaNet,
     variables,

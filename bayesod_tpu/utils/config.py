@@ -120,6 +120,23 @@ class BayesConfig:
     """MC-dropout sampling + BayesOD post-processing knobs (paper §III)."""
 
     num_mc_samples: int = 10
+    # Epistemic-uncertainty source for the sampled estimators (bayes_od /
+    # nms / black_box). The reference supports MC dropout only; deep
+    # ensembles are the standard alternative the paper compares against in
+    # spirit (independent weight sets instead of shared-weight dropout):
+    #   "mc_dropout"  — N dropout passes of ONE weight set (reference
+    #                   semantics; all fused fast paths available)
+    #   "ensemble"    — one deterministic pass per ensemble member; the
+    #                   detect fn then expects variables stacked on a
+    #                   leading member axis (Detector.from_ensemble /
+    #                   models.retinanet.stack_variables). Sample axis
+    #                   S = M members.
+    #   "ensemble_mc" — num_mc_samples dropout passes PER member
+    #                   (S = M * num_mc_samples), composing both sources.
+    # Ensemble modes vmap the FULL network over the member axis (members
+    # have independent backbones, so there is no shared trunk to amortize)
+    # and post-process on the dense route.
+    epistemic: str = "mc_dropout"
     score_threshold: float = 0.5
     pre_cluster_topk: int = 512  # static k kept after score preselect
     # Preselection score source (candidates_fused route only):
