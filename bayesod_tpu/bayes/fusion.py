@@ -15,8 +15,9 @@ independent measurements of one object:
 The reference loops over clusters in host Python; here both fusions are masked
 einsum contractions over the full [D, K] membership matrix — fixed shapes,
 fp32 islands for the 4x4 inverses (SURVEY.md §7 hard part (b)), one XLA
-fusion. Batched 4x4 inverses go through an explicit cofactor solve adjoint to
-`jnp.linalg.inv` being lowered poorly for tiny matrices on TPU.
+fusion. Batched 4x4 inverses use a closed-form blockwise Schur inverse
+(inv4x4_psd) — pure arithmetic that fuses on TPU and survives jax.export,
+where lax.linalg custom calls do not.
 """
 
 from __future__ import annotations
@@ -25,8 +26,6 @@ from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
-import jax.scipy.linalg
-
 from bayesod_tpu.bayes.clustering import Clusters
 
 
@@ -43,18 +42,57 @@ def _sym(m: jnp.ndarray) -> jnp.ndarray:
     return 0.5 * (m + jnp.swapaxes(m, -1, -2))
 
 
-def inv4x4_psd(m: jnp.ndarray, jitter: float = 0.0) -> jnp.ndarray:
-    """Batched fp32 inverse of symmetric PD 4x4 matrices via Cholesky solve.
+def _inv2x2(m: jnp.ndarray) -> jnp.ndarray:
+    """Closed-form batched 2x2 inverse (... x 2 x 2)."""
+    a, b = m[..., 0, 0], m[..., 0, 1]
+    c, d = m[..., 1, 0], m[..., 1, 1]
+    det = a * d - b * c
+    inv_det = 1.0 / det
+    return jnp.stack(
+        [
+            jnp.stack([d * inv_det, -b * inv_det], axis=-1),
+            jnp.stack([-c * inv_det, a * inv_det], axis=-1),
+        ],
+        axis=-2,
+    )
 
-    `jitter` * I is added first; keeps the hot path off lapack-style generic
-    inverses (tiny-matrix lax.linalg lowers to unbatched loops on some
-    backends; cho_solve stays fused and is numerically the right tool for PD
-    precision/covariance matrices).
+
+def inv4x4_psd(m: jnp.ndarray, jitter: float = 0.0) -> jnp.ndarray:
+    """Batched fp32 inverse of symmetric PD 4x4 matrices, CLOSED FORM.
+
+    Blockwise Schur-complement inversion over 2x2 blocks:
+        M = [[A, B], [Bᵀ, D]],  S = D - Bᵀ A⁻¹ B  (PD when M is)
+        M⁻¹ = [[A⁻¹ + A⁻¹B S⁻¹ BᵀA⁻¹,  -A⁻¹B S⁻¹],
+               [-S⁻¹ BᵀA⁻¹,             S⁻¹     ]]
+    with closed-form 2x2 inverses. Pure vectorized arithmetic: no
+    lax.linalg, so (a) XLA fuses the whole thing into neighboring ops on
+    TPU instead of looping an unbatched Cholesky custom call over the
+    batch, and (b) the serving graph exports/deserializes cleanly via
+    jax.export (this build's CPU LAPACK custom calls segfault when
+    executed from a deserialized artifact — infer/export.py).
+
+    `jitter` * I is added first; with PD covariance/precision inputs the
+    2x2 pivots are bounded away from zero, and tests pin parity with a
+    Cholesky-solve oracle to fp32 tolerance.
     """
     m = _sym(m.astype(jnp.float32)) + jitter * jnp.eye(4, dtype=jnp.float32)
-    chol = jnp.linalg.cholesky(m)
-    eye = jnp.broadcast_to(jnp.eye(4, dtype=jnp.float32), m.shape)
-    inv = jax.scipy.linalg.cho_solve((chol, True), eye)
+    a = m[..., :2, :2]
+    b = m[..., :2, 2:]
+    d = m[..., 2:, 2:]
+    a_inv = _inv2x2(a)
+    a_inv_b = a_inv @ b  # [..., 2, 2]
+    s = d - jnp.swapaxes(b, -1, -2) @ a_inv_b  # Schur complement
+    s_inv = _inv2x2(s)
+    top_right = -(a_inv_b @ s_inv)
+    top_left = a_inv + a_inv_b @ s_inv @ jnp.swapaxes(a_inv_b, -1, -2)
+    bottom_left = jnp.swapaxes(top_right, -1, -2)
+    inv = jnp.concatenate(
+        [
+            jnp.concatenate([top_left, top_right], axis=-1),
+            jnp.concatenate([bottom_left, s_inv], axis=-1),
+        ],
+        axis=-2,
+    )
     return _sym(inv)
 
 

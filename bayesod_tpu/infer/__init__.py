@@ -6,5 +6,13 @@ from bayesod_tpu.infer.detector import (
     build_detect_fn,
     jit_detect_fn,
 )
+from bayesod_tpu.infer.export import ServingArtifact, export_serving_artifact
 
-__all__ = ["Detections", "Detector", "build_detect_fn", "jit_detect_fn"]
+__all__ = [
+    "Detections",
+    "Detector",
+    "ServingArtifact",
+    "build_detect_fn",
+    "export_serving_artifact",
+    "jit_detect_fn",
+]

@@ -140,6 +140,16 @@ def test_inv4x4_psd():
     np.testing.assert_allclose(
         inv @ spd, np.broadcast_to(np.eye(4), (10, 4, 4)), atol=1e-4
     )
+    # Parity with a Cholesky-solve oracle (the pre-closed-form impl) in
+    # fp64, including ill-conditioned covariances (tiny aleatoric vars on
+    # one coordinate, like a confident near-degenerate box posterior).
+    cond = spd.copy()
+    cond[:, 0, 0] *= 1e-3
+    cond = cond @ cond.transpose(0, 2, 1) + 1e-4 * np.eye(4, dtype=np.float32)
+    for m in (spd, cond):
+        oracle = np.linalg.inv(m.astype(np.float64))
+        got = np.asarray(inv4x4_psd(jnp.asarray(m)))
+        np.testing.assert_allclose(got, oracle, rtol=2e-3, atol=1e-4)
 
 
 def test_gaussian_fusion_two_measurement_closed_form():
