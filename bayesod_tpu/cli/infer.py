@@ -57,6 +57,16 @@ def main(argv=None) -> None:
         help="also render the first images' detections (boxes + covariance "
         "ellipses) into a grid PNG",
     )
+    p.add_argument(
+        "--export_artifact", default=None, metavar="ZIP",
+        help="instead of running inference, serialize the whole detect "
+        "graph (weights baked in) as a StableHLO serving artifact "
+        "(infer/export.py; load with ServingArtifact.load)",
+    )
+    p.add_argument(
+        "--artifact_batch", type=int, default=1,
+        help="static batch size compiled into --export_artifact",
+    )
     p.add_argument("overrides", nargs="*")
     args = p.parse_args(argv)
 
@@ -122,6 +132,19 @@ def main(argv=None) -> None:
             f"quantized serving: backbone={cfg.model.backbone_dtype} "
             f"fpn={cfg.model.fpn_dtype} trunks={cfg.model.head_trunk_dtype}"
         )
+
+    if args.export_artifact:
+        from bayesod_tpu.infer.export import export_serving_artifact
+
+        export_serving_artifact(
+            cfg, variables, args.export_artifact,
+            batch_size=args.artifact_batch,
+        )
+        print(
+            f"wrote serving artifact (batch {args.artifact_batch}, "
+            f"platform {jax.default_backend()}) -> {args.export_artifact}"
+        )
+        return
 
     out_path = args.out or f"data/outputs/{cfg.name}/detections_{args.split}.jsonl"
     records = run_inference(

@@ -128,3 +128,36 @@ def test_infer_quantized(tmp_path):
     with open(det_path) as f:
         recs = [json.loads(l) for l in f]
     assert len(recs) == 2
+
+
+@pytest.mark.slow
+def test_infer_export_artifact(tmp_path):
+    """--export_artifact writes a loadable serving bundle instead of
+    running inference (infer/export.py)."""
+    cfg_path = os.path.join(REPO, "configs", "tiny_synthetic.yaml")
+    art = tmp_path / "tiny_serving.zip"
+    r = run_cli(
+        "bayesod_tpu.cli.infer",
+        "--yaml_path", cfg_path,
+        "--allow_random",
+        "--export_artifact", str(art),
+        cwd=str(tmp_path),
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "wrote serving artifact" in r.stdout
+    assert art.exists()
+
+    import numpy as np
+
+    import jax
+
+    from bayesod_tpu.infer import ServingArtifact
+    from bayesod_tpu.utils.config import load_config
+
+    cfg = load_config(cfg_path)
+    loaded = ServingArtifact.load(str(art))
+    out = loaded(
+        np.zeros((1, *cfg.data.image_hw, 3), np.uint8),
+        jax.numpy.asarray([1, 2], jax.numpy.uint32),
+    )
+    assert np.isfinite(out["boxes"]).all()
