@@ -337,30 +337,31 @@ def build_detect_fn(
             probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
             deltas, log_vars = deltas[None], log_vars[None]  # N=1 sample axis
         elif ensemble:
-            from bayesod_tpu.models.retinanet import ensemble_forward
-
-            logits, deltas, log_vars = ensemble_forward(
-                model, variables, images, rng,
-                mc_per_member=(
-                    n_mc if cfg.bayes.epistemic == "ensemble_mc" else 0
-                ),
-            )
-            probs = jnp.mean(
-                jax.nn.softmax(logits.astype(jnp.float32), axis=-1), axis=0
+            mc_per_member = (
+                n_mc if cfg.bayes.epistemic == "ensemble_mc" else 0
             )
             if mesh is not None:
-                from jax.sharding import NamedSharding, PartitionSpec
+                # Member-parallel serving: each device runs its member
+                # shard's full forwards under shard_map (one psum for the
+                # mean softmax). NOT GSPMD sharding constraints — letting
+                # GSPMD partition the vmapped-over-weights graph miscompiles
+                # the FPN top-down chain (ensemble_forward_sp docstring).
+                from bayesod_tpu.models.retinanet import ensemble_forward_sp
 
-                mc = mesh_cfg
-                sample_nb = NamedSharding(
-                    mesh, PartitionSpec(mc.sample_axis, mc.data_axis)
+                probs, deltas, log_vars = ensemble_forward_sp(
+                    model, variables, images, rng, mc_per_member,
+                    mesh, mesh_cfg.data_axis, mesh_cfg.sample_axis,
                 )
-                deltas = jax.lax.with_sharding_constraint(deltas, sample_nb)
-                log_vars = jax.lax.with_sharding_constraint(
-                    log_vars, sample_nb
+            else:
+                from bayesod_tpu.models.retinanet import ensemble_forward
+
+                logits, deltas, log_vars = ensemble_forward(
+                    model, variables, images, rng,
+                    mc_per_member=mc_per_member,
                 )
-                probs = jax.lax.with_sharding_constraint(
-                    probs, NamedSharding(mesh, PartitionSpec(mc.data_axis))
+                probs = jnp.mean(
+                    jax.nn.softmax(logits.astype(jnp.float32), axis=-1),
+                    axis=0,
                 )
         elif mesh is None and _reg_route(cfg, images, model.anchors_per_cell) == "stats":
             # In-kernel moment accumulation on both heads: no per-sample

@@ -711,18 +711,42 @@ def ensemble_forward(
     set per launch and are not vmappable over parameters.
     """
     num_members = jax.tree_util.tree_leaves(stacked_variables)[0].shape[0]
+    member_keys = (
+        None
+        if mc_per_member <= 0
+        else jax.random.split(_ensemble_base_key(rng), num_members)
+    )
+    return _member_samples(
+        model, stacked_variables, images, member_keys, mc_per_member
+    )
+
+
+def _ensemble_base_key(rng: jax.Array) -> jax.Array:
+    """Ensemble dropout keys use THREEFRY, not the rbg hardware RNG:
+    rbg bit streams are partitioning-dependent (measured: same key, same
+    shape, different bits inside shard_map), which would break
+    sharded == unsharded parity for ensemble_mc. Mask generation is
+    negligible next to M full member forwards, so threefry's VPU cost is
+    irrelevant here (unlike mc_forward's N-sample mask volume)."""
+    if jax.dtypes.issubdtype(rng.dtype, jax.dtypes.prng_key):
+        return rng
+    return jax.random.key(rng[0] ^ (rng[1] << 1), impl="threefry2x32")
+
+
+def _member_samples(
+    model: RetinaNet, stacked_variables, images, member_keys, mc_per_member
+):
+    """[S, B, A, .] member-major samples for a (possibly local) member stack.
+
+    member_keys: typed key array aligned with the stack's member axis
+    (ignored when mc_per_member <= 0).
+    """
     if mc_per_member <= 0:
 
         def member_det(vars_m):
             return model.apply(vars_m, images, stochastic=False)
 
         return jax.vmap(member_det)(stacked_variables)
-
-    if jax.dtypes.issubdtype(rng.dtype, jax.dtypes.prng_key):
-        base = rng
-    else:
-        base = jax.random.key(rng[0] ^ (rng[1] << 1), impl="rbg")
-    member_keys = jax.random.split(base, num_members)
 
     def member_mc(vars_m, key):
         feats = model.apply(vars_m, images, method=RetinaNet.features)
@@ -741,6 +765,91 @@ def ensemble_forward(
     return jax.tree_util.tree_map(
         lambda t: t.reshape(-1, *t.shape[2:]), out
     )
+
+
+def ensemble_forward_sp(
+    model: RetinaNet,
+    stacked_variables,
+    images: jnp.ndarray,
+    rng: jax.Array,
+    mc_per_member: int,
+    mesh,
+    data_axis: str,
+    sample_axis: str,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Member-parallel ensemble forward under shard_map.
+
+    Weights AND compute stay local: each device runs plain single-chip
+    forwards for its M/sp members on its B/dp images; the only collective
+    is one psum for the mean softmax. GSPMD is deliberately out of the
+    loop — letting it partition the vmapped-over-weights graph measurably
+    MISCOMPILES the FPN top-down chain on the CPU backend (P3-P5 diverge
+    by O(feature magnitude) while P6/P7 stay exact; DESIGN.md dead ends),
+    and shard_map is the faster layout anyway (no resharding decisions).
+
+    Per-member dropout keys are split OUTSIDE the shard_map from the
+    global member index, so streams are placement-independent across the
+    MEMBER axis: on a pure member-parallel mesh (data_parallel=1) every
+    (member, sample) mask is bit-identical to the unsharded graph
+    (test-pinned). Sharding the batch axis too (dp>1) re-blocks the flax
+    dropout draws within each image's activations — still i.i.d. Bernoulli
+    at the same rate (distributionally identical posterior), but not
+    bit-equal to the unsharded draw. mc_per_member=0 ("ensemble") has no
+    dropout and is bit-tight on any dp x sp mesh.
+
+    Returns (probs [B,A,C+1] fp32 mean softmax over ALL S samples,
+    deltas [S,B,A,4], log_vars [S,B,A,4]), laid out with the member/sample
+    axis on `sample_axis` and the batch axis on `data_axis`.
+    """
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    num_members = jax.tree_util.tree_leaves(stacked_variables)[0].shape[0]
+    sp = mesh.shape[sample_axis]
+    dp = mesh.shape[data_axis]
+    if num_members % sp or images.shape[0] % dp:
+        raise ValueError(
+            f"ensemble mesh serving needs members ({num_members}) divisible "
+            f"by sample_parallel ({sp}) and batch ({images.shape[0]}) by "
+            f"data_parallel ({dp})"
+        )
+    total_s = num_members * max(1, mc_per_member)
+
+    if mc_per_member > 0:
+        base = _ensemble_base_key(rng)
+        impl = jax.random.key_impl(base)
+        keys_data = jax.random.key_data(jax.random.split(base, num_members))
+    else:
+        impl = None
+        keys_data = jnp.zeros((num_members, 1), jnp.uint32)
+
+    def body(v_loc, im_loc, kd_loc):
+        keys_loc = (
+            jax.random.wrap_key_data(kd_loc, impl=impl)
+            if mc_per_member > 0
+            else None
+        )
+        logits, deltas, log_vars = _member_samples(
+            model, v_loc, im_loc, keys_loc, mc_per_member
+        )
+        part = (
+            jnp.sum(jax.nn.softmax(logits.astype(jnp.float32), axis=-1), axis=0)
+            / total_s
+        )
+        probs = jax.lax.psum(part, sample_axis)
+        return probs, deltas, log_vars
+
+    return shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(P(sample_axis), P(data_axis), P(sample_axis)),
+        out_specs=(
+            P(data_axis),
+            P(sample_axis, data_axis),
+            P(sample_axis, data_axis),
+        ),
+        check_vma=False,
+    )(stacked_variables, images, keys_data)
 
 
 def mc_forward_candidates_det(

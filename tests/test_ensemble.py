@@ -215,3 +215,100 @@ class TestDetectorFromEnsemble:
         det = Detector.from_ensemble(cfg, members=2)
         with pytest.raises(ValueError, match="ONE weight set"):
             det.quantized([np.zeros((64, 64, 3), np.uint8)])
+
+
+class TestEnsembleMeshServing:
+    def test_member_parallel_matches_unsharded(self, three_members, cpu_devices):
+        """Member-parallel serving: shard the stacked member-weights axis
+        over the mesh's `sample` axis — each device runs its members' full
+        forwards (weights AND compute local), GSPMD inserts only the final
+        mean-softmax / moment collectives. Must match the unsharded
+        ensemble bit-for-bit up to reduction order."""
+        from bayesod_tpu.parallel import mesh as mesh_lib
+        from bayesod_tpu.utils.config import MeshConfig
+
+        cfg, model, trees = three_members
+        # 4 members so the member axis splits evenly over sample_parallel=4.
+        trees4 = trees + [trees[0]]
+        stacked = stack_variables(trees4)
+        images = jax.random.uniform(jax.random.PRNGKey(3), (2, 128, 128, 3))
+        rng = jax.random.PRNGKey(1)
+        base = jax.jit(build_detect_fn(cfg, model))(stacked, images, rng)
+
+        mesh_cfg = MeshConfig(data_parallel=2, sample_parallel=4)
+        mesh = mesh_lib.make_mesh(mesh_cfg)
+        member_sharding = mesh_lib.sample_sharding(mesh, mesh_cfg)
+        detect = jax.jit(
+            build_detect_fn(cfg, model, mesh=mesh, mesh_cfg=mesh_cfg),
+            in_shardings=(
+                member_sharding,
+                mesh_lib.batch_sharding(mesh, mesh_cfg),
+                mesh_lib.replicated(mesh),
+            ),
+        )
+        out = detect(
+            jax.device_put(stacked, member_sharding), images, rng
+        )
+        np.testing.assert_array_equal(
+            np.asarray(out.valid), np.asarray(base.valid)
+        )
+        np.testing.assert_allclose(
+            np.asarray(out.boxes), np.asarray(base.boxes), atol=1e-3, rtol=1e-4
+        )
+        np.testing.assert_allclose(
+            np.asarray(out.probs), np.asarray(base.probs), atol=1e-5
+        )
+
+    def test_member_parallel_ensemble_mc(self, three_members, cpu_devices):
+        """ensemble_mc under a PURE member-parallel mesh (dp=1): dropout
+        keys are split from GLOBAL member indices outside the shard_map
+        and each device sees the full batch, so every (member, sample)
+        mask stream is placement-independent — sharded == unsharded.
+        (dp>1 shards the batch axis, which re-blocks the flax dropout
+        draws within an image: distributionally identical but not
+        bit-equal — ensemble_forward_sp docstring.)"""
+        from bayesod_tpu.parallel import mesh as mesh_lib
+        from bayesod_tpu.utils.config import MeshConfig
+
+        cfg, model, trees = three_members
+        cfg_mc = ens_config(epistemic="ensemble_mc")
+        trees8 = [trees[i % 3] for i in range(8)]
+        stacked = stack_variables(trees8)
+        images = jax.random.uniform(jax.random.PRNGKey(3), (2, 128, 128, 3))
+        rng = jax.random.PRNGKey(1)
+        base = jax.jit(build_detect_fn(cfg_mc, model))(stacked, images, rng)
+
+        mesh_cfg = MeshConfig(data_parallel=1, sample_parallel=8)
+        mesh = mesh_lib.make_mesh(mesh_cfg)
+        member_sharding = mesh_lib.sample_sharding(mesh, mesh_cfg)
+        detect = jax.jit(
+            build_detect_fn(cfg_mc, model, mesh=mesh, mesh_cfg=mesh_cfg),
+            in_shardings=(
+                member_sharding,
+                mesh_lib.batch_sharding(mesh, mesh_cfg),
+                mesh_lib.replicated(mesh),
+            ),
+        )
+        out = detect(jax.device_put(stacked, member_sharding), images, rng)
+        np.testing.assert_array_equal(
+            np.asarray(out.valid), np.asarray(base.valid)
+        )
+        np.testing.assert_allclose(
+            np.asarray(out.boxes), np.asarray(base.boxes), atol=1e-3, rtol=1e-4
+        )
+        np.testing.assert_allclose(
+            np.asarray(out.probs), np.asarray(base.probs), atol=1e-5
+        )
+
+    def test_member_mesh_divisibility_guard(self, three_members, cpu_devices):
+        from bayesod_tpu.parallel import mesh as mesh_lib
+        from bayesod_tpu.utils.config import MeshConfig
+
+        cfg, model, trees = three_members
+        stacked = stack_variables(trees)  # 3 members, sp=4 -> indivisible
+        mesh_cfg = MeshConfig(data_parallel=2, sample_parallel=4)
+        mesh = mesh_lib.make_mesh(mesh_cfg)
+        detect = build_detect_fn(cfg, model, mesh=mesh, mesh_cfg=mesh_cfg)
+        images = jnp.ones((2, 128, 128, 3), jnp.float32)
+        with pytest.raises(ValueError, match="divisible"):
+            detect(stacked, images, jax.random.PRNGKey(1))
