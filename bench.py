@@ -146,6 +146,11 @@ def main() -> None:
         choices=["auto", "dense", "stats", "candidates", "candidates_fused"],
         help="regression-final execution strategy",
     )
+    p.add_argument(
+        "--ensemble", type=int, default=0, metavar="M",
+        help="bench the deep-ensemble estimator: M random members, one "
+        "deterministic pass each (bayes.epistemic='ensemble'; dense route)",
+    )
     args = p.parse_args()
 
     if args.loader:
@@ -196,9 +201,15 @@ def main() -> None:
         bayes=BayesConfig(
             num_mc_samples=args.samples, mode=args.mode,
             preselect_source=args.preselect,
+            epistemic="ensemble" if args.ensemble else "mc_dropout",
         ),
         data=DataConfig(dataset="synthetic", image_hw=image_hw),
     )
+    if args.ensemble and "int8_resident" in (
+        args.backbone_dtype, args.trunk_dtype, args.fpn_dtype
+    ):
+        raise SystemExit("--ensemble and int8_resident are exclusive "
+                         "(calibration assumes one weight set)")
 
     dev = jax.devices()[0]
     print(f"[bench] device: {dev.device_kind} ({dev.platform})", file=sys.stderr)
@@ -256,6 +267,14 @@ def main() -> None:
         # test_param_tree_identical) — reuse the calibration init instead
         # of paying a second full-model init over the tunnel.
         model = RetinaNet(cfg=cfg.model, train=False)
+    elif args.ensemble:
+        from bayesod_tpu.models.retinanet import stack_variables
+
+        model = RetinaNet(cfg=cfg.model, train=False)
+        variables = stack_variables([
+            init_variables(model, jax.random.PRNGKey(i), image_hw)
+            for i in range(args.ensemble)
+        ])
     else:
         model = RetinaNet(cfg=cfg.model, train=False)
         variables = init_variables(model, jax.random.PRNGKey(0), image_hw)
