@@ -29,6 +29,10 @@ def main(argv=None) -> None:
         help="run with random-init weights when no checkpoint exists",
     )
     p.add_argument(
+        "--ema", action="store_true",
+        help="serve the EMA-smoothed weights (train.ema_decay > 0 runs)",
+    )
+    p.add_argument(
         "--kitti_results_dir", default=None,
         help="also dump detections in official KITTI results txt format",
     )
@@ -96,7 +100,7 @@ def main(argv=None) -> None:
                 f"no checkpoint under {ckpt_dir} (use --allow_random for smoke runs)"
             )
         state = template
-    variables = state.variables()
+    variables = state.variables(use_ema=args.ema)
 
     _dataset_cache = {}
 

@@ -73,8 +73,13 @@ class Detector:
         yaml_path_or_cfg: Union[str, ExperimentConfig],
         checkpoint_dir: Optional[str] = None,
         batch_size: int = 1,
+        use_ema: bool = False,
     ) -> "Detector":
-        """Restore the latest Orbax checkpoint (SURVEY.md §5.4 restore flow)."""
+        """Restore the latest Orbax checkpoint (SURVEY.md §5.4 restore flow).
+
+        use_ema serves the EMA-smoothed weights instead of the raw params
+        (requires the run to have trained with TrainConfig.ema_decay > 0).
+        """
         cfg = _load(yaml_path_or_cfg)
         from bayesod_tpu.train import CheckpointManager, create_train_state
 
@@ -91,7 +96,7 @@ class Detector:
             raise FileNotFoundError(
                 f"no checkpoint found under {mgr.directory}"
             )
-        return cls(cfg, state.variables(), batch_size)
+        return cls(cfg, state.variables(use_ema=use_ema), batch_size)
 
     @classmethod
     def from_ensemble(

@@ -22,9 +22,16 @@ class TrainState(flax.struct.PyTreeNode):
     batch_stats: Any  # empty dict when norm != batchnorm
     opt_state: optax.OptState
     rng: jax.Array  # carried PRNG key (dropout + augmentation)
+    # EMA of params (TrainConfig.ema_decay > 0); empty dict when off so the
+    # treedef stays fixed for sharding maps and Orbax templates.
+    ema_params: Any = flax.struct.field(default_factory=dict)
 
-    def variables(self) -> Dict[str, Any]:
-        v = {"params": self.params}
+    def variables(self, use_ema: bool = False) -> Dict[str, Any]:
+        if use_ema and not self.ema_params:
+            raise ValueError(
+                "state carries no EMA params (train with ema_decay > 0)"
+            )
+        v = {"params": self.ema_params if use_ema else self.params}
         if self.batch_stats:
             v["batch_stats"] = self.batch_stats
         return v
@@ -81,4 +88,9 @@ def create_train_state(model, train_cfg, rng, image_hw, batch: int = 1) -> Train
         batch_stats=batch_stats,
         opt_state=opt.init(params),
         rng=carry_rng,
+        ema_params=(
+            jax.tree_util.tree_map(jnp.copy, params)
+            if getattr(train_cfg, "ema_decay", 0.0) > 0
+            else {}
+        ),
     )

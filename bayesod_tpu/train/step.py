@@ -130,12 +130,23 @@ def build_train_step(cfg: ExperimentConfig, anchors: jnp.ndarray, model=None):
                 for g in jax.tree_util.tree_leaves(grads)
             )
         )
+        new_ema = state.ema_params
+        if tc.ema_decay > 0:
+            d = jnp.float32(tc.ema_decay)
+            new_ema = jax.tree_util.tree_map(
+                lambda e, p: (d * e.astype(jnp.float32)
+                              + (1.0 - d) * p.astype(jnp.float32)
+                              ).astype(e.dtype),
+                state.ema_params,
+                new_params,
+            )
         new_state = state.replace(
             step=state.step + 1,
             params=new_params,
             batch_stats=new_stats,
             opt_state=new_opt_state,
             rng=rng,
+            ema_params=new_ema,
         )
         return new_state, metrics
 

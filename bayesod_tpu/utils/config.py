@@ -245,6 +245,12 @@ class TrainConfig:
     # HBM-bound (DESIGN.md §8 training roofline), so this moves the floor;
     # measured effect documented there.
     remat: str = "none"
+    # Exponential moving average of the weights (0 = off). With decay d the
+    # state carries ema_params updated as e <- d*e + (1-d)*p every step
+    # (initialized AT the init params, no debias term); checkpoints include
+    # them, and Detector.from_checkpoint(..., use_ema=True) serves them.
+    # Standard production-serving smoother; the reference has no equivalent.
+    ema_decay: float = 0.0
     checkpoint_every: int = 2500
     checkpoint_dir: str = "data/outputs/default/checkpoints"
     log_every: int = 100

@@ -225,3 +225,86 @@ class TestCheckpoint:
         mgr = CheckpointManager(str(tmp_path / "empty"), async_save=False)
         assert mgr.restore(state) is None
         mgr.close()
+
+
+class TestEMA:
+    """TrainConfig.ema_decay: e <- d*e + (1-d)*p each step, initialized AT
+    the init params; checkpoints carry it; variables(use_ema=True) serves it."""
+
+    def _setup(self, decay):
+        import dataclasses
+
+        cfg = tiny_cfg()
+        cfg = dataclasses.replace(
+            cfg, train=dataclasses.replace(cfg.train, ema_decay=decay)
+        )
+        model = RetinaNet(cfg=cfg.model, train=True)
+        anchors = anchor_ops.generate_anchors(cfg.data.image_hw, cfg.anchors)
+        state = create_train_state(
+            model, cfg.train, jax.random.PRNGKey(0), cfg.data.image_hw
+        )
+        return cfg, model, anchors, state
+
+    def test_ema_matches_reference_recursion(self):
+        cfg, model, anchors, state = self._setup(decay=0.9)
+        step_fn = jax.jit(build_train_step(cfg, anchors, model))
+        batch = make_batch(cfg)
+        # Host-side oracle of the same recursion.
+        ema = jax.tree_util.tree_map(
+            lambda p: np.asarray(p, np.float64), state.params
+        )
+        for _ in range(3):
+            state, _ = step_fn(state, batch)
+            ema = jax.tree_util.tree_map(
+                lambda e, p: 0.9 * e + 0.1 * np.asarray(p, np.float64),
+                ema, state.params,
+            )
+        for a, b in zip(
+            jax.tree_util.tree_leaves(state.ema_params),
+            jax.tree_util.tree_leaves(ema),
+        ):
+            np.testing.assert_allclose(np.asarray(a), b, rtol=1e-5, atol=1e-6)
+        # EMA lags the raw params (decay 0.9 over 3 steps).
+        diffs = [
+            float(np.abs(np.asarray(e) - np.asarray(p)).max())
+            for e, p in zip(
+                jax.tree_util.tree_leaves(state.ema_params),
+                jax.tree_util.tree_leaves(state.params),
+            )
+        ]
+        assert max(diffs) > 0.0
+
+    def test_ema_off_keeps_empty_tree(self):
+        cfg, model, anchors, state = self._setup(decay=0.0)
+        assert state.ema_params == {}
+        step_fn = jax.jit(build_train_step(cfg, anchors, model))
+        state, _ = step_fn(state, make_batch(cfg))
+        assert state.ema_params == {}
+        with pytest.raises(ValueError, match="no EMA params"):
+            state.variables(use_ema=True)
+
+    def test_ema_checkpoint_roundtrip_and_serving(self, tmp_path):
+        from bayesod_tpu.train import CheckpointManager
+
+        cfg, model, anchors, state = self._setup(decay=0.5)
+        step_fn = jax.jit(build_train_step(cfg, anchors, model))
+        state, _ = step_fn(state, make_batch(cfg))
+        mgr = CheckpointManager(str(tmp_path / "ckpt"), async_save=False)
+        mgr.save(state)
+        mgr.wait()
+        template = create_train_state(
+            model, cfg.train, jax.random.PRNGKey(1), cfg.data.image_hw
+        )
+        restored = mgr.restore(template)
+        mgr.close()
+        for a, b in zip(
+            jax.tree_util.tree_leaves(state.ema_params),
+            jax.tree_util.tree_leaves(restored.ema_params),
+        ):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-7)
+        v = restored.variables(use_ema=True)
+        for a, b in zip(
+            jax.tree_util.tree_leaves(v["params"]),
+            jax.tree_util.tree_leaves(restored.ema_params),
+        ):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
