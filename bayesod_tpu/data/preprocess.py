@@ -131,3 +131,52 @@ def random_flip_batch(
     boxes = jnp.where(flip[:, None, None], flipped_boxes, gt_boxes)
     boxes = jnp.where(gt_valid[..., None], boxes, 0.0)
     return flipped_imgs, boxes
+
+
+def photometric_jitter_batch(
+    rng: jax.Array,
+    images: jnp.ndarray,
+    brightness: float = 32.0,
+    contrast: float = 0.5,
+    saturation: float = 0.5,
+) -> jnp.ndarray:
+    """Per-image photometric augmentation, fixed-shape, inside the train jit.
+
+    SSD-style brightness / contrast / saturation jitter — a standard
+    detection-training augmentation the reference lacks (its pipeline flips
+    only; SURVEY.md §2 dataset handlers). Purely photometric: GT boxes are
+    untouched. Runs on the raw 0..255 scale BEFORE normalize_images so the
+    whole thing fuses into the train step's elementwise preamble.
+
+      brightness: additive delta ~ U(-brightness, +brightness) (pixel units)
+      contrast:   x <- mu_img + f*(x - mu_img),  f ~ U(1-c, 1+c)
+      saturation: x <- luma  + f*(x - luma),     f ~ U(1-s, 1+s)
+
+    images [B,H,W,3] uint8 or float (0..255). Returns float32 clipped to
+    [0, 255].
+    """
+    b = images.shape[0]
+    kb, kc, ks = jax.random.split(rng, 3)
+    x = images.astype(jnp.float32)
+
+    delta = jax.random.uniform(
+        kb, (b, 1, 1, 1), minval=-brightness, maxval=brightness
+    )
+    x = x + delta
+
+    f_c = jax.random.uniform(
+        kc, (b, 1, 1, 1), minval=1.0 - contrast, maxval=1.0 + contrast
+    )
+    mu = jnp.mean(x, axis=(1, 2, 3), keepdims=True)
+    x = mu + f_c * (x - mu)
+
+    f_s = jax.random.uniform(
+        ks, (b, 1, 1, 1), minval=1.0 - saturation, maxval=1.0 + saturation
+    )
+    luma = jnp.sum(
+        x * jnp.asarray([0.299, 0.587, 0.114], jnp.float32), axis=-1,
+        keepdims=True,
+    )
+    x = luma + f_s * (x - luma)
+
+    return jnp.clip(x, 0.0, 255.0)

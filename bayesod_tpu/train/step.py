@@ -23,7 +23,11 @@ import jax
 import jax.numpy as jnp
 import optax
 
-from bayesod_tpu.data.preprocess import normalize_images, random_flip_batch
+from bayesod_tpu.data.preprocess import (
+    normalize_images,
+    photometric_jitter_batch,
+    random_flip_batch,
+)
 from bayesod_tpu.losses import assign_targets, detection_loss
 from bayesod_tpu.models.retinanet import RetinaNet
 from bayesod_tpu.train.state import TrainState, make_optimizer
@@ -96,7 +100,7 @@ def build_train_step(cfg: ExperimentConfig, anchors: jnp.ndarray, model=None):
     def train_step(
         state: TrainState, batch: Dict[str, jnp.ndarray]
     ) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
-        rng, flip_rng, dropout_rng = jax.random.split(state.rng, 3)
+        rng, flip_rng, photo_rng, dropout_rng = jax.random.split(state.rng, 4)
 
         images = batch["image"]
         gt_boxes = batch["gt_boxes"]
@@ -104,6 +108,8 @@ def build_train_step(cfg: ExperimentConfig, anchors: jnp.ndarray, model=None):
             images, gt_boxes = random_flip_batch(
                 flip_rng, images, gt_boxes, batch["gt_valid"]
             )
+        if cfg.data.augment_photometric:
+            images = photometric_jitter_batch(photo_rng, images)
         images = normalize_images(images, cfg.data.mean, cfg.data.std)
         targets = assign(anchors, gt_boxes, batch["gt_classes"], batch["gt_valid"])
 

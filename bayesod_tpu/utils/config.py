@@ -206,6 +206,10 @@ class DataConfig:
     # rate from epoch 2. Off by default (real datasets can exceed RAM).
     cache_examples: bool = False
     augment_flip: bool = True
+    # SSD-style brightness/contrast/saturation jitter inside the train jit
+    # (data/preprocess.photometric_jitter_batch; boxes untouched). The
+    # reference augments with flips only — off by default for parity.
+    augment_photometric: bool = False
     mean: Tuple[float, float, float] = (0.485, 0.456, 0.406)
     std: Tuple[float, float, float] = (0.229, 0.224, 0.225)
 

@@ -242,6 +242,57 @@ class TestPreprocess:
         flipped = [bool(jnp.any(fb[i, 0] != boxes[i, 0])) for i in range(4)]
         assert any(flipped)
 
+    def test_photometric_jitter(self):
+        from bayesod_tpu.data.preprocess import photometric_jitter_batch
+
+        rng = jax.random.PRNGKey(3)
+        img = jnp.asarray(
+            np.random.default_rng(0).integers(0, 256, (4, 8, 8, 3), np.uint8)
+        )
+        out = photometric_jitter_batch(rng, img)
+        out_np = np.asarray(out)
+        # bounds + dtype
+        assert out.dtype == jnp.float32
+        assert out_np.min() >= 0.0 and out_np.max() <= 255.0
+        # actually perturbs, and per-image factors differ
+        d = np.abs(out_np - np.asarray(img, np.float32)).mean(axis=(1, 2, 3))
+        assert (d > 0).all()
+        assert np.std(d) > 0
+        # deterministic in the key
+        out2 = photometric_jitter_batch(rng, img)
+        np.testing.assert_array_equal(out_np, np.asarray(out2))
+        # identity at zero strengths
+        ident = photometric_jitter_batch(
+            rng, img, brightness=0.0, contrast=0.0, saturation=0.0
+        )
+        np.testing.assert_allclose(
+            np.asarray(ident), np.asarray(img, np.float32), atol=1e-3
+        )
+
+    def test_photometric_in_train_step(self):
+        """augment_photometric=True runs inside the jit train step and leaves
+        GT semantics alone (loss finite, state advances)."""
+        import dataclasses
+
+        from bayesod_tpu.models.retinanet import RetinaNet
+        from bayesod_tpu.ops import anchors as anchor_ops
+        from bayesod_tpu.train import build_train_step, create_train_state
+        from tests.test_train import make_batch, tiny_cfg
+
+        cfg = tiny_cfg()
+        cfg = dataclasses.replace(
+            cfg, data=dataclasses.replace(cfg.data, augment_photometric=True)
+        )
+        model = RetinaNet(cfg=cfg.model, train=True)
+        anchors = anchor_ops.generate_anchors(cfg.data.image_hw, cfg.anchors)
+        state = create_train_state(
+            model, cfg.train, jax.random.PRNGKey(0), cfg.data.image_hw
+        )
+        step = jax.jit(build_train_step(cfg, anchors, model))
+        state, metrics = step(state, make_batch(cfg))
+        assert np.isfinite(float(metrics["loss"]))
+        assert int(state.step) == 1
+
 
 class TestLoaderAndSynthetic:
     def test_synthetic_deterministic(self):
