@@ -180,3 +180,63 @@ def photometric_jitter_batch(
     x = luma + f_s * (x - luma)
 
     return jnp.clip(x, 0.0, 255.0)
+
+
+def random_scale_jitter_batch(
+    rng: jax.Array,
+    images: jnp.ndarray,
+    gt_boxes: jnp.ndarray,
+    gt_valid: jnp.ndarray,
+    min_scale: float = 0.8,
+    max_scale: float = 1.2,
+    min_visible: float = 8.0,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Per-image random zoom (in or out) at FIXED canvas shape, inside jit.
+
+    The TPU-shaped form of scale augmentation: `jax.image.scale_and_translate`
+    takes the scale/translation as TRACED floats while the output shape stays
+    static, so one compiled graph covers the whole scale range — no
+    dynamic-shape resize, no host round-trip. Zoom-out pads with zeros (the
+    canvas padding color); zoom-in crops. The placement of the scaled image
+    is uniform over the valid offset range.
+
+    images [B,H,W,C] uint8/float -> float32; gt_boxes [B,G,4] corners map
+    affinely (b' = f*b + t) and are clipped to the canvas; boxes left with
+    less than `min_visible` pixels of width or height are invalidated (and
+    zeroed, matching the loader's padding convention).
+
+    Returns (images float32, gt_boxes, gt_valid).
+    """
+    b, h, w = images.shape[0], images.shape[1], images.shape[2]
+    kf, kx, ky = jax.random.split(rng, 3)
+    f = jax.random.uniform(kf, (b,), minval=min_scale, maxval=max_scale)
+    # Valid offset range keeps the scaled image covering as much canvas as
+    # possible: [0, W - fW] when zooming out (place the small image inside),
+    # [W - fW, 0] when zooming in (crop a window of the big image).
+    ux = jax.random.uniform(kx, (b,))
+    uy = jax.random.uniform(ky, (b,))
+    tx = ux * (w - f * w)  # (w - fw) flips sign with f, so does the range
+    ty = uy * (h - f * h)
+    x = images.astype(jnp.float32)
+
+    def per_image(img, fi, txi, tyi):
+        return jax.image.scale_and_translate(
+            img, (h, w, img.shape[-1]), (0, 1),
+            jnp.stack([fi, fi]), jnp.stack([tyi, txi]),
+            method="linear",
+        )
+
+    out = jax.vmap(per_image)(x, f, tx, ty)
+
+    fb = f[:, None, None]
+    shift = jnp.stack([tx, ty, tx, ty], axis=-1)[:, None, :]
+    boxes = gt_boxes * fb + shift
+    x1 = jnp.clip(boxes[..., 0], 0.0, float(w))
+    y1 = jnp.clip(boxes[..., 1], 0.0, float(h))
+    x2 = jnp.clip(boxes[..., 2], 0.0, float(w))
+    y2 = jnp.clip(boxes[..., 3], 0.0, float(h))
+    boxes = jnp.stack([x1, y1, x2, y2], axis=-1)
+    visible = ((x2 - x1) >= min_visible) & ((y2 - y1) >= min_visible)
+    valid = gt_valid & visible
+    boxes = jnp.where(valid[..., None], boxes, 0.0)
+    return out, boxes, valid

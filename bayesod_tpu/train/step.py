@@ -27,6 +27,7 @@ from bayesod_tpu.data.preprocess import (
     normalize_images,
     photometric_jitter_batch,
     random_flip_batch,
+    random_scale_jitter_batch,
 )
 from bayesod_tpu.losses import assign_targets, detection_loss
 from bayesod_tpu.models.retinanet import RetinaNet
@@ -100,18 +101,27 @@ def build_train_step(cfg: ExperimentConfig, anchors: jnp.ndarray, model=None):
     def train_step(
         state: TrainState, batch: Dict[str, jnp.ndarray]
     ) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
-        rng, flip_rng, photo_rng, dropout_rng = jax.random.split(state.rng, 4)
+        rng, flip_rng, photo_rng, scale_rng, dropout_rng = jax.random.split(
+            state.rng, 5
+        )
 
         images = batch["image"]
         gt_boxes = batch["gt_boxes"]
+        gt_valid = batch["gt_valid"]
+        if cfg.data.augment_scale is not None:
+            images, gt_boxes, gt_valid = random_scale_jitter_batch(
+                scale_rng, images, gt_boxes, gt_valid,
+                min_scale=cfg.data.augment_scale[0],
+                max_scale=cfg.data.augment_scale[1],
+            )
         if cfg.data.augment_flip:
             images, gt_boxes = random_flip_batch(
-                flip_rng, images, gt_boxes, batch["gt_valid"]
+                flip_rng, images, gt_boxes, gt_valid
             )
         if cfg.data.augment_photometric:
             images = photometric_jitter_batch(photo_rng, images)
         images = normalize_images(images, cfg.data.mean, cfg.data.std)
-        targets = assign(anchors, gt_boxes, batch["gt_classes"], batch["gt_valid"])
+        targets = assign(anchors, gt_boxes, batch["gt_classes"], gt_valid)
 
         if tc.variance_warmup_steps > 0:
             var_w = jnp.clip(

@@ -210,6 +210,10 @@ class DataConfig:
     # (data/preprocess.photometric_jitter_batch; boxes untouched). The
     # reference augments with flips only — off by default for parity.
     augment_photometric: bool = False
+    # Random zoom in/out range (min, max) at fixed canvas shape via
+    # jax.image.scale_and_translate — traced scale, static output shape
+    # (data/preprocess.random_scale_jitter_batch). None = off (parity).
+    augment_scale: Optional[Tuple[float, float]] = None
     mean: Tuple[float, float, float] = (0.485, 0.456, 0.406)
     std: Tuple[float, float, float] = (0.229, 0.224, 0.225)
 

@@ -269,6 +269,64 @@ class TestPreprocess:
             np.asarray(ident), np.asarray(img, np.float32), atol=1e-3
         )
 
+    def test_scale_jitter_identity_at_one(self):
+        from bayesod_tpu.data.preprocess import random_scale_jitter_batch
+
+        img = jnp.asarray(
+            np.random.default_rng(0).integers(0, 256, (2, 16, 32, 3), np.uint8)
+        )
+        boxes = jnp.tile(jnp.asarray([[[4.0, 2.0, 20.0, 10.0]]]), (2, 1, 1))
+        valid = jnp.ones((2, 1), bool)
+        out, b, v = random_scale_jitter_batch(
+            jax.random.PRNGKey(0), img, boxes, valid,
+            min_scale=1.0, max_scale=1.0,
+        )
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(img, np.float32), atol=1e-3
+        )
+        np.testing.assert_allclose(np.asarray(b), np.asarray(boxes), atol=1e-4)
+        assert np.asarray(v).all()
+
+    def test_scale_jitter_boxes_track_pixels(self):
+        """At a fixed zoom the box must land on the moved pixel mass."""
+        from bayesod_tpu.data.preprocess import random_scale_jitter_batch
+
+        img = jnp.zeros((4, 16, 32, 1), jnp.float32)
+        img = img.at[:, 4:12, 8:24, :].set(1.0)
+        boxes = jnp.tile(jnp.asarray([[[8.0, 4.0, 24.0, 12.0]]]), (4, 1, 1))
+        valid = jnp.ones((4, 1), bool)
+        out, b, v = random_scale_jitter_batch(
+            jax.random.PRNGKey(1), img, boxes, valid,
+            min_scale=0.5, max_scale=0.5, min_visible=2.0,
+        )
+        assert np.asarray(v).all()
+        for i in range(4):
+            x1, y1, x2, y2 = [float(q) for q in b[i, 0]]
+            inside = np.asarray(out)[i, round(y1) + 1 : round(y2) - 1,
+                                     round(x1) + 1 : round(x2) - 1, 0]
+            assert inside.mean() > 0.9, (i, inside.mean())
+            # sanity: box area shrank 4x
+            assert (x2 - x1) == pytest.approx(8.0, abs=0.1)
+
+    def test_scale_jitter_invalidates_offscreen(self):
+        from bayesod_tpu.data.preprocess import random_scale_jitter_batch
+
+        img = jnp.zeros((1, 16, 32, 1), jnp.float32)
+        # tiny box near the left edge; zoom-in 2x with a crop window biased
+        # right can push it out — force that with a deterministic key sweep.
+        boxes = jnp.asarray([[[0.0, 0.0, 3.0, 3.0]]])
+        valid = jnp.ones((1, 1), bool)
+        invalidated = False
+        for seed in range(8):
+            _, b, v = random_scale_jitter_batch(
+                jax.random.PRNGKey(seed), img, boxes, valid,
+                min_scale=2.0, max_scale=2.0, min_visible=4.0,
+            )
+            if not bool(np.asarray(v)[0, 0]):
+                invalidated = True
+                np.testing.assert_array_equal(np.asarray(b)[0, 0], 0.0)
+        assert invalidated
+
     def test_photometric_in_train_step(self):
         """augment_photometric=True runs inside the jit train step and leaves
         GT semantics alone (loss finite, state advances)."""
@@ -281,7 +339,10 @@ class TestPreprocess:
 
         cfg = tiny_cfg()
         cfg = dataclasses.replace(
-            cfg, data=dataclasses.replace(cfg.data, augment_photometric=True)
+            cfg,
+            data=dataclasses.replace(
+                cfg.data, augment_photometric=True, augment_scale=(0.8, 1.2)
+            ),
         )
         model = RetinaNet(cfg=cfg.model, train=True)
         anchors = anchor_ops.generate_anchors(cfg.data.image_hw, cfg.anchors)
