@@ -153,6 +153,13 @@ def uncertainty_report(
             np.max(probs[:, 1:], axis=-1), correct
         ),
     }
+    # Post-hoc temperature: what the split's calibration COULD be — apply
+    # it at serving with Detector.with_temperature(out["temperature_fit"]).
+    t_fit = fit_temperature(probs, correct)
+    out["temperature_fit"] = t_fit
+    out["ece_calibrated"] = expected_calibration_error(
+        np.max(apply_temperature(probs, t_fit)[:, 1:], axis=-1), correct
+    )
     if matched_gt_boxes is not None and mu is not None and correct.any():
         tp = correct
         out["gaussian_nll"] = float(
@@ -163,3 +170,60 @@ def uncertainty_report(
             categorical_nll(probs[correct], matched_gt_labels[correct]).mean()
         )
     return out
+
+
+def fit_temperature(
+    probs: np.ndarray,
+    correct: np.ndarray,
+    t_range: Tuple[float, float] = (0.05, 20.0),
+    iters: int = 60,
+    eps: float = 1e-12,
+) -> float:
+    """Post-hoc temperature for the categorical posteriors (Guo et al. 2017
+    adapted to detection): find T minimizing the binary NLL of the
+    max-foreground confidence under softmax(log p / T) against TP/FP labels.
+
+    Works on PROBS (log p recovers logits up to a per-row constant, which
+    temperature scaling is invariant to). Golden-section search on log T —
+    the objective is smooth and unimodal in practice. Apply the fitted T at
+    serving with Detector.with_temperature(T) (scales the cls final conv,
+    so every execution path — fused kernels included — emits logits/T).
+    """
+    p = np.clip(np.asarray(probs, np.float64), eps, 1.0)
+    c = np.asarray(correct, bool)
+    if len(p) == 0:
+        return 1.0
+    logp = np.log(p)
+
+    def nll(t):
+        z = logp / t
+        z = z - z.max(axis=-1, keepdims=True)
+        q = np.exp(z)
+        q /= q.sum(axis=-1, keepdims=True)
+        conf = np.clip(q[:, 1:].max(axis=-1), eps, 1.0 - eps)
+        return float(-np.mean(np.where(c, np.log(conf), np.log1p(-conf))))
+
+    lo, hi = np.log(t_range[0]), np.log(t_range[1])
+    phi = (np.sqrt(5.0) - 1.0) / 2.0
+    a, b = lo, hi
+    x1 = b - phi * (b - a)
+    x2 = a + phi * (b - a)
+    f1, f2 = nll(np.exp(x1)), nll(np.exp(x2))
+    for _ in range(iters):
+        if f1 <= f2:
+            b, x2, f2 = x2, x1, f1
+            x1 = b - phi * (b - a)
+            f1 = nll(np.exp(x1))
+        else:
+            a, x1, f1 = x1, x2, f2
+            x2 = a + phi * (b - a)
+            f2 = nll(np.exp(x2))
+    return float(np.exp((a + b) / 2.0))
+
+
+def apply_temperature(probs: np.ndarray, t: float, eps: float = 1e-12):
+    """softmax(log p / T) row-wise (numpy; the offline mirror of serving)."""
+    z = np.log(np.clip(np.asarray(probs, np.float64), eps, 1.0)) / t
+    z -= z.max(axis=-1, keepdims=True)
+    q = np.exp(z)
+    return q / q.sum(axis=-1, keepdims=True)

@@ -147,6 +147,31 @@ class Detector:
             trees = list(members)
         return cls(cfg, stack_variables(trees), batch_size)
 
+    def with_temperature(self, t: float) -> "Detector":
+        """New Detector with temperature-scaled class logits (Guo-style
+        post-hoc calibration; fit T with eval.uncertainty.fit_temperature
+        on a val split's TP/FP labels, reported by evaluate() as
+        `temperature_fit`).
+
+        The final cls conv is LINEAR in (kernel, bias), so scaling both by
+        1/T makes every execution path — dense XLA, fused Pallas finals,
+        candidates kernels, ensembles (leading member axis broadcasts) —
+        emit logits/T with zero graph changes or runtime cost.
+        """
+        if t <= 0:
+            raise ValueError(f"temperature must be positive, got {t}")
+        # Shallow-copy along the path (arrays are immutable; everything else
+        # stays shared with self.variables).
+        params = dict(self.variables["params"])
+        heads = dict(params["heads"])
+        heads["cls_out"] = jax.tree_util.tree_map(
+            lambda x: x / t, dict(heads["cls_out"])
+        )
+        params["heads"] = heads
+        variables = dict(self.variables)
+        variables["params"] = params
+        return Detector(self.cfg, variables, self.batch_size)
+
     def quantized(
         self,
         calib_images: Sequence[np.ndarray],

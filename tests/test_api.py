@@ -1,6 +1,7 @@
 """High-level Detector API tests: arbitrary-size numpy images round-trip."""
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -106,3 +107,44 @@ def test_quantized_detector_roundtrip():
     assert len(out) == 1
     assert np.isfinite(out[0]["boxes"]).all()
     assert np.isfinite(out[0]["probs"]).all()
+
+
+class TestWithTemperature:
+    def test_scales_logits_linearly(self):
+        """Scaling the final cls conv by 1/T is exactly logits/T (the conv
+        is linear in kernel+bias) — every execution path inherits it."""
+        import dataclasses
+
+        from bayesod_tpu.models.retinanet import RetinaNet, single_forward
+        from tests.test_detector import tiny_config
+
+        cfg = tiny_config()
+        det = Detector.from_config(cfg)
+        det2 = det.with_temperature(2.0)
+        model = RetinaNet(cfg=cfg.model, train=False)
+        images = jnp.ones((1, 128, 128, 3), jnp.float32)
+        l1, d1, v1 = single_forward(model, det.variables, images)
+        l2, d2, v2 = single_forward(model, det2.variables, images)
+        np.testing.assert_allclose(
+            np.asarray(l2), np.asarray(l1) / 2.0, atol=1e-5
+        )
+        np.testing.assert_array_equal(np.asarray(d1), np.asarray(d2))
+
+    def test_entropy_rises_with_t(self):
+        from tests.test_detector import tiny_config
+
+        cfg = tiny_config()
+        det = Detector.from_config(cfg)
+        img = np.random.default_rng(0).integers(
+            0, 256, (96, 160, 3), np.uint8
+        )
+        base = det([img], rng=jax.random.PRNGKey(5))[0]
+        hot = det.with_temperature(4.0)([img], rng=jax.random.PRNGKey(5))[0]
+        assert hot["entropy"].mean() > base["entropy"].mean()
+
+    def test_guard(self):
+        from tests.test_detector import tiny_config
+
+        det = Detector.from_config(tiny_config())
+        with pytest.raises(ValueError, match="positive"):
+            det.with_temperature(0.0)

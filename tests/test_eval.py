@@ -465,3 +465,47 @@ class TestEvaluateScaling:
         dt = time.perf_counter() - t0
         assert np.isfinite(metrics["map"])
         assert dt < 30.0, f"evaluate() took {dt:.1f}s for 1000 images"
+
+
+class TestTemperature:
+    def test_fit_recovers_known_temperature(self):
+        from bayesod_tpu.eval.uncertainty import apply_temperature, fit_temperature
+
+        rng = np.random.default_rng(0)
+        n, c = 4000, 4  # background + 3 classes
+        logits = rng.normal(0.0, 2.0, (n, c))
+        true_t = 2.0
+        # Correctness generated from the WELL-calibrated confidence...
+        p_cal = np.exp(logits / true_t)
+        p_cal /= p_cal.sum(-1, keepdims=True)
+        conf = p_cal[:, 1:].max(-1)
+        correct = rng.uniform(size=n) < conf
+        # ...but the model reports the over-confident T=1 softmax.
+        p_raw = np.exp(logits)
+        p_raw /= p_raw.sum(-1, keepdims=True)
+        t_hat = fit_temperature(p_raw, correct)
+        assert 1.5 < t_hat < 2.6, t_hat
+        # Scaling by the fitted T reproduces ~the calibrated confidences.
+        p_back = apply_temperature(p_raw, t_hat)
+        np.testing.assert_allclose(
+            p_back[:, 1:].max(-1), conf, atol=0.12
+        )
+
+    def test_apply_temperature_limits(self):
+        from bayesod_tpu.eval.uncertainty import apply_temperature
+
+        p = np.array([[0.7, 0.2, 0.1]])
+        np.testing.assert_allclose(apply_temperature(p, 1.0), p, atol=1e-9)
+        flat = apply_temperature(p, 1e6)
+        np.testing.assert_allclose(flat, 1.0 / 3.0, atol=1e-4)
+
+    def test_report_contains_temperature(self):
+        from bayesod_tpu.eval.uncertainty import uncertainty_report
+
+        rng = np.random.default_rng(1)
+        probs = rng.dirichlet(np.ones(4), size=50)
+        covs = np.tile(np.eye(4), (50, 1, 1))
+        correct = rng.uniform(size=50) < 0.5
+        rep = uncertainty_report(correct, probs, covs)
+        assert rep["temperature_fit"] > 0
+        assert 0 <= rep["ece_calibrated"] <= 1
