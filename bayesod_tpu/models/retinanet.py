@@ -683,6 +683,32 @@ def member_variables(stacked_variables, i: int):
     return jax.tree_util.tree_map(lambda x: x[i], stacked_variables)
 
 
+def average_variables(variables_list, weights=None):
+    """Uniform (or weighted) average of variable trees — stochastic weight
+    averaging over checkpoints of one run (same basin), the cheap sibling
+    of a deep ensemble (distinct runs). Serve the result like any single
+    weight set; fp32 accumulation regardless of leaf dtype.
+
+    weights: optional per-tree weights (normalized internally)."""
+    if len(variables_list) < 2:
+        raise ValueError("averaging needs >= 2 variable trees")
+    if weights is None:
+        w = [1.0 / len(variables_list)] * len(variables_list)
+    else:
+        if len(weights) != len(variables_list):
+            raise ValueError("len(weights) != len(variables_list)")
+        total = float(sum(weights))
+        w = [float(x) / total for x in weights]
+
+    def avg(*leaves):
+        acc = sum(
+            wi * leaf.astype(jnp.float32) for wi, leaf in zip(w, leaves)
+        )
+        return acc.astype(leaves[0].dtype)
+
+    return jax.tree_util.tree_map(avg, *variables_list)
+
+
 def ensemble_forward(
     model: RetinaNet,
     stacked_variables,

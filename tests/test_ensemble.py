@@ -312,3 +312,51 @@ class TestEnsembleMeshServing:
         images = jnp.ones((2, 128, 128, 3), jnp.float32)
         with pytest.raises(ValueError, match="divisible"):
             detect(stacked, images, jax.random.PRNGKey(1))
+
+
+class TestAverageVariables:
+    def test_uniform_and_weighted(self, three_members):
+        from bayesod_tpu.models.retinanet import average_variables
+
+        _, _, trees = three_members
+        avg = average_variables(trees)
+        a0 = jax.tree_util.tree_leaves(trees[0])
+        a1 = jax.tree_util.tree_leaves(trees[1])
+        a2 = jax.tree_util.tree_leaves(trees[2])
+        for got, x, y, z in zip(jax.tree_util.tree_leaves(avg), a0, a1, a2):
+            np.testing.assert_allclose(
+                np.asarray(got),
+                (np.asarray(x, np.float32) + np.asarray(y, np.float32)
+                 + np.asarray(z, np.float32)) / 3.0,
+                rtol=1e-6, atol=1e-6,
+            )
+        # degenerate weights pick one member exactly (up to dtype roundtrip)
+        one = average_variables(trees, weights=[0.0, 1.0, 0.0])
+        for got, y in zip(jax.tree_util.tree_leaves(one), a1):
+            np.testing.assert_allclose(np.asarray(got), np.asarray(y), atol=1e-7)
+
+    def test_average_serves(self, three_members):
+        from bayesod_tpu.models.retinanet import average_variables
+
+        cfg, model, trees = three_members
+        import dataclasses
+
+        cfg1 = dataclasses.replace(
+            cfg, bayes=dataclasses.replace(cfg.bayes, epistemic="mc_dropout")
+        )
+        detect = jax.jit(build_detect_fn(cfg1, model))
+        out = detect(
+            average_variables(trees),
+            jnp.ones((1, 128, 128, 3), jnp.float32),
+            jax.random.PRNGKey(0),
+        )
+        assert np.isfinite(np.asarray(out.boxes)).all()
+
+    def test_guards(self, three_members):
+        from bayesod_tpu.models.retinanet import average_variables
+
+        _, _, trees = three_members
+        with pytest.raises(ValueError, match=">= 2"):
+            average_variables(trees[:1])
+        with pytest.raises(ValueError, match="len"):
+            average_variables(trees, weights=[1.0])
