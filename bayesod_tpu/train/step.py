@@ -167,3 +167,44 @@ def build_train_step(cfg: ExperimentConfig, anchors: jnp.ndarray, model=None):
         return new_state, metrics
 
     return train_step
+
+
+def build_eval_step(cfg: ExperimentConfig, anchors: jnp.ndarray, model=None):
+    """Returns `eval_step(state, batch) -> metrics`, jit-ready: val loss on
+    a batch with NO update, NO augmentation, NO dropout, BN in inference
+    mode (running stats). The trainer runs it every TrainConfig.eval_every
+    steps over a fixed set of val batches — the cheap early-signal
+    complement to the full offline evaluator (eval/evaluator.py)."""
+    eval_model = model or RetinaNet(cfg=cfg.model, train=False)
+    if eval_model.train:
+        raise ValueError("build_eval_step needs a train=False model")
+    tc = cfg.train
+
+    assign = jax.vmap(
+        functools.partial(
+            assign_targets,
+            iou_positive=tc.match_iou_positive,
+            iou_negative=tc.match_iou_negative,
+            scale_factors=cfg.bayes.box_scale_factors,
+        ),
+        in_axes=(None, 0, 0, 0),
+    )
+
+    def eval_step(state: TrainState, batch: Dict[str, jnp.ndarray]):
+        images = normalize_images(batch["image"], cfg.data.mean, cfg.data.std)
+        targets = assign(
+            anchors, batch["gt_boxes"], batch["gt_classes"], batch["gt_valid"]
+        )
+        logits, deltas, log_vars = eval_model.apply(
+            state.variables(), images, stochastic=False
+        )
+        _, metrics = detection_loss(
+            logits, deltas, log_vars, targets,
+            alpha=tc.focal_alpha, gamma=tc.focal_gamma,
+            regression_weight=tc.regression_weight,
+            residual=tc.residual,
+            variance_weight=1.0,
+        )
+        return metrics
+
+    return eval_step

@@ -96,6 +96,38 @@ def train(
         donate_argnums=(0,),
     )
 
+    # --- periodic val loss (TrainConfig.eval_every) -------------------------
+    eval_fn, val_batches = None, []
+    if tc.eval_every > 0:
+        from bayesod_tpu.train.step import build_eval_step
+
+        try:
+            val_dataset = make_dataset(cfg.data, split="val")
+        except Exception:
+            val_dataset = make_dataset(cfg.data, split="train")
+        val_loader = Loader(
+            val_dataset,
+            batch_size=tc.batch_size,
+            image_hw=cfg.data.image_hw,
+            max_gt_boxes=cfg.data.max_gt_boxes,
+            shuffle=False,
+            num_epochs=1,
+        )
+        # Fixed batches, sharded once: the same data every eval -> the val
+        # curve moves only when the model does.
+        for i, vb in enumerate(val_loader):
+            if i >= tc.eval_batches:
+                break
+            val_batches.append(mesh_lib.shard_batch(vb, mesh, cfg.mesh))
+        eval_fn = jax.jit(
+            build_eval_step(cfg, anchors),
+            in_shardings=(
+                mesh_lib.replicated(mesh),
+                mesh_lib.batch_sharding(mesh, cfg.mesh),
+            ),
+            out_shardings=mesh_lib.replicated(mesh),
+        )
+
     logger = MetricsLogger(out_dir)
     start_step = int(state.step)
     t_last = time.time()
@@ -119,6 +151,22 @@ def train(
             logger.log(next_step, metrics, prefix="train/")
             if on_metrics is not None:
                 on_metrics(next_step, metrics)
+        if eval_fn is not None and (
+            next_step % tc.eval_every == 0 or next_step == total_steps
+        ):
+            sums: Dict[str, float] = {}
+            for vb in val_batches:
+                vm = eval_fn(state, vb)
+                for k, v in vm.items():
+                    sums[k] = sums.get(k, 0.0) + float(v)
+            val_metrics = {
+                k: v / max(len(val_batches), 1) for k, v in sums.items()
+            }
+            logger.log(next_step, val_metrics, prefix="val/")
+            if on_metrics is not None:
+                on_metrics(
+                    next_step, {f"val/{k}": v for k, v in val_metrics.items()}
+                )
         if next_step % tc.checkpoint_every == 0 or next_step == total_steps:
             ckpt.save(state, step=next_step)
 

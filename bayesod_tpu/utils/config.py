@@ -262,6 +262,12 @@ class TrainConfig:
     checkpoint_every: int = 2500
     checkpoint_dir: str = "data/outputs/default/checkpoints"
     log_every: int = 100
+    # Periodic val-loss evaluation (train/step.build_eval_step): every
+    # `eval_every` steps run `eval_batches` fixed val batches through a
+    # no-update, no-dropout, no-augmentation forward and log mean losses
+    # under val/. 0 = off (reference behavior: no in-training eval).
+    eval_every: int = 0
+    eval_batches: int = 8
     seed: int = 0
 
 

@@ -308,3 +308,49 @@ class TestEMA:
             jax.tree_util.tree_leaves(restored.ema_params),
         ):
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+class TestEvalStep:
+    def test_val_loss_logged_and_deterministic(self, tmp_path):
+        """eval_every logs val/ metrics from fixed batches; the eval step is
+        deterministic (no dropout/augmentation) so two calls agree."""
+        import dataclasses
+        import json
+
+        from bayesod_tpu.train import train
+        from bayesod_tpu.train.step import build_eval_step
+
+        cfg = tiny_cfg()
+        cfg = dataclasses.replace(
+            cfg,
+            train=dataclasses.replace(
+                cfg.train, eval_every=2, eval_batches=2
+            ),
+        )
+        seen = {}
+
+        def on_metrics(step, m):
+            seen.update({k: v for k, v in m.items() if k.startswith("val/")})
+
+        train(
+            cfg, max_steps=2, out_dir=str(tmp_path / "run"),
+            on_metrics=on_metrics, devices=jax.devices()[:1],
+        )
+        assert "val/loss" in seen and np.isfinite(seen["val/loss"])
+        lines = [
+            json.loads(l)
+            for l in open(tmp_path / "run" / "metrics.jsonl")
+        ]
+        assert any("val/loss" in l for l in lines)
+
+        # determinism of the bare eval step
+        model = RetinaNet(cfg=cfg.model, train=False)
+        anchors = anchor_ops.generate_anchors(cfg.data.image_hw, cfg.anchors)
+        state = create_train_state(
+            model, cfg.train, jax.random.PRNGKey(0), cfg.data.image_hw
+        )
+        step = jax.jit(build_eval_step(cfg, anchors, model))
+        batch = make_batch(cfg)
+        m1 = step(state, batch)
+        m2 = step(state, batch)
+        assert float(m1["loss"]) == float(m2["loss"])
