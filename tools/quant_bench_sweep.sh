@@ -24,3 +24,8 @@ run latency_quant $Q --latency
 echo "sweep done"
 # BDD-shape roofline (VERDICT item 7 parity-of-effort)
 run bdd_roofline --hw 768 1280 --classes 10 --batch 48 --roofline
+
+# Ensemble serving bench (round-2 feature; M=4 deterministic members)
+run ensemble_m4 --ensemble 4 --batch 64
+# Flagship-scale synthetic learning validation (chained: one TPU job at a time)
+bash /root/repo/tools/flagship_synth_run.sh
