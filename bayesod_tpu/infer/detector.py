@@ -112,6 +112,74 @@ def _postprocess_single(
     )
 
 
+# Linear part of the corner-box mirror x1' = W - x2, x2' = W - x1 (y fixed):
+# flipped-view covariances map as L Sigma L^T (the offset W drops out).
+_FLIP_L = jnp.asarray(
+    [[0.0, 0.0, -1.0, 0.0],
+     [0.0, 1.0, 0.0, 0.0],
+     [-1.0, 0.0, 0.0, 0.0],
+     [0.0, 0.0, 0.0, 1.0]],
+    jnp.float32,
+)
+
+
+def _flip_posteriors_back(
+    boxes: jnp.ndarray, covs: jnp.ndarray, width: float
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Map flipped-view box posteriors to original coordinates.
+
+    boxes [k, 4] corners, covs [k, 4, 4]. Exact affine pushforward of the
+    Gaussian: mean mirrors, covariance conjugates by the mirror's linear
+    part (tested against empirically flipped sample clouds)."""
+    x1, y1, x2, y2 = jnp.split(boxes, 4, axis=-1)
+    boxes_b = jnp.concatenate([width - x2, y1, width - x1, y2], axis=-1)
+    covs_b = jnp.einsum("ij,kjl,ml->kim", _FLIP_L, covs, _FLIP_L)
+    return boxes_b, covs_b
+
+
+def _postprocess_single_tta(
+    probs_a: jnp.ndarray,  # [A, C+1] original view mean categorical
+    deltas_a: jnp.ndarray,  # [N, A, 4]
+    log_vars_a: jnp.ndarray,
+    probs_b: jnp.ndarray,  # flipped view
+    deltas_b: jnp.ndarray,
+    log_vars_b: jnp.ndarray,
+    anchors: jnp.ndarray,
+    cfg: ExperimentConfig,
+) -> fus.FusedDetections:
+    """Flip-TTA post-processing (BayesConfig.tta_flip): candidates from BOTH
+    views enter ONE clustering + fusion pass — the flipped view contributes
+    independent measurements of each object (its dropout masks and anchor
+    geometry differ), so fused posteriors integrate 2x evidence instead of
+    being averaged post hoc like conventional TTA."""
+    bayes = cfg.bayes
+    width = float(cfg.data.image_hw[1])
+
+    def view_candidates(probs, deltas, log_vars):
+        idx, valid = _preselect(
+            probs, bayes.pre_cluster_topk, bayes.score_threshold,
+            approx=bayes.approx_topk,
+        )
+        boxes_c, covs_c = mom.mc_box_moments(
+            deltas[:, idx].astype(jnp.float32),
+            log_vars[:, idx].astype(jnp.float32),
+            anchors[idx],
+            bayes.box_scale_factors,
+            bayes.log_var_clip,
+        )
+        return boxes_c, covs_c, probs[idx], valid
+
+    boxes1, covs1, p1, v1 = view_candidates(probs_a, deltas_a, log_vars_a)
+    boxes2, covs2, p2, v2 = view_candidates(probs_b, deltas_b, log_vars_b)
+    boxes2, covs2 = _flip_posteriors_back(boxes2, covs2, width)
+    cand = mom.AnchorPosteriors(
+        boxes=jnp.concatenate([boxes1, boxes2]),
+        covs=jnp.concatenate([covs1, covs2]),
+        probs=jnp.concatenate([p1, p2]),
+    )
+    return _postprocess_posteriors(cand, jnp.concatenate([v1, v2]), cfg)
+
+
 def _postprocess_candidates(
     probs_sel: jnp.ndarray,  # [k, C+1] candidate mean categoricals
     deltas_c: jnp.ndarray,  # [N, k, 4] per-sample deltas at candidates
@@ -218,6 +286,15 @@ def _reg_route(cfg, images, anchors_per_cell: int = 9, batch=None) -> str:
     supports every dropout placement); explicit reduced modes raise,
     mirroring mc_forward's pallas guard."""
     mode = cfg.model.reg_finals
+    if cfg.bayes.tta_flip:
+        # TTA pairs each image with its flipped view and merges candidate
+        # sets in the dense tail; the reduced kernels have no seam for that.
+        if mode in ("candidates", "candidates_fused", "stats"):
+            raise ValueError(
+                f"reg_finals='{mode}' does not support bayes.tta_flip "
+                "(the reduced routes fuse per-view; use 'dense' or 'auto')"
+            )
+        return "dense"
     dropout_last = cfg.model.dropout_layers == "last"
     pallas_ok = (
         cfg.model.head_final_backend in ("auto", "pallas")
@@ -332,6 +409,16 @@ def build_detect_fn(
             raise ValueError(
                 f"images {images.shape[1:3]} != config image_hw {cfg.data.image_hw}"
             )
+        tta = cfg.bayes.tta_flip
+        if tta:
+            if mesh is not None:
+                raise ValueError(
+                    "bayes.tta_flip under a mesh is not supported yet "
+                    "(run the TTA graph per shard instead)"
+                )
+            # Both views in ONE batched forward: rows [B:] are the flipped
+            # images; the tail pairs row b with row b+B.
+            images = jnp.concatenate([images, images[:, :, ::-1, :]], axis=0)
         if single_pass:
             logits, deltas, log_vars = single_forward(model, variables, images)
             probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
@@ -590,6 +677,16 @@ def build_detect_fn(
                 )
 
         # vmap the per-image post-processing over the batch axis.
+        if tta:
+            b = probs.shape[0] // 2
+            per_image_tta = functools.partial(
+                _postprocess_single_tta, anchors=anchors, cfg=cfg
+            )
+            fused = jax.vmap(per_image_tta, in_axes=(0, 1, 1, 0, 1, 1))(
+                probs[:b], deltas[:, :b], log_vars[:, :b],
+                probs[b:], deltas[:, b:], log_vars[:, b:],
+            )
+            return _as_detections(fused, cfg.data.image_hw)
         per_image = functools.partial(_postprocess_single, anchors=anchors, cfg=cfg)
         fused = jax.vmap(per_image, in_axes=(0, 1, 1))(probs, deltas, log_vars)
         return _as_detections(fused, cfg.data.image_hw)

@@ -137,6 +137,14 @@ class BayesConfig:
     # have independent backbones, so there is no shared trunk to amortize)
     # and post-process on the dense route.
     epistemic: str = "mc_dropout"
+    # Flip test-time augmentation, fused BAYESIANLY: the horizontally
+    # flipped view's per-anchor posteriors are mapped back to original
+    # coordinates (boxes mirrored, covariances L Sigma L^T) and join the
+    # same clustering + fusion as ADDITIONAL MEASUREMENTS of each object —
+    # 2x candidates per cluster, sharper fused posteriors, 2x head compute
+    # (both views run in ONE batched forward). Dense route only (the
+    # reduced fused kernels skip it; reg_finals='auto' falls back).
+    tta_flip: bool = False
     score_threshold: float = 0.5
     pre_cluster_topk: int = 512  # static k kept after score preselect
     # Preselection score source (candidates_fused route only):
