@@ -82,24 +82,17 @@ def main(argv=None) -> None:
     import jax
 
     from bayesod_tpu.eval.evaluator import run_inference
-    from bayesod_tpu.models.retinanet import RetinaNet, init_variables
-    from bayesod_tpu.train import CheckpointManager, create_train_state
+    from bayesod_tpu.models.retinanet import RetinaNet
+    from bayesod_tpu.train import restore_state
 
     model = RetinaNet(cfg=cfg.model, train=False)
-    ckpt_dir = args.checkpoint_dir or (
-        f"data/outputs/{cfg.name}/checkpoints"
-    )
-    template = create_train_state(
-        model, cfg.train, jax.random.PRNGKey(cfg.train.seed), cfg.data.image_hw
-    )
-    mgr = CheckpointManager(ckpt_dir, async_save=False)
-    state = mgr.restore(template)
-    if state is None:
-        if not args.allow_random:
-            raise SystemExit(
-                f"no checkpoint under {ckpt_dir} (use --allow_random for smoke runs)"
-            )
-        state = template
+    try:
+        state = restore_state(
+            cfg, args.checkpoint_dir, model=model,
+            missing_ok=args.allow_random,
+        )
+    except FileNotFoundError as e:
+        raise SystemExit(f"{e} (use --allow_random for smoke runs)")
     variables = state.variables(use_ema=args.ema)
 
     _dataset_cache = {}

@@ -153,8 +153,10 @@ def uncertainty_report(
             np.max(probs[:, 1:], axis=-1), correct
         ),
     }
-    # Post-hoc temperature: what the split's calibration COULD be — apply
-    # it at serving with Detector.with_temperature(out["temperature_fit"]).
+    # Post-hoc temperature: what the split's calibration COULD be.
+    # Detector.with_temperature(T) (default where="output", i.e.
+    # bayes.output_temperature) reproduces ece_calibrated EXACTLY at
+    # serving — it tempers the same fused categoricals this report sees.
     t_fit = fit_temperature(probs, correct)
     out["temperature_fit"] = t_fit
     out["ece_calibrated"] = expected_calibration_error(
@@ -191,7 +193,11 @@ def fit_temperature(
     """
     p = np.clip(np.asarray(probs, np.float64), eps, 1.0)
     c = np.asarray(correct, bool)
-    if len(p) == 0:
+    if len(p) == 0 or c.all() or not c.any():
+        # Degenerate labels (all-TP or all-FP): the binary NLL is minimized
+        # at a search bound (maximal sharpening/flattening) — a pathological
+        # serving temperature. Mirror minimum_uncertainty_error's guard and
+        # report the identity instead.
         return 1.0
     logp = np.log(p)
 

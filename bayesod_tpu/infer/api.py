@@ -81,21 +81,9 @@ class Detector:
         (requires the run to have trained with TrainConfig.ema_decay > 0).
         """
         cfg = _load(yaml_path_or_cfg)
-        from bayesod_tpu.train import CheckpointManager, create_train_state
+        from bayesod_tpu.train import restore_state
 
-        model = RetinaNet(cfg=cfg.model, train=False)
-        template = create_train_state(
-            model, cfg.train, jax.random.PRNGKey(cfg.train.seed), cfg.data.image_hw
-        )
-        mgr = CheckpointManager(
-            checkpoint_dir or f"data/outputs/{cfg.name}/checkpoints",
-            async_save=False,
-        )
-        state = mgr.restore(template)
-        if state is None:
-            raise FileNotFoundError(
-                f"no checkpoint found under {mgr.directory}"
-            )
+        state = restore_state(cfg, checkpoint_dir)
         return cls(cfg, state.variables(use_ema=use_ema), batch_size)
 
     @classmethod
@@ -131,35 +119,47 @@ class Detector:
                 for i in range(members)
             ]
         elif members and isinstance(members[0], str):
-            from bayesod_tpu.train import CheckpointManager, create_train_state
+            from bayesod_tpu.train import restore_state
 
-            template = create_train_state(
-                model, cfg.train, jax.random.PRNGKey(cfg.train.seed),
-                cfg.data.image_hw,
-            )
-            trees = []
-            for d in members:
-                state = CheckpointManager(d, async_save=False).restore(template)
-                if state is None:
-                    raise FileNotFoundError(f"no checkpoint under {d}")
-                trees.append(state.variables())
+            trees = [
+                restore_state(cfg, d, model=model).variables()
+                for d in members
+            ]
         else:
             trees = list(members)
         return cls(cfg, stack_variables(trees), batch_size)
 
-    def with_temperature(self, t: float) -> "Detector":
-        """New Detector with temperature-scaled class logits (Guo-style
-        post-hoc calibration; fit T with eval.uncertainty.fit_temperature
-        on a val split's TP/FP labels, reported by evaluate() as
-        `temperature_fit`).
+    def with_temperature(self, t: float, where: str = "output") -> "Detector":
+        """New Detector with temperature-calibrated categoricals (fit T with
+        eval.uncertainty.fit_temperature on a val split's TP/FP labels,
+        reported by evaluate() as `temperature_fit`).
 
-        The final cls conv is LINEAR in (kernel, bias), so scaling both by
-        1/T makes every execution path — dense XLA, fused Pallas finals,
-        candidates kernels, ensembles (leading member axis broadcasts) —
-        emit logits/T with zero graph changes or runtime cost.
+        where="output" (default): temper the FUSED output categorical
+        (bayes.output_temperature) — the exact in-graph mirror of
+        apply_temperature, so the serving ECE equals the report's
+        `ece_calibrated`. Candidate selection and fusion are untouched.
+
+        where="logits": scale the final cls conv kernel+bias by 1/T — every
+        execution path emits logits/T at zero runtime cost, and the
+        sharpening also flows through preselection and category fusion.
+        NOTE: softmax-mean and fusion do not commute with tempering, so the
+        resulting calibration differs from the offline fit; prefer "output"
+        when reproducing a fitted T.
         """
         if t <= 0:
             raise ValueError(f"temperature must be positive, got {t}")
+        if where == "output":
+            import dataclasses
+
+            cfg = dataclasses.replace(
+                self.cfg,
+                bayes=dataclasses.replace(
+                    self.cfg.bayes, output_temperature=float(t)
+                ),
+            )
+            return Detector(cfg, self.variables, self.batch_size)
+        if where != "logits":
+            raise ValueError(f"where must be 'output' or 'logits', got {where}")
         # Shallow-copy along the path (arrays are immutable; everything else
         # stays shared with self.variables).
         params = dict(self.variables["params"])

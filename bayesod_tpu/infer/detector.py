@@ -328,15 +328,31 @@ def _reg_route(cfg, images, anchors_per_cell: int = 9, batch=None) -> str:
     raise ValueError(f"unknown reg_finals '{mode}'")
 
 
-def _as_detections(f: fus.FusedDetections, image_hw) -> Detections:
+def _as_detections(
+    f: fus.FusedDetections, image_hw, output_temperature: float = 1.0
+) -> Detections:
     boxes = box_ops.clip_boxes(f.boxes, image_hw)
-    classes = (jnp.argmax(f.probs[..., 1:], axis=-1) + 1).astype(jnp.int32)
+    probs, scores, entropy = f.probs, f.scores, f.entropy
+    if output_temperature != 1.0:
+        # Exact in-graph mirror of eval.uncertainty.apply_temperature:
+        # softmax(log p / T) on the FUSED categorical, scores/entropy
+        # recomputed from the tempered distribution.
+        logp = (
+            jnp.log(jnp.clip(probs.astype(jnp.float32), 1e-12, 1.0))
+            / output_temperature
+        )
+        probs = jax.nn.softmax(logp, axis=-1)
+        scores = jnp.max(probs[..., 1:], axis=-1)
+        entropy = -jnp.sum(
+            probs * jnp.log(jnp.clip(probs, 1e-12, 1.0)), axis=-1
+        )
+    classes = (jnp.argmax(probs[..., 1:], axis=-1) + 1).astype(jnp.int32)
     return Detections(
         boxes=boxes,
         covs=f.covs,
-        probs=f.probs,
-        scores=f.scores,
-        entropy=f.entropy,
+        probs=probs,
+        scores=scores,
+        entropy=entropy,
         classes=jnp.where(f.valid, classes, 0),
         valid=f.valid,
     )
@@ -474,7 +490,7 @@ def build_detect_fn(
                 return _postprocess_posteriors(cand, valid, cfg)
 
             fused = jax.vmap(per_image_stats)(probs, stats)
-            return _as_detections(fused, cfg.data.image_hw)
+            return _as_detections(fused, cfg.data.image_hw, cfg.bayes.output_temperature)
         elif (
             mesh is None
             and _reg_route(cfg, images, model.anchors_per_cell)
@@ -539,7 +555,7 @@ def build_detect_fn(
                     fused = jax.vmap(per_image_det)(
                         idx, valid_sel, cand_probs, cand_stats
                     )
-                    return _as_detections(fused, cfg.data.image_hw)
+                    return _as_detections(fused, cfg.data.image_hw, cfg.bayes.output_temperature)
                 preselect = lambda p: _preselect(
                     p, cfg.bayes.pre_cluster_topk, cfg.bayes.score_threshold,
                     approx=cfg.bayes.approx_topk,
@@ -563,7 +579,7 @@ def build_detect_fn(
                 fused = jax.vmap(per_image_cs)(
                     probs, idx, valid_sel, cand_stats
                 )
-                return _as_detections(fused, cfg.data.image_hw)
+                return _as_detections(fused, cfg.data.image_hw, cfg.bayes.output_temperature)
 
             if mesh is None:
                 return candidates_fused_body(variables, images, rng, 0)
@@ -622,7 +638,7 @@ def build_detect_fn(
             fused = jax.vmap(per_image_cand, in_axes=(0, 0, 0, 1))(
                 probs, idx, valid_sel, cand_reg
             )
-            return _as_detections(fused, cfg.data.image_hw)
+            return _as_detections(fused, cfg.data.image_hw, cfg.bayes.output_temperature)
         else:
             backend = cfg.model.head_final_backend
             if backend == "auto":
@@ -686,10 +702,10 @@ def build_detect_fn(
                 probs[:b], deltas[:, :b], log_vars[:, :b],
                 probs[b:], deltas[:, b:], log_vars[:, b:],
             )
-            return _as_detections(fused, cfg.data.image_hw)
+            return _as_detections(fused, cfg.data.image_hw, cfg.bayes.output_temperature)
         per_image = functools.partial(_postprocess_single, anchors=anchors, cfg=cfg)
         fused = jax.vmap(per_image, in_axes=(0, 1, 1))(probs, deltas, log_vars)
-        return _as_detections(fused, cfg.data.image_hw)
+        return _as_detections(fused, cfg.data.image_hw, cfg.bayes.output_temperature)
 
     return detect
 

@@ -1,7 +1,7 @@
 """Training subsystem: state, jit step, Orbax checkpoints, driver loop
 (SURVEY.md §2 "Trainer", §3.1, §5.4)."""
 
-from bayesod_tpu.train.checkpoint import CheckpointManager
+from bayesod_tpu.train.checkpoint import CheckpointManager, restore_state
 from bayesod_tpu.train.state import (
     TrainState,
     create_train_state,
@@ -13,6 +13,7 @@ from bayesod_tpu.train.trainer import train
 
 __all__ = [
     "CheckpointManager",
+    "restore_state",
     "TrainState",
     "build_train_step",
     "create_train_state",

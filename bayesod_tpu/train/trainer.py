@@ -101,10 +101,9 @@ def train(
     if tc.eval_every > 0:
         from bayesod_tpu.train.step import build_eval_step
 
-        try:
-            val_dataset = make_dataset(cfg.data, split="val")
-        except Exception:
-            val_dataset = make_dataset(cfg.data, split="train")
+        # No fallback: eval_every>0 is an explicit request for val metrics —
+        # a broken val split must fail loudly, not log train loss as val/.
+        val_dataset = make_dataset(cfg.data, split="val")
         val_loader = Loader(
             val_dataset,
             batch_size=tc.batch_size,

@@ -145,6 +145,14 @@ class BayesConfig:
     # (both views run in ONE batched forward). Dense route only (the
     # reduced fused kernels skip it; reg_finals='auto' falls back).
     tta_flip: bool = False
+    # Post-hoc calibration temperature applied to the FUSED output
+    # categoricals (probs^(1/T) renormalized; scores/entropy recomputed).
+    # This is exactly eval.uncertainty.apply_temperature, so a T fitted by
+    # fit_temperature on dumped detections reproduces the report's
+    # ece_calibrated at serving time. 1.0 = off. (Detector.with_temperature
+    # sets it; the 'logits' variant there tempers per-sample logits instead,
+    # which does NOT commute with softmax-mean + fusion.)
+    output_temperature: float = 1.0
     score_threshold: float = 0.5
     pre_cluster_topk: int = 512  # static k kept after score preselect
     # Preselection score source (candidates_fused route only):

@@ -120,7 +120,7 @@ class TestWithTemperature:
 
         cfg = tiny_config()
         det = Detector.from_config(cfg)
-        det2 = det.with_temperature(2.0)
+        det2 = det.with_temperature(2.0, where="logits")
         model = RetinaNet(cfg=cfg.model, train=False)
         images = jnp.ones((1, 128, 128, 3), jnp.float32)
         l1, d1, v1 = single_forward(model, det.variables, images)
@@ -142,9 +142,34 @@ class TestWithTemperature:
         hot = det.with_temperature(4.0)([img], rng=jax.random.PRNGKey(5))[0]
         assert hot["entropy"].mean() > base["entropy"].mean()
 
+    def test_output_mode_matches_apply_temperature(self):
+        """where='output' (default) is the exact serving mirror of
+        eval.uncertainty.apply_temperature: same boxes/selection, probs
+        tempered row-wise."""
+        from bayesod_tpu.eval.uncertainty import apply_temperature
+        from tests.test_detector import tiny_config
+
+        det = Detector.from_config(tiny_config())
+        img = np.random.default_rng(3).integers(
+            0, 256, (96, 160, 3), np.uint8
+        )
+        rng = jax.random.PRNGKey(5)
+        base = det([img], rng=rng)[0]
+        temp = det.with_temperature(2.0)([img], rng=rng)[0]
+        np.testing.assert_allclose(temp["boxes"], base["boxes"], atol=1e-4)
+        np.testing.assert_allclose(
+            temp["probs"], apply_temperature(base["probs"], 2.0),
+            rtol=1e-4, atol=1e-5,
+        )
+        np.testing.assert_allclose(
+            temp["scores"], temp["probs"][:, 1:].max(-1), atol=1e-5
+        )
+
     def test_guard(self):
         from tests.test_detector import tiny_config
 
         det = Detector.from_config(tiny_config())
         with pytest.raises(ValueError, match="positive"):
             det.with_temperature(0.0)
+        with pytest.raises(ValueError, match="'output' or 'logits'"):
+            det.with_temperature(2.0, where="probs")

@@ -354,3 +354,33 @@ class TestEvalStep:
         m1 = step(state, batch)
         m2 = step(state, batch)
         assert float(m1["loss"]) == float(m2["loss"])
+
+    def test_restore_migrates_pre_ema_checkpoint(self, tmp_path):
+        """A checkpoint saved WITHOUT ema_params (ema_decay=0 or older code)
+        restores into an EMA-enabled template: EMA initialized AT the
+        restored params instead of failing the Orbax structure match."""
+        import dataclasses
+
+        from bayesod_tpu.train import CheckpointManager
+
+        cfg0, model, anchors, state0 = self._setup(decay=0.0)
+        assert state0.ema_params == {}
+        step_fn = jax.jit(build_train_step(cfg0, anchors, model))
+        state0, _ = step_fn(state0, make_batch(cfg0))
+        mgr = CheckpointManager(str(tmp_path / "old"), async_save=False)
+        mgr.save(state0)
+        mgr.wait()
+
+        cfg1, model1, _, _ = self._setup(decay=0.9)
+        template = create_train_state(
+            model1, cfg1.train, jax.random.PRNGKey(7), cfg1.data.image_hw
+        )
+        assert template.ema_params  # EMA-enabled template
+        restored = mgr.restore(template)
+        mgr.close()
+        assert restored is not None and int(restored.step) == 1
+        for e, p in zip(
+            jax.tree_util.tree_leaves(restored.ema_params),
+            jax.tree_util.tree_leaves(restored.params),
+        ):
+            np.testing.assert_array_equal(np.asarray(e), np.asarray(p))
