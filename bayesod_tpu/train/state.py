@@ -38,8 +38,28 @@ class TrainState(flax.struct.PyTreeNode):
 
 
 def make_lr_schedule(train_cfg) -> optax.Schedule:
-    """Linear warmup -> piecewise step decay (reference-style schedule,
-    SURVEY.md §2 "Trainer": step-decay; exact values YAML-configurable)."""
+    """Linear warmup -> decay. TrainConfig.lr_schedule picks the decay:
+    "step" = piecewise constant at lr_decay_steps by lr_decay_factor
+    (reference-style schedule, SURVEY.md §2 "Trainer"); "cosine" = cosine
+    from base_lr down to base_lr*lr_min_factor over total_steps. The step
+    argument counts OPTIMIZER UPDATES (under gradient accumulation
+    optax.MultiSteps only advances the inner schedule on apply steps)."""
+    if train_cfg.lr_schedule == "cosine":
+        return optax.warmup_cosine_decay_schedule(
+            init_value=(
+                train_cfg.base_lr / max(train_cfg.warmup_steps, 1)
+                if train_cfg.warmup_steps > 0
+                else train_cfg.base_lr
+            ),
+            peak_value=train_cfg.base_lr,
+            warmup_steps=max(train_cfg.warmup_steps, 0),
+            decay_steps=train_cfg.total_steps,
+            end_value=train_cfg.base_lr * train_cfg.lr_min_factor,
+        )
+    if train_cfg.lr_schedule != "step":
+        raise ValueError(
+            f"unknown TrainConfig.lr_schedule '{train_cfg.lr_schedule}'"
+        )
     boundaries = {
         int(s): train_cfg.lr_decay_factor for s in train_cfg.lr_decay_steps
     }
@@ -57,7 +77,11 @@ def make_lr_schedule(train_cfg) -> optax.Schedule:
 
 
 def make_optimizer(train_cfg) -> optax.GradientTransformation:
-    """SGD+momentum (reference default) or AdamW, with grad clipping."""
+    """SGD+momentum (reference default) or AdamW, with grad clipping.
+    grad_accum_steps > 1 wraps the whole chain in optax.MultiSteps: grads
+    are averaged over that many microsteps, the inner optimizer (and its
+    schedule) advances once per accumulation window, and non-apply
+    microsteps return zero updates (params unchanged)."""
     lr = make_lr_schedule(train_cfg)
     if train_cfg.optimizer == "sgd":
         opt = optax.chain(
@@ -70,6 +94,9 @@ def make_optimizer(train_cfg) -> optax.GradientTransformation:
         raise ValueError(f"unknown optimizer '{train_cfg.optimizer}'")
     if train_cfg.grad_clip_norm > 0:
         opt = optax.chain(optax.clip_by_global_norm(train_cfg.grad_clip_norm), opt)
+    accum = getattr(train_cfg, "grad_accum_steps", 1)
+    if accum > 1:
+        opt = optax.MultiSteps(opt, every_k_schedule=accum)
     return opt
 
 

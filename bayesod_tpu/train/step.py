@@ -123,9 +123,12 @@ def build_train_step(cfg: ExperimentConfig, anchors: jnp.ndarray, model=None):
         images = normalize_images(images, cfg.data.mean, cfg.data.std)
         targets = assign(anchors, gt_boxes, batch["gt_classes"], gt_valid)
 
+        # Warmup counts OPTIMIZER UPDATES: state.step counts microsteps, so
+        # divide out the accumulation factor (no-op at grad_accum_steps=1).
+        opt_step = state.step // tc.grad_accum_steps
         if tc.variance_warmup_steps > 0:
             var_w = jnp.clip(
-                state.step.astype(jnp.float32) / tc.variance_warmup_steps,
+                opt_step.astype(jnp.float32) / tc.variance_warmup_steps,
                 0.0,
                 1.0,
             )
@@ -149,6 +152,12 @@ def build_train_step(cfg: ExperimentConfig, anchors: jnp.ndarray, model=None):
         new_ema = state.ema_params
         if tc.ema_decay > 0:
             d = jnp.float32(tc.ema_decay)
+            if tc.grad_accum_steps > 1:
+                # Blend only on microsteps that applied an update (MultiSteps
+                # resets mini_step to 0 right after the k-th accumulation),
+                # so ema_decay keeps its per-optimizer-update meaning.
+                applied = (new_opt_state.mini_step == 0).astype(jnp.float32)
+                d = 1.0 - (1.0 - d) * applied
             new_ema = jax.tree_util.tree_map(
                 lambda e, p: (d * e.astype(jnp.float32)
                               + (1.0 - d) * p.astype(jnp.float32)

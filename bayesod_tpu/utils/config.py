@@ -243,8 +243,14 @@ class TrainConfig:
     weight_decay: float = 1e-4
     warmup_steps: int = 500
     total_steps: int = 90000
+    # LR schedule after warmup: "step" (piecewise decay at lr_decay_steps by
+    # lr_decay_factor — the reference-style detection schedule, SURVEY.md §2
+    # "Trainer") or "cosine" (decay to base_lr*lr_min_factor over
+    # total_steps; lr_decay_steps/factor ignored).
+    lr_schedule: str = "step"
     lr_decay_steps: Tuple[int, ...] = (60000, 80000)
     lr_decay_factor: float = 0.1
+    lr_min_factor: float = 0.0  # cosine floor, as a fraction of base_lr
     focal_alpha: float = 0.25
     focal_gamma: float = 2.0
     # Anchor<->GT matching thresholds (canonical RetinaNet; SURVEY.md §2).
@@ -262,6 +268,12 @@ class TrainConfig:
     # step; 0 disables the ramp (attenuation on from step 0).
     variance_warmup_steps: int = 2000
     grad_clip_norm: float = 10.0
+    # Gradient accumulation (optax.MultiSteps): average grads over this many
+    # train_step calls before ONE optimizer update — an effective batch of
+    # batch_size*grad_accum_steps in batch_size memory. state.step counts
+    # microsteps; the LR schedule and variance warmup count optimizer
+    # updates (step // grad_accum_steps). 1 = off.
+    grad_accum_steps: int = 1
     # Rematerialization of the forward pass in the backward ("none" |
     # "full"). "full" wraps the model apply in jax.checkpoint: saved
     # activations never round-trip HBM, the backward recomputes them —

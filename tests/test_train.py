@@ -69,6 +69,87 @@ class TestSchedule:
         assert float(sched(150)) == pytest.approx(0.1)
         assert float(sched(250)) == pytest.approx(0.01)
 
+    def test_cosine_warmup_peak_and_floor(self):
+        tc = TrainConfig(
+            base_lr=1.0, warmup_steps=10, total_steps=100,
+            lr_schedule="cosine", lr_min_factor=0.01,
+        )
+        sched = make_lr_schedule(tc)
+        assert float(sched(10)) == pytest.approx(1.0)
+        assert float(sched(100)) == pytest.approx(0.01, abs=1e-6)
+        assert float(sched(200)) == pytest.approx(0.01, abs=1e-6)  # clamped
+        vals = [float(sched(s)) for s in (10, 30, 60, 90)]
+        assert all(a > b for a, b in zip(vals, vals[1:]))
+        # Cosine midpoint of the decay span sits halfway peak->floor.
+        assert float(sched(55)) == pytest.approx((1.0 + 0.01) / 2, rel=0.05)
+
+    def test_unknown_schedule_raises(self):
+        with pytest.raises(ValueError, match="lr_schedule"):
+            make_lr_schedule(TrainConfig(lr_schedule="nope"))
+
+
+class TestGradAccumulation:
+    """grad_accum_steps=k averages k microbatch grads into ONE optimizer
+    update (optax.MultiSteps). With identical microbatches and dropout off,
+    k accumulated microsteps must reproduce the single-step update exactly,
+    and params must NOT move on non-apply microsteps."""
+
+    def _cfg(self, accum):
+        base = tiny_cfg(augment=False)
+        return dataclasses_replace_train(
+            base,
+            model=ModelConfig(
+                num_classes=3, backbone="resnet18", fpn_channels=32,
+                head_depth=1, head_channels=32, norm="groupnorm",
+                compute_dtype="float32", dropout_rate=0.0,
+            ),
+            train=TrainConfig(
+                batch_size=2, base_lr=1e-3, warmup_steps=0, total_steps=50,
+                grad_accum_steps=accum, checkpoint_every=1000, log_every=10,
+            ),
+        )
+
+    def test_accum_matches_single_step(self):
+        cfg1 = self._cfg(1)
+        cfg2 = self._cfg(2)
+        anchors = anchor_ops.generate_anchors(cfg1.data.image_hw, cfg1.anchors)
+        batch = make_batch(cfg1)
+
+        model1 = RetinaNet(cfg=cfg1.model, train=True)
+        s1 = create_train_state(
+            model1, cfg1.train, jax.random.PRNGKey(0), cfg1.data.image_hw
+        )
+        step1 = jax.jit(build_train_step(cfg1, anchors, model1))
+        s1_after, _ = step1(s1, batch)
+
+        model2 = RetinaNet(cfg=cfg2.model, train=True)
+        s2 = create_train_state(
+            model2, cfg2.train, jax.random.PRNGKey(0), cfg2.data.image_hw
+        )
+        step2 = jax.jit(build_train_step(cfg2, anchors, model2))
+        s2_mid, _ = step2(s2, batch)
+        # Non-apply microstep: params untouched.
+        for a, b in zip(
+            jax.tree_util.tree_leaves(s2.params),
+            jax.tree_util.tree_leaves(s2_mid.params),
+        ):
+            np.testing.assert_array_equal(np.array(a), np.array(b))
+        s2_after, _ = step2(s2_mid, batch)
+        # Apply microstep: identical to the unaccumulated update.
+        for a, b in zip(
+            jax.tree_util.tree_leaves(s1_after.params),
+            jax.tree_util.tree_leaves(s2_after.params),
+        ):
+            np.testing.assert_allclose(
+                np.array(a), np.array(b), rtol=1e-5, atol=1e-7
+            )
+
+
+def dataclasses_replace_train(cfg, **kw):
+    import dataclasses
+
+    return dataclasses.replace(cfg, **kw)
+
 
 @pytest.fixture(scope="module")
 def tiny_setup():
@@ -310,6 +391,35 @@ class TestEMA:
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+    def test_restore_migrates_pre_ema_checkpoint(self, tmp_path):
+        """A checkpoint saved WITHOUT ema_params (ema_decay=0 or older code)
+        restores into an EMA-enabled template: EMA initialized AT the
+        restored params instead of failing the Orbax structure match."""
+        from bayesod_tpu.train import CheckpointManager
+
+        cfg0, model, anchors, state0 = self._setup(decay=0.0)
+        assert state0.ema_params == {}
+        step_fn = jax.jit(build_train_step(cfg0, anchors, model))
+        state0, _ = step_fn(state0, make_batch(cfg0))
+        mgr = CheckpointManager(str(tmp_path / "old"), async_save=False)
+        mgr.save(state0)
+        mgr.wait()
+
+        cfg1, model1, _, _ = self._setup(decay=0.9)
+        template = create_train_state(
+            model1, cfg1.train, jax.random.PRNGKey(7), cfg1.data.image_hw
+        )
+        assert template.ema_params  # EMA-enabled template
+        restored = mgr.restore(template)
+        mgr.close()
+        assert restored is not None and int(restored.step) == 1
+        for e, p in zip(
+            jax.tree_util.tree_leaves(restored.ema_params),
+            jax.tree_util.tree_leaves(restored.params),
+        ):
+            np.testing.assert_array_equal(np.asarray(e), np.asarray(p))
+
+
 class TestEvalStep:
     def test_val_loss_logged_and_deterministic(self, tmp_path):
         """eval_every logs val/ metrics from fixed batches; the eval step is
@@ -355,32 +465,3 @@ class TestEvalStep:
         m2 = step(state, batch)
         assert float(m1["loss"]) == float(m2["loss"])
 
-    def test_restore_migrates_pre_ema_checkpoint(self, tmp_path):
-        """A checkpoint saved WITHOUT ema_params (ema_decay=0 or older code)
-        restores into an EMA-enabled template: EMA initialized AT the
-        restored params instead of failing the Orbax structure match."""
-        import dataclasses
-
-        from bayesod_tpu.train import CheckpointManager
-
-        cfg0, model, anchors, state0 = self._setup(decay=0.0)
-        assert state0.ema_params == {}
-        step_fn = jax.jit(build_train_step(cfg0, anchors, model))
-        state0, _ = step_fn(state0, make_batch(cfg0))
-        mgr = CheckpointManager(str(tmp_path / "old"), async_save=False)
-        mgr.save(state0)
-        mgr.wait()
-
-        cfg1, model1, _, _ = self._setup(decay=0.9)
-        template = create_train_state(
-            model1, cfg1.train, jax.random.PRNGKey(7), cfg1.data.image_hw
-        )
-        assert template.ema_params  # EMA-enabled template
-        restored = mgr.restore(template)
-        mgr.close()
-        assert restored is not None and int(restored.step) == 1
-        for e, p in zip(
-            jax.tree_util.tree_leaves(restored.ema_params),
-            jax.tree_util.tree_leaves(restored.params),
-        ):
-            np.testing.assert_array_equal(np.asarray(e), np.asarray(p))
