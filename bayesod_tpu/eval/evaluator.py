@@ -97,11 +97,12 @@ def run_inference(
     rng = jax.random.PRNGKey(seed)
     records: List[Dict] = []
     seen = 0
-    for bi, batch in enumerate(loader):
-        if seen >= n:
-            break
-        out = detect(variables, batch["image"], jax.random.fold_in(rng, bi))
-        out = jax.tree_util.tree_map(np.asarray, out)
+
+    def drain(bi, batch, out_dev) -> None:
+        """Fetch one dispatched batch (the only true sync point) and write
+        its records."""
+        nonlocal seen
+        out = jax.tree_util.tree_map(np.asarray, out_dev)
         bsz = batch["image"].shape[0]
         for i in range(bsz):
             if seen >= n:
@@ -134,6 +135,22 @@ def run_inference(
                 }
             )
             seen += 1
+
+    # Double-buffered drive: dispatch batch bi+1 before fetching batch bi's
+    # results, so the host side (loader decode, H2D, record marshalling)
+    # overlaps device compute instead of serializing against it.
+    pending = None
+    for bi, batch in enumerate(loader):
+        if seen >= n:
+            break
+        out_dev = detect(
+            variables, batch["image"], jax.random.fold_in(rng, bi)
+        )
+        if pending is not None:
+            drain(*pending)
+        pending = (bi, batch, out_dev)
+    if pending is not None and seen < n:
+        drain(*pending)
     if out_path:
         os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)
         with open(out_path, "w") as f:

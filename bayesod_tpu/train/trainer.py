@@ -13,6 +13,7 @@ import time
 from typing import Callable, Dict, Optional
 
 import jax
+import numpy as np
 
 from bayesod_tpu.data import Loader, make_dataset
 from bayesod_tpu.models.retinanet import RetinaNet
@@ -73,16 +74,28 @@ def train(
     state = mesh_lib.replicate_state(state, mesh)
 
     # --- data ----------------------------------------------------------------
+    # Multi-host: each process loads batch_size/process_count examples from
+    # its disjoint shard of the seeded global order; mesh_lib.shard_batch
+    # assembles the logically-global batch (SURVEY.md §5.8). Single-process
+    # (process_count=1) reduces to the plain global loader.
+    n_proc = jax.process_count()
+    if tc.batch_size % n_proc:
+        raise ValueError(
+            f"batch_size={tc.batch_size} must be divisible by the process "
+            f"count ({n_proc}) for multi-host input sharding"
+        )
     dataset = make_dataset(cfg.data, split="train")
     loader = Loader(
         dataset,
-        batch_size=tc.batch_size,
+        batch_size=tc.batch_size // n_proc,
         image_hw=cfg.data.image_hw,
         max_gt_boxes=cfg.data.max_gt_boxes,
         shuffle=True,
         seed=tc.seed,
         num_epochs=None,  # repeat forever; step count terminates
         cache=cfg.data.cache_examples,
+        shard_index=jax.process_index(),
+        shard_count=n_proc,
     )
 
     # --- compiled step ---------------------------------------------------------
@@ -132,12 +145,27 @@ def train(
     t_last = time.time()
     imgs_since = 0
 
+    # The loop tracks the step count ON HOST (start_step + calls): fetching
+    # int(state.step) each iteration is a D2H sync on the just-dispatched
+    # step, which serializes the host (loader decode + shard/H2D of the
+    # next batch) against device compute. With the async dispatch queue the
+    # host instead runs ahead, overlapping input work with the device step.
+    # Run-ahead is bounded by fetching one scalar from the step lagging
+    # MAX_INFLIGHT behind (a real D2H fetch — on this remote-PJRT tunnel
+    # block_until_ready can return early, only fetches truly sync), capping
+    # live batch buffers in HBM.
+    MAX_INFLIGHT = 2
+    inflight: list = []
+    step = start_step
+
     for batch in loader:
-        step = int(state.step)
         if step >= total_steps:
             break
         device_batch = mesh_lib.shard_batch(batch, mesh, cfg.mesh)
         state, metrics = step_fn(state, device_batch)
+        inflight.append(metrics["loss"])
+        if len(inflight) > MAX_INFLIGHT:
+            np.asarray(inflight.pop(0))
         imgs_since += tc.batch_size
 
         next_step = step + 1
@@ -168,6 +196,7 @@ def train(
                 )
         if next_step % tc.checkpoint_every == 0 or next_step == total_steps:
             ckpt.save(state, step=next_step)
+        step = next_step
 
     ckpt.wait()
     logger.close()
