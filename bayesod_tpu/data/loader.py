@@ -84,6 +84,13 @@ class Loader:
       prefetch: ready-batch queue depth.
       drop_remainder: always True semantics — fixed shapes require full
         batches; the final partial batch of an epoch is dropped.
+      shard_index/shard_count: multi-host input sharding. Every process
+        computes the SAME seeded global epoch order, then takes the strided
+        slice order[shard_index::shard_count] — shards are disjoint, cover
+        the epoch, and stay balanced under shuffle with zero cross-host
+        coordination. Pass jax.process_index()/process_count() and the
+        per-process batch size; parallel/mesh.shard_batch assembles the
+        logically-global array from the local shards (SURVEY.md §5.8).
     """
 
     def __init__(
@@ -98,7 +105,14 @@ class Loader:
         prefetch: int = 4,
         num_epochs: Optional[int] = None,
         cache: bool = False,
+        shard_index: int = 0,
+        shard_count: int = 1,
     ):
+        if not 0 <= shard_index < shard_count:
+            raise ValueError(
+                f"shard_index={shard_index} out of range for "
+                f"shard_count={shard_count}"
+            )
         self.dataset = dataset
         self.batch_size = batch_size
         self.image_hw = tuple(image_hw)
@@ -108,6 +122,8 @@ class Loader:
         self.num_workers = num_workers
         self.prefetch = prefetch
         self.num_epochs = num_epochs
+        self.shard_index = shard_index
+        self.shard_count = shard_count
         # Optional cross-epoch memoization of prepared examples
         # (DataConfig.cache_examples). Handlers are deterministic per
         # index, so this is semantically identity. Entries are _Once cells
@@ -118,13 +134,18 @@ class Loader:
         self._cache_lock = threading.Lock()
 
     def steps_per_epoch(self) -> int:
-        return len(self.dataset) // self.batch_size
+        shard_len = len(
+            range(self.shard_index, len(self.dataset), self.shard_count)
+        )
+        return shard_len // self.batch_size
 
     def _epoch_order(self, epoch: int) -> np.ndarray:
         order = np.arange(len(self.dataset))
         if self.shuffle:
             np.random.default_rng(self.seed + epoch).shuffle(order)
-        return order
+        # Strided slice of the (identical-on-every-host) global order:
+        # disjoint per-process shards without coordination.
+        return order[self.shard_index :: self.shard_count]
 
     def _batch_indices(self):
         """Yields per-batch index arrays across epochs (full batches only)."""

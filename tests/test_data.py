@@ -400,6 +400,46 @@ class TestLoaderAndSynthetic:
         # 2 epochs x 6 examples, but each index prepared only once.
         assert len(calls) == 6
 
+    def test_loader_host_shards_disjoint_and_cover(self):
+        """Multi-host input sharding (shard_index/shard_count): every
+        simulated process computes the same seeded global order and takes a
+        strided slice — shards are disjoint, their union is the epoch, and
+        each host's batches are locally full-shape."""
+
+        class Tagged(SyntheticDataset):
+            def example(self, index):
+                ex = super().example(index)
+                ex["image"] = ex["image"].copy()
+                ex["image"][0, 0, 0] = index  # recover the index from pixels
+                return ex
+
+        ds = Tagged(size=16, image_hw=(32, 32))
+        seen = []
+        for host in range(4):
+            loader = Loader(
+                ds, batch_size=2, image_hw=(32, 32), num_epochs=1, seed=5,
+                num_workers=1, shard_index=host, shard_count=4,
+            )
+            assert loader.steps_per_epoch() == 2
+            ids = [
+                int(b["image"][i, 0, 0, 0])
+                for b in loader
+                for i in range(b["image"].shape[0])
+            ]
+            assert len(ids) == 4  # 16/4 per host
+            seen.append(set(ids))
+        union = set().union(*seen)
+        assert union == set(range(16))
+        assert sum(len(s) for s in seen) == len(union)  # disjoint
+
+    def test_loader_shard_validation(self):
+        ds = SyntheticDataset(size=4, image_hw=(32, 32))
+        with pytest.raises(ValueError, match="shard_index"):
+            Loader(
+                ds, batch_size=2, image_hw=(32, 32), shard_index=2,
+                shard_count=2,
+            )
+
     def test_loader_shuffle_reproducible(self):
         ds = SyntheticDataset(size=8, image_hw=(32, 32))
         mk = lambda: Loader(
