@@ -151,6 +151,25 @@ def main() -> None:
         help="bench the deep-ensemble estimator: M random members, one "
         "deterministic pass each (bayes.epistemic='ensemble'; dense route)",
     )
+    p.add_argument(
+        "--serve", action="store_true",
+        help="online-serving bench: concurrent clients -> DetectionServer "
+        "dynamic batching -> device; reports sustained img/s + request "
+        "latency percentiles (includes host resize/pad + D2H fetch per "
+        "batch — the end-to-end serving number, not the device-only rate)",
+    )
+    p.add_argument(
+        "--clients", type=int, default=None,
+        help="concurrent serve clients (default 2x batch)",
+    )
+    p.add_argument(
+        "--serve_seconds", type=float, default=10.0,
+        help="measured window for --serve (after a 30%% warm period)",
+    )
+    p.add_argument(
+        "--serve_delay_ms", type=float, default=5.0,
+        help="DetectionServer max_delay_ms batching window",
+    )
     args = p.parse_args()
 
     if args.loader:
@@ -278,6 +297,10 @@ def main() -> None:
     else:
         model = RetinaNet(cfg=cfg.model, train=False)
         variables = init_variables(model, jax.random.PRNGKey(0), image_hw)
+    if args.serve:
+        _bench_serve(cfg, variables, args)
+        return
+
     detect = build_detect_fn(cfg, model)
 
     rng = jax.random.PRNGKey(7)
@@ -341,6 +364,84 @@ def main() -> None:
         file=sys.stderr,
     )
     print(json.dumps(result))
+
+
+def _bench_serve(cfg, variables, args) -> None:
+    """Online-serving throughput: concurrent clients submit camera-sized
+    frames through DetectionServer's dynamic batching. Unlike the chained
+    device bench, every request pays host resize/pad, the batching wait,
+    and a real per-batch D2H fetch (np.asarray inside Detector.__call__
+    truly syncs, so wall-clock timing is trustworthy even over the
+    tunnel) — this is the number an online deployment sees."""
+    import threading
+
+    from bayesod_tpu.infer.api import Detector
+    from bayesod_tpu.infer.server import DetectionServer
+
+    det = Detector(cfg, variables, batch_size=args.batch)
+    rng = np.random.default_rng(0)
+    # KITTI-native camera frames: the host resize/pad to image_hw is part
+    # of the measured work.
+    frames = [
+        rng.integers(0, 255, (375, 1242, 3), dtype=np.uint8)
+        for _ in range(8)
+    ]
+    t0 = time.time()
+    det([frames[0]] * args.batch)
+    print(f"[bench] compile+first run: {time.time() - t0:.1f}s",
+          file=sys.stderr)
+
+    n_clients = args.clients or 2 * args.batch
+    stop = threading.Event()
+    lock = threading.Lock()
+    latencies: list = []
+
+    def client(i: int, srv: DetectionServer) -> None:
+        k = 0
+        while not stop.is_set():
+            t = time.monotonic()
+            srv.detect(frames[(i + k) % len(frames)], timeout=600)
+            with lock:
+                latencies.append(time.monotonic() - t)
+            k += 1
+
+    with DetectionServer(det, max_delay_ms=args.serve_delay_ms) as srv:
+        threads = [
+            threading.Thread(target=client, args=(i, srv), daemon=True)
+            for i in range(n_clients)
+        ]
+        for t in threads:
+            t.start()
+        time.sleep(max(args.serve_seconds * 0.3, 1.0))  # reach steady state
+        with lock:
+            latencies.clear()
+        req0, bat0, t0 = (
+            srv.stats.requests, srv.stats.batches, time.monotonic()
+        )
+        time.sleep(args.serve_seconds)
+        reqs, elapsed = srv.stats.requests - req0, time.monotonic() - t0
+        nbatches = srv.stats.batches - bat0
+        with lock:
+            lat = sorted(latencies)
+        fill = reqs / nbatches if nbatches else float("nan")
+        stop.set()
+        for t in threads:
+            t.join(timeout=120)
+
+    rps = reqs / elapsed
+    p50 = lat[len(lat) // 2] * 1e3 if lat else float("nan")
+    p99 = lat[min(len(lat) - 1, int(len(lat) * 0.99))] * 1e3 if lat else float("nan")
+    print(
+        f"[bench] serve clients={n_clients} batch={args.batch} "
+        f"fill={fill:.1f} p50={p50:.1f}ms p99={p99:.1f}ms",
+        file=sys.stderr,
+    )
+    print(json.dumps({
+        "metric": f"serve_images_per_sec@{args.samples}mc_bayesod",
+        "value": round(rps, 2),
+        "unit": "images/sec/chip",
+        "vs_baseline": round(rps / 500.0, 4),
+    }))
 
 
 def _bench_train(cfg, args) -> None:
