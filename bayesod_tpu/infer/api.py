@@ -34,18 +34,48 @@ class Detector:
         variables,
         batch_size: int = 1,
         seed: int = 0,
+        mesh=None,
     ):
+        """mesh (optional): a `jax.sharding.Mesh` for multi-device serving.
+        The batch is split over the mesh's data axis (and MC samples over
+        its sample axis when cfg.mesh.sample_parallel > 1) exactly as
+        eval.evaluator.run_inference's mesh route; batch_size must divide
+        the data axis. Pairs with DetectionServer for online multi-chip
+        serving."""
         self.cfg = cfg
-        self.variables = variables
         self.batch_size = batch_size
         self._model = RetinaNet(cfg=cfg.model, train=False)
-        detect_raw = build_detect_fn(cfg, self._model)
+        detect_raw = build_detect_fn(
+            cfg, self._model, mesh=mesh,
+            mesh_cfg=cfg.mesh if mesh is not None else None,
+        )
 
         def _detect(variables, images_u8, rng):
             images = normalize_images(images_u8, cfg.data.mean, cfg.data.std)
             return detect_raw(variables, images, rng)
 
-        self._detect = jax.jit(_detect)
+        if mesh is not None:
+            from bayesod_tpu.parallel import mesh as mesh_lib
+
+            n_data = mesh.shape[cfg.mesh.data_axis]
+            if batch_size % n_data:
+                raise ValueError(
+                    f"batch_size={batch_size} must divide the mesh data "
+                    f"axis ({n_data} devices)"
+                )
+            self._detect = jax.jit(
+                _detect,
+                in_shardings=(
+                    mesh_lib.replicated(mesh),
+                    mesh_lib.batch_sharding(mesh, cfg.mesh),
+                    mesh_lib.replicated(mesh),
+                ),
+            )
+            variables = jax.device_put(variables, mesh_lib.replicated(mesh))
+        else:
+            self._detect = jax.jit(_detect)
+        self.variables = variables
+        self._mesh = mesh
         self._rng = jax.random.PRNGKey(seed)
         self._calls = 0
 
@@ -57,6 +87,7 @@ class Detector:
         yaml_path_or_cfg: Union[str, ExperimentConfig],
         batch_size: int = 1,
         rng: Optional[jax.Array] = None,
+        mesh=None,
     ) -> "Detector":
         """Random-init weights (smoke/serving-shape tests)."""
         cfg = _load(yaml_path_or_cfg)
@@ -65,7 +96,7 @@ class Detector:
             rng if rng is not None else jax.random.PRNGKey(0),
             cfg.data.image_hw,
         )
-        return cls(cfg, variables, batch_size)
+        return cls(cfg, variables, batch_size, mesh=mesh)
 
     @classmethod
     def from_checkpoint(
@@ -74,6 +105,7 @@ class Detector:
         checkpoint_dir: Optional[str] = None,
         batch_size: int = 1,
         use_ema: bool = False,
+        mesh=None,
     ) -> "Detector":
         """Restore the latest Orbax checkpoint (SURVEY.md §5.4 restore flow).
 
@@ -84,7 +116,9 @@ class Detector:
         from bayesod_tpu.train import restore_state
 
         state = restore_state(cfg, checkpoint_dir)
-        return cls(cfg, state.variables(use_ema=use_ema), batch_size)
+        return cls(
+            cfg, state.variables(use_ema=use_ema), batch_size, mesh=mesh
+        )
 
     @classmethod
     def from_ensemble(
@@ -92,6 +126,7 @@ class Detector:
         yaml_path_or_cfg: Union[str, ExperimentConfig],
         members: Union[int, Sequence],
         batch_size: int = 1,
+        mesh=None,
     ) -> "Detector":
         """Deep-ensemble detector (BayesConfig.epistemic docs): the sample
         axis comes from M independent weight sets instead of (or, with
@@ -127,7 +162,7 @@ class Detector:
             ]
         else:
             trees = list(members)
-        return cls(cfg, stack_variables(trees), batch_size)
+        return cls(cfg, stack_variables(trees), batch_size, mesh=mesh)
 
     def with_temperature(self, t: float, where: str = "output") -> "Detector":
         """New Detector with temperature-calibrated categoricals (fit T with
@@ -157,7 +192,7 @@ class Detector:
                     self.cfg.bayes, output_temperature=float(t)
                 ),
             )
-            return Detector(cfg, self.variables, self.batch_size)
+            return Detector(cfg, self.variables, self.batch_size, mesh=self._mesh)
         if where != "logits":
             raise ValueError(f"where must be 'output' or 'logits', got {where}")
         # Shallow-copy along the path (arrays are immutable; everything else
@@ -170,7 +205,7 @@ class Detector:
         params["heads"] = heads
         variables = dict(self.variables)
         variables["params"] = params
-        return Detector(self.cfg, variables, self.batch_size)
+        return Detector(self.cfg, variables, self.batch_size, mesh=self._mesh)
 
     def quantized(
         self,
@@ -219,7 +254,7 @@ class Detector:
             base, self.variables, normalized, margin=margin,
             backbone=backbone, trunk=trunk, fpn=fpn,
         )
-        return Detector(cfg8, self.variables, self.batch_size)
+        return Detector(cfg8, self.variables, self.batch_size, mesh=self._mesh)
 
     # -- inference ------------------------------------------------------------
 

@@ -62,6 +62,84 @@ def test_fold_in_rng_advances(det):
     assert not same
 
 
+class TestMeshDetector:
+    """Detector(mesh=...): multi-device online serving through the same
+    high-level API — results must match the single-device Detector."""
+
+    def _cfg(self):
+        import dataclasses
+
+        from bayesod_tpu.utils.config import MeshConfig
+
+        return ExperimentConfig(
+            name="api_mesh",
+            model=ModelConfig(
+                num_classes=3, backbone="resnet18", fpn_channels=32,
+                head_depth=1, head_channels=32, norm="groupnorm",
+                compute_dtype="float32",
+            ),
+            bayes=BayesConfig(
+                num_mc_samples=2, score_threshold=0.0, pre_cluster_topk=32,
+                max_detections=8,
+            ),
+            data=DataConfig(dataset="synthetic", image_hw=(128, 128)),
+            mesh=MeshConfig(data_parallel=4, sample_parallel=1),
+        )
+
+    def test_parity_with_single_device(self):
+        from bayesod_tpu.parallel import mesh as mesh_lib
+
+        cfg = self._cfg()
+        mesh = mesh_lib.make_mesh(cfg.mesh, jax.devices()[:4])
+        det_mesh = Detector.from_config(cfg, batch_size=4, mesh=mesh)
+        det_one = Detector.from_config(cfg, batch_size=4)
+        imgs = [
+            np.random.default_rng(i).integers(
+                0, 255, (100, 180, 3), dtype=np.uint8
+            )
+            for i in range(4)
+        ]
+        rng = jax.random.PRNGKey(3)
+        a = det_mesh(imgs, rng=rng)
+        b = det_one(imgs, rng=rng)
+        for x, y in zip(a, b):
+            np.testing.assert_allclose(
+                x["boxes"], y["boxes"], rtol=1e-5, atol=1e-4
+            )
+            np.testing.assert_array_equal(x["classes"], y["classes"])
+            np.testing.assert_allclose(
+                x["probs"], y["probs"], rtol=1e-5, atol=1e-6
+            )
+
+    def test_batch_must_divide_data_axis(self):
+        from bayesod_tpu.parallel import mesh as mesh_lib
+
+        cfg = self._cfg()
+        mesh = mesh_lib.make_mesh(cfg.mesh, jax.devices()[:4])
+        with pytest.raises(ValueError, match="divide the mesh data axis"):
+            Detector.from_config(cfg, batch_size=3, mesh=mesh)
+
+    def test_server_over_mesh_detector(self):
+        from bayesod_tpu.infer.server import DetectionServer
+        from bayesod_tpu.parallel import mesh as mesh_lib
+
+        cfg = self._cfg()
+        mesh = mesh_lib.make_mesh(cfg.mesh, jax.devices()[:4])
+        det = Detector.from_config(cfg, batch_size=4, mesh=mesh)
+        imgs = [
+            np.random.default_rng(10 + i).integers(
+                0, 255, (128, 128, 3), dtype=np.uint8
+            )
+            for i in range(8)
+        ]
+        with DetectionServer(det, max_delay_ms=500.0) as srv:
+            out = srv.detect_many(imgs, timeout=300)
+        assert len(out) == 8
+        for rec in out:
+            assert np.isfinite(rec["boxes"]).all()
+            assert rec["covs"].shape[-2:] == (4, 4)
+
+
 def test_from_checkpoint_missing_raises(tmp_path):
     cfg = ExperimentConfig(
         name="api_missing",
