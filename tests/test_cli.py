@@ -161,3 +161,75 @@ def test_infer_export_artifact(tmp_path):
         jax.numpy.asarray([1, 2], jax.numpy.uint32),
     )
     assert np.isfinite(out["boxes"]).all()
+
+
+@pytest.mark.slow
+def test_serve_cli_http_endpoint(tmp_path):
+    """cli.serve end-to-end: subprocess daemon, real HTTP detect round-trip
+    (random-init weights; tiny synthetic config)."""
+    import socket
+    import time
+    import urllib.request
+
+    cfg_path = os.path.join(REPO, "configs", "tiny_synthetic.yaml")
+    with socket.socket() as s:  # pick a free ephemeral port
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+
+    code = (
+        "import jax; jax.config.update('jax_platforms', 'cpu');"
+        "import runpy, sys; sys.argv = ['bayesod_tpu.cli.serve', "
+        f"'--yaml_path', {cfg_path!r}, '--allow_random', "
+        f"'--host', '127.0.0.1', '--port', '{port}', '--batch_size', '2', "
+        "'bayes.num_mc_samples=2'];"
+        "runpy.run_module('bayesod_tpu.cli.serve', run_name='__main__')"
+    )
+    env = dict(os.environ)
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    proc = subprocess.Popen(
+        [sys.executable, "-c", code],
+        stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+        cwd=str(tmp_path), env=env,
+    )
+    try:
+        deadline = time.time() + 300
+        up = False
+        while time.time() < deadline:
+            if proc.poll() is not None:
+                raise AssertionError(
+                    f"serve exited early: {proc.stderr.read()[-2000:]}"
+                )
+            try:
+                with urllib.request.urlopen(
+                    f"http://127.0.0.1:{port}/healthz", timeout=5
+                ) as r:
+                    up = json.load(r)["ok"]
+                    break
+            except Exception:
+                time.sleep(2.0)
+        assert up, "server never became healthy"
+
+        import numpy as np
+
+        cv2 = pytest.importorskip("cv2")
+        img = np.random.default_rng(0).integers(
+            0, 255, (96, 160, 3), dtype=np.uint8
+        )
+        ok, buf = cv2.imencode(".png", img[..., ::-1])
+        assert ok
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/detect",
+            data=buf.tobytes(), method="POST",
+        )
+        with urllib.request.urlopen(req, timeout=300) as r:
+            payload = json.load(r)
+        det = payload["detections"]
+        assert {"boxes", "covs", "probs", "scores"} <= set(det)
+        with urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/stats", timeout=10
+        ) as r:
+            stats = json.load(r)
+        assert stats["requests"] >= 1
+    finally:
+        proc.kill()
+        proc.wait()
