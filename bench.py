@@ -230,7 +230,7 @@ def main() -> None:
         raise SystemExit("--ensemble and int8_resident are exclusive "
                          "(calibration assumes one weight set)")
 
-    dev = jax.devices()[0]
+    dev = _probe_backend()
     print(f"[bench] device: {dev.device_kind} ({dev.platform})", file=sys.stderr)
 
     if args.train:
@@ -364,6 +364,29 @@ def main() -> None:
         file=sys.stderr,
     )
     print(json.dumps(result))
+
+
+def _probe_backend(timeout_s: float = 600.0):
+    """First backend touch with a watchdog: the remote-TPU tunnel's init
+    HANGS indefinitely when the tunnel is down (observed 2026-08-17/18),
+    which would stall the whole bench run silently. Probe jax.devices() in
+    a thread; on timeout, exit nonzero with a clear message instead."""
+    import threading
+
+    out = []
+    t = threading.Thread(target=lambda: out.append(jax.devices()[0]),
+                         daemon=True)
+    t.start()
+    t.join(timeout_s)
+    if not out:
+        print(
+            f"[bench] FATAL: backend init did not complete in {timeout_s:.0f}s "
+            "— the TPU tunnel is likely down (retry later or use --cpu for a "
+            "mechanics check)",
+            file=sys.stderr,
+        )
+        os._exit(2)
+    return out[0]
 
 
 def _bench_serve(cfg, variables, args) -> None:
