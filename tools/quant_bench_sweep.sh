@@ -29,3 +29,11 @@ run bdd_roofline --hw 768 1280 --classes 10 --batch 48 --roofline
 run ensemble_m4 --ensemble 4 --batch 64
 # Flagship-scale synthetic learning validation (chained: one TPU job at a time)
 bash /root/repo/tools/flagship_synth_run.sh
+
+# --- session-6 additions (auto-run on tunnel recovery) -----------------------
+# Online-serving number through the dynamic batcher (host+tunnel-inclusive;
+# small batch — the tunnel's H2D bound dominates at large batches).
+run serve_b8 --serve --batch 8 --serve_seconds 20 --clients 16
+# Training-step rate with the async host loop (device-resident; unchanged
+# methodology) + the real train() loop rate via the flagship synth run above.
+run train_b32 --train --batch 32
