@@ -64,16 +64,23 @@ def main(argv=None) -> None:
     overrides = dict(parse_override(o) for o in args.overrides)
     cfg = load_config(args.yaml_path, overrides)
 
+    from bayesod_tpu.train import restore_state
+
+    # Same restore semantics as cli/infer: --allow_random covers ONLY the
+    # no-checkpoint case (restore_state missing_ok); a corrupt checkpoint
+    # or model-build error still fails loudly instead of silently serving
+    # random weights.
     try:
-        det = Detector.from_checkpoint(
-            cfg, args.checkpoint_dir, batch_size=args.batch_size,
-            use_ema=args.ema,
+        state = restore_state(
+            cfg, args.checkpoint_dir, missing_ok=args.allow_random
         )
-    except Exception:
-        if not args.allow_random:
-            raise
-        print("no checkpoint found; serving RANDOM-INIT weights (smoke mode)")
-        det = Detector.from_config(cfg, batch_size=args.batch_size)
+    except FileNotFoundError as e:
+        raise SystemExit(f"{e} (use --allow_random for smoke runs)")
+    if int(state.step) == 0:
+        print("serving RANDOM-INIT weights (no checkpoint restored)")
+    det = Detector(
+        cfg, state.variables(use_ema=args.ema), batch_size=args.batch_size
+    )
 
     if args.quantize:
         if args.calib_dir:

@@ -69,18 +69,8 @@ def run_inference(
         )
 
     if mesh is not None:
-        n_data = mesh.shape[cfg.mesh.data_axis]
-        if batch_size % n_data:
-            raise ValueError(
-                f"batch_size={batch_size} must divide data axis ({n_data})"
-            )
-        detect = jax.jit(
-            detect_uint8,
-            in_shardings=(
-                mesh_lib.replicated(mesh),
-                mesh_lib.batch_sharding(mesh, cfg.mesh),
-                mesh_lib.replicated(mesh),
-            ),
+        detect = mesh_lib.jit_serving_fn(
+            detect_uint8, mesh, cfg.mesh, batch_size
         )
         variables = jax.device_put(variables, mesh_lib.replicated(mesh))
     else:

@@ -57,19 +57,8 @@ class Detector:
         if mesh is not None:
             from bayesod_tpu.parallel import mesh as mesh_lib
 
-            n_data = mesh.shape[cfg.mesh.data_axis]
-            if batch_size % n_data:
-                raise ValueError(
-                    f"batch_size={batch_size} must divide the mesh data "
-                    f"axis ({n_data} devices)"
-                )
-            self._detect = jax.jit(
-                _detect,
-                in_shardings=(
-                    mesh_lib.replicated(mesh),
-                    mesh_lib.batch_sharding(mesh, cfg.mesh),
-                    mesh_lib.replicated(mesh),
-                ),
+            self._detect = mesh_lib.jit_serving_fn(
+                _detect, mesh, cfg.mesh, batch_size
             )
             variables = jax.device_put(variables, mesh_lib.replicated(mesh))
         else:

@@ -43,20 +43,18 @@ class ServerStats:
 
     requests: int = 0
     batches: int = 0
-    filled_slots: int = 0
     errors: int = 0
 
     @property
     def mean_batch_fill(self) -> float:
         """Average images per executed batch (the batching win: 1.0 means
         no coalescing happened, detector.batch_size means perfect fill)."""
-        return self.filled_slots / self.batches if self.batches else 0.0
+        return self.requests / self.batches if self.batches else 0.0
 
     def as_dict(self) -> Dict[str, float]:
         return {
             "requests": self.requests,
             "batches": self.batches,
-            "filled_slots": self.filled_slots,
             "errors": self.errors,
             "mean_batch_fill": self.mean_batch_fill,
         }
@@ -80,6 +78,10 @@ class DetectionServer:
         self.stats = ServerStats()
         self._queue: "queue.Queue" = queue.Queue()
         self._closed = False
+        # Guards the closed-flag/enqueue pair: without it a submit() that
+        # passed the closed check could enqueue BEHIND close()'s sentinel
+        # and its Future would never resolve.
+        self._submit_lock = threading.Lock()
         self._worker = threading.Thread(
             target=self._run, name="bayesod-serve-worker", daemon=True
         )
@@ -91,13 +93,14 @@ class DetectionServer:
         """Enqueue one HxWx3 uint8 image; resolves to Detector.__call__'s
         per-image dict (boxes/covs/probs/scores/entropy/classes, original
         coordinates). Thread-safe."""
-        if self._closed:
-            raise RuntimeError("DetectionServer is closed")
         img = np.asarray(image)
         if img.ndim != 3 or img.shape[-1] != 3:
             raise ValueError(f"expected HxWx3 image, got shape {img.shape}")
         fut: Future = Future()
-        self._queue.put((img, fut))
+        with self._submit_lock:
+            if self._closed:
+                raise RuntimeError("DetectionServer is closed")
+            self._queue.put((img, fut))
         return fut
 
     def detect(self, image: np.ndarray, timeout: Optional[float] = None):
@@ -112,10 +115,11 @@ class DetectionServer:
 
     def close(self) -> None:
         """Stop the worker after draining already-queued requests."""
-        if self._closed:
-            return
-        self._closed = True
-        self._queue.put(self._SENTINEL)
+        with self._submit_lock:
+            if self._closed:
+                return
+            self._closed = True
+            self._queue.put(self._SENTINEL)
         self._worker.join()
 
     def __enter__(self) -> "DetectionServer":
@@ -160,7 +164,6 @@ class DetectionServer:
                 if not fut.cancelled():
                     fut.set_result(res)
             self.stats.requests += len(batch)
-            self.stats.filled_slots += len(batch)
             self.stats.batches += 1
 
 

@@ -83,6 +83,27 @@ def shard_batch(batch: Dict, mesh: Mesh, mesh_cfg: MeshConfig) -> Dict:
     )
 
 
+def jit_serving_fn(fn, mesh: Mesh, mesh_cfg: MeshConfig, batch_size: int):
+    """jit a `(variables, images, rng) -> out` serving fn with the mesh
+    layout: replicated variables/rng, data-sharded batch. The one serving
+    jit recipe shared by infer.api.Detector(mesh=...) and
+    eval.evaluator.run_inference's mesh route."""
+    n_data = mesh.shape[mesh_cfg.data_axis]
+    if batch_size % n_data:
+        raise ValueError(
+            f"batch_size={batch_size} must divide the mesh data axis "
+            f"({n_data} devices)"
+        )
+    return jax.jit(
+        fn,
+        in_shardings=(
+            replicated(mesh),
+            batch_sharding(mesh, mesh_cfg),
+            replicated(mesh),
+        ),
+    )
+
+
 def replicate_state(state, mesh: Mesh):
     """device_put the train state fully replicated over the mesh."""
     rep = replicated(mesh)

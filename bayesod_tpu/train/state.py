@@ -41,37 +41,51 @@ def make_lr_schedule(train_cfg) -> optax.Schedule:
     """Linear warmup -> decay. TrainConfig.lr_schedule picks the decay:
     "step" = piecewise constant at lr_decay_steps by lr_decay_factor
     (reference-style schedule, SURVEY.md §2 "Trainer"); "cosine" = cosine
-    from base_lr down to base_lr*lr_min_factor over total_steps. The step
-    argument counts OPTIMIZER UPDATES (under gradient accumulation
-    optax.MultiSteps only advances the inner schedule on apply steps)."""
+    from base_lr down to base_lr*lr_min_factor over total_steps.
+
+    Step accounting: every TrainConfig step quantity (warmup_steps,
+    total_steps, lr_decay_steps) counts TRAIN-STEP CALLS (microsteps) — the
+    number of batches the loop runs, invariant to grad_accum_steps. Under
+    gradient accumulation optax.MultiSteps advances the inner schedule once
+    per OPTIMIZER UPDATE (every k-th call), so the config's microstep spans
+    are converted to update counts here (// grad_accum_steps) — the anneal
+    completes exactly when the loop reaches total_steps, for any k."""
+    k = max(getattr(train_cfg, "grad_accum_steps", 1), 1)
+
+    def upd(n: int) -> int:
+        """Microstep count -> optimizer-update count."""
+        return int(n) // k
+
+    warmup = upd(train_cfg.warmup_steps)
     if train_cfg.lr_schedule == "cosine":
         return optax.warmup_cosine_decay_schedule(
             init_value=(
-                train_cfg.base_lr / max(train_cfg.warmup_steps, 1)
-                if train_cfg.warmup_steps > 0
+                train_cfg.base_lr / max(warmup, 1)
+                if warmup > 0
                 else train_cfg.base_lr
             ),
             peak_value=train_cfg.base_lr,
-            warmup_steps=max(train_cfg.warmup_steps, 0),
-            decay_steps=train_cfg.total_steps,
+            warmup_steps=max(warmup, 0),
+            decay_steps=max(upd(train_cfg.total_steps), 1),
             end_value=train_cfg.base_lr * train_cfg.lr_min_factor,
         )
     if train_cfg.lr_schedule != "step":
         raise ValueError(
             f"unknown TrainConfig.lr_schedule '{train_cfg.lr_schedule}'"
         )
-    boundaries = {
-        int(s): train_cfg.lr_decay_factor for s in train_cfg.lr_decay_steps
-    }
+    boundaries: dict = {}
+    for s in train_cfg.lr_decay_steps:
+        u = upd(s)
+        # Two boundaries collapsing onto one update (coarse k) still apply
+        # both decay factors.
+        boundaries[u] = boundaries.get(u, 1.0) * train_cfg.lr_decay_factor
     decay = optax.piecewise_constant_schedule(train_cfg.base_lr, boundaries)
-    if train_cfg.warmup_steps <= 0:
+    if warmup <= 0:
         return decay
 
     def schedule(step):
-        warm = train_cfg.base_lr * (step + 1) / train_cfg.warmup_steps
-        return jnp.where(
-            step < train_cfg.warmup_steps, warm, decay(step)
-        )
+        warm = train_cfg.base_lr * (step + 1) / warmup
+        return jnp.where(step < warmup, warm, decay(step))
 
     return schedule
 

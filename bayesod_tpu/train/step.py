@@ -123,12 +123,11 @@ def build_train_step(cfg: ExperimentConfig, anchors: jnp.ndarray, model=None):
         images = normalize_images(images, cfg.data.mean, cfg.data.std)
         targets = assign(anchors, gt_boxes, batch["gt_classes"], gt_valid)
 
-        # Warmup counts OPTIMIZER UPDATES: state.step counts microsteps, so
-        # divide out the accumulation factor (no-op at grad_accum_steps=1).
-        opt_step = state.step // tc.grad_accum_steps
+        # variance_warmup_steps counts train-step calls (microsteps), like
+        # every TrainConfig step quantity — state.step is exactly that.
         if tc.variance_warmup_steps > 0:
             var_w = jnp.clip(
-                opt_step.astype(jnp.float32) / tc.variance_warmup_steps,
+                state.step.astype(jnp.float32) / tc.variance_warmup_steps,
                 0.0,
                 1.0,
             )

@@ -117,13 +117,17 @@ def train(
         # No fallback: eval_every>0 is an explicit request for val metrics —
         # a broken val split must fail loudly, not log train loss as val/.
         val_dataset = make_dataset(cfg.data, split="val")
+        # Same per-process sharding as the train loader: each process feeds
+        # its local shard and shard_batch assembles the global val batch.
         val_loader = Loader(
             val_dataset,
-            batch_size=tc.batch_size,
+            batch_size=tc.batch_size // n_proc,
             image_hw=cfg.data.image_hw,
             max_gt_boxes=cfg.data.max_gt_boxes,
             shuffle=False,
             num_epochs=1,
+            shard_index=jax.process_index(),
+            shard_count=n_proc,
         )
         # Fixed batches, sharded once: the same data every eval -> the val
         # curve moves only when the model does.
@@ -140,7 +144,13 @@ def train(
             out_shardings=mesh_lib.replicated(mesh),
         )
 
-    logger = MetricsLogger(out_dir)
+    # Multi-host: metrics files (JSONL/TensorBoard) are written by process 0
+    # only — every process computes identical replicated metrics, and
+    # concurrent appends to one shared out_dir would duplicate/corrupt rows.
+    # ckpt.save stays on ALL processes: Orbax saving is a collective (each
+    # process participates; the primary host writes).
+    is_primary = jax.process_index() == 0
+    logger = MetricsLogger(out_dir) if is_primary else None
     start_step = int(state.step)
     t_last = time.time()
     imgs_since = 0
@@ -175,8 +185,9 @@ def train(
             metrics["images_per_sec"] = imgs_since / max(now - t_last, 1e-9)
             metrics["lr_step"] = next_step
             t_last, imgs_since = now, 0
-            logger.log(next_step, metrics, prefix="train/")
-            if on_metrics is not None:
+            if logger is not None:
+                logger.log(next_step, metrics, prefix="train/")
+            if on_metrics is not None and is_primary:
                 on_metrics(next_step, metrics)
         if eval_fn is not None and (
             next_step % tc.eval_every == 0 or next_step == total_steps
@@ -189,8 +200,9 @@ def train(
             val_metrics = {
                 k: v / max(len(val_batches), 1) for k, v in sums.items()
             }
-            logger.log(next_step, val_metrics, prefix="val/")
-            if on_metrics is not None:
+            if logger is not None:
+                logger.log(next_step, val_metrics, prefix="val/")
+            if on_metrics is not None and is_primary:
                 on_metrics(
                     next_step, {f"val/{k}": v for k, v in val_metrics.items()}
                 )
@@ -199,5 +211,6 @@ def train(
         step = next_step
 
     ckpt.wait()
-    logger.close()
+    if logger is not None:
+        logger.close()
     return state

@@ -270,9 +270,11 @@ class TrainConfig:
     grad_clip_norm: float = 10.0
     # Gradient accumulation (optax.MultiSteps): average grads over this many
     # train_step calls before ONE optimizer update — an effective batch of
-    # batch_size*grad_accum_steps in batch_size memory. state.step counts
-    # microsteps; the LR schedule and variance warmup count optimizer
-    # updates (step // grad_accum_steps). 1 = off.
+    # batch_size*grad_accum_steps in batch_size memory. All step quantities
+    # in this config (warmup/total/decay/variance_warmup) keep counting
+    # train-step CALLS; make_lr_schedule converts spans to optimizer-update
+    # counts internally so the anneal completes at total_steps for any
+    # value here. 1 = off.
     grad_accum_steps: int = 1
     # Rematerialization of the forward pass in the backward ("none" |
     # "full"). "full" wraps the model apply in jax.checkpoint: saved

@@ -87,6 +87,31 @@ class TestSchedule:
         with pytest.raises(ValueError, match="lr_schedule"):
             make_lr_schedule(TrainConfig(lr_schedule="nope"))
 
+    def test_spans_count_microsteps_under_accumulation(self):
+        """TrainConfig step quantities count train-step CALLS; with
+        grad_accum_steps=k the inner schedule (advanced once per optimizer
+        update by MultiSteps) must compress spans by k so the anneal
+        completes when the loop hits total_steps."""
+        tc = TrainConfig(
+            base_lr=1.0, warmup_steps=20, total_steps=100,
+            lr_schedule="cosine", lr_min_factor=0.01, grad_accum_steps=4,
+        )
+        sched = make_lr_schedule(tc)  # argument counts optimizer updates
+        assert float(sched(5)) == pytest.approx(1.0)  # 20 microsteps
+        assert float(sched(25)) == pytest.approx(0.01, abs=1e-6)  # 100
+        assert float(sched(100)) == pytest.approx(0.01, abs=1e-6)
+
+    def test_step_boundaries_collapsing_compound(self):
+        """Coarse accumulation collapsing two decay boundaries onto one
+        update still applies both decay factors."""
+        tc = TrainConfig(
+            base_lr=1.0, warmup_steps=0, lr_decay_steps=(10, 12),
+            lr_decay_factor=0.1, grad_accum_steps=8,
+        )
+        sched = make_lr_schedule(tc)
+        assert float(sched(0)) == pytest.approx(1.0)
+        assert float(sched(3)) == pytest.approx(0.01)
+
 
 class TestGradAccumulation:
     """grad_accum_steps=k averages k microbatch grads into ONE optimizer
