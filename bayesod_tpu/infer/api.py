@@ -247,6 +247,66 @@ class Detector:
 
     # -- inference ------------------------------------------------------------
 
+    def dispatch(
+        self, images: Sequence[np.ndarray], rng: Optional[jax.Array] = None
+    ):
+        """Async half of __call__: preprocess + launch the device graph for
+        ONE chunk of up to batch_size images WITHOUT fetching results. The
+        returned handle goes to collect(); dispatching the next chunk
+        before collecting the previous overlaps host preprocessing and H2D
+        with device compute (jax async dispatch)."""
+        if len(images) > self.batch_size:
+            raise ValueError(
+                f"dispatch takes at most batch_size={self.batch_size} "
+                f"images, got {len(images)}"
+            )
+        batch = np.zeros(
+            (self.batch_size, *self.cfg.data.image_hw, 3), np.uint8
+        )
+        scales = np.ones(self.batch_size, np.float32)
+        shapes = []
+        for i, img in enumerate(images):
+            img = np.asarray(img)
+            canvas, _, scale = resize_and_pad(
+                img, np.zeros((0, 4), np.float32), self.cfg.data.image_hw
+            )
+            batch[i] = canvas
+            scales[i] = scale
+            shapes.append(img.shape[:2])
+        if rng is None:
+            step_rng = jax.random.fold_in(self._rng, self._calls)
+            self._calls += 1
+        else:
+            step_rng = rng
+        res = self._detect(self.variables, jnp.asarray(batch), step_rng)
+        return (shapes, scales, res)
+
+    def collect(self, handle) -> List[Dict[str, np.ndarray]]:
+        """Fetch one dispatched chunk (the D2H sync point) and return the
+        per-image result dicts in original coordinates."""
+        shapes, scales, res = handle
+        res = jax.tree_util.tree_map(np.asarray, res)
+        out: List[Dict[str, np.ndarray]] = []
+        for i, (oh, ow) in enumerate(shapes):
+            v = res.valid[i]
+            s = scales[i]
+            boxes = np.clip(
+                res.boxes[i][v] / s,
+                0.0,
+                np.array([ow, oh, ow, oh], np.float32),
+            )
+            out.append(
+                {
+                    "boxes": boxes,
+                    "covs": res.covs[i][v] / (s * s),
+                    "probs": res.probs[i][v],
+                    "scores": res.scores[i][v],
+                    "entropy": res.entropy[i][v],
+                    "classes": res.classes[i][v],
+                }
+            )
+        return out
+
     def __call__(
         self, images: Sequence[np.ndarray], rng: Optional[jax.Array] = None
     ) -> List[Dict[str, np.ndarray]]:
@@ -254,47 +314,20 @@ class Detector:
 
         Returns one dict per image with boxes/covs/probs/scores/entropy/
         classes in ORIGINAL image coordinates (only valid detections).
+        Chunks are double-buffered: chunk k+1 is dispatched before chunk
+        k's results are fetched, overlapping host work with the device.
         """
         out: List[Dict[str, np.ndarray]] = []
+        pending = None
         for start in range(0, len(images), self.batch_size):
-            chunk = images[start : start + self.batch_size]
-            batch = np.zeros(
-                (self.batch_size, *self.cfg.data.image_hw, 3), np.uint8
+            handle = self.dispatch(
+                images[start : start + self.batch_size], rng
             )
-            scales = np.ones(self.batch_size, np.float32)
-            for i, img in enumerate(chunk):
-                canvas, _, scale = resize_and_pad(
-                    np.asarray(img), np.zeros((0, 4), np.float32),
-                    self.cfg.data.image_hw,
-                )
-                batch[i] = canvas
-                scales[i] = scale
-            if rng is None:
-                step_rng = jax.random.fold_in(self._rng, self._calls)
-                self._calls += 1
-            else:
-                step_rng = rng
-            res = self._detect(self.variables, jnp.asarray(batch), step_rng)
-            res = jax.tree_util.tree_map(np.asarray, res)
-            for i in range(len(chunk)):
-                v = res.valid[i]
-                s = scales[i]
-                oh, ow = chunk[i].shape[:2]
-                boxes = np.clip(
-                    res.boxes[i][v] / s,
-                    0.0,
-                    np.array([ow, oh, ow, oh], np.float32),
-                )
-                out.append(
-                    {
-                        "boxes": boxes,
-                        "covs": res.covs[i][v] / (s * s),
-                        "probs": res.probs[i][v],
-                        "scores": res.scores[i][v],
-                        "entropy": res.entropy[i][v],
-                        "classes": res.classes[i][v],
-                    }
-                )
+            if pending is not None:
+                out.extend(self.collect(pending))
+            pending = handle
+        if pending is not None:
+            out.extend(self.collect(pending))
         return out
 
 

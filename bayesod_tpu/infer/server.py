@@ -130,11 +130,48 @@ class DetectionServer:
 
     # -- batching worker ------------------------------------------------------
 
+    def _fail(self, futs, exc) -> None:
+        self.stats.errors += len(futs)
+        for fut in futs:
+            if not fut.cancelled():
+                fut.set_exception(exc)
+
+    def _resolve(self, futs, results) -> None:
+        for fut, res in zip(futs, results):
+            if not fut.cancelled():
+                fut.set_result(res)
+        self.stats.requests += len(futs)
+        self.stats.batches += 1
+
     def _run(self) -> None:
         max_batch = self._det.batch_size
+        # Detectors exposing the dispatch/collect split (infer.api.Detector)
+        # get a 1-deep pipeline: batch i+1 is preprocessed + launched while
+        # batch i's results are still on device, so under load host work
+        # overlaps device compute. The deferred collect happens only when
+        # more work is already queued — an idle server collects immediately
+        # and adds no latency. Plain callables fall back to sync calls.
+        pipelined = hasattr(self._det, "dispatch") and hasattr(
+            self._det, "collect"
+        )
+        pending = None  # (futures, dispatch handle)
+
+        def collect_pending() -> None:
+            nonlocal pending
+            futs, handle = pending
+            pending = None
+            try:
+                results = self._det.collect(handle)
+            except Exception as e:
+                self._fail(futs, e)
+                return
+            self._resolve(futs, results)
+
         while True:
             item = self._queue.get()
             if item is self._SENTINEL:
+                if pending is not None:
+                    collect_pending()
                 return
             batch = [item]
             deadline = time.monotonic() + self.max_delay_ms / 1e3
@@ -152,19 +189,27 @@ class DetectionServer:
                     break
                 batch.append(nxt)
             images = [im for im, _ in batch]
-            try:
-                results = self._det(images)
-            except Exception as e:  # propagate to every waiter in the batch
-                self.stats.errors += len(batch)
-                for _, fut in batch:
-                    if not fut.cancelled():
-                        fut.set_exception(e)
+            futs = [fut for _, fut in batch]
+            if not pipelined:
+                try:
+                    results = self._det(images)
+                except Exception as e:
+                    self._fail(futs, e)
+                    continue
+                self._resolve(futs, results)
                 continue
-            for (_, fut), res in zip(batch, results):
-                if not fut.cancelled():
-                    fut.set_result(res)
-            self.stats.requests += len(batch)
-            self.stats.batches += 1
+            try:
+                handle = self._det.dispatch(images)
+            except Exception as e:
+                self._fail(futs, e)
+                continue
+            if pending is not None:
+                collect_pending()
+            if self._queue.empty():
+                pending = (futs, handle)
+                collect_pending()
+            else:
+                pending = (futs, handle)
 
 
 # -- HTTP front ---------------------------------------------------------------

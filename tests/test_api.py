@@ -62,6 +62,44 @@ def test_fold_in_rng_advances(det):
     assert not same
 
 
+class TestDispatchCollect:
+    """Detector.dispatch/collect — the async split __call__ and the server
+    pipeline build on."""
+
+    def test_equals_call(self, det):
+        imgs = [
+            np.random.default_rng(30 + i).integers(
+                0, 255, (64, 96, 3), dtype=np.uint8
+            )
+            for i in range(2)
+        ]
+        rng = jax.random.PRNGKey(11)
+        want = det(imgs, rng=rng)
+        got = det.collect(det.dispatch(imgs, rng=rng))
+        for g, w in zip(got, want):
+            for k in w:
+                np.testing.assert_array_equal(g[k], w[k])
+
+    def test_oversized_chunk_raises(self, det):
+        imgs = [np.zeros((32, 32, 3), np.uint8)] * (det.batch_size + 1)
+        with pytest.raises(ValueError, match="at most batch_size"):
+            det.dispatch(imgs)
+
+    def test_overlapped_dispatches_preserve_order(self, det):
+        """Two in-flight handles collect independently and in either
+        order (the double-buffer invariant)."""
+        a = [np.full((40, 40, 3), 10, np.uint8)]
+        b = [np.full((40, 40, 3), 200, np.uint8)]
+        ha = det.dispatch(a, rng=jax.random.PRNGKey(1))
+        hb = det.dispatch(b, rng=jax.random.PRNGKey(2))
+        ra = det.collect(ha)
+        rb = det.collect(hb)
+        wa = det(a, rng=jax.random.PRNGKey(1))
+        wb = det(b, rng=jax.random.PRNGKey(2))
+        np.testing.assert_array_equal(ra[0]["probs"], wa[0]["probs"])
+        np.testing.assert_array_equal(rb[0]["probs"], wb[0]["probs"])
+
+
 class TestMeshDetector:
     """Detector(mesh=...): multi-device online serving through the same
     high-level API — results must match the single-device Detector."""
