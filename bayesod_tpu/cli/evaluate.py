@@ -36,6 +36,11 @@ def main(argv=None) -> None:
         metavar="MODEL:EVAL",
         help="extra model->eval class-name alias (repeatable)",
     )
+    p.add_argument(
+        "--plots", default=None, metavar="DIR",
+        help="also write diagnostic PNGs (per-class PR curves, reliability "
+        "diagram, TP/FP entropy separation — eval/plots.py)",
+    )
     p.add_argument("overrides", nargs="*")
     args = p.parse_args(argv)
 
@@ -70,7 +75,10 @@ def main(argv=None) -> None:
         iou_threshold=args.iou_threshold,
         model_class_names=model_class_names,
         class_aliases=aliases or None,
+        plots_dir=args.plots,
     )
+    if args.plots:
+        print(f"diagnostic plots written to {args.plots}")
     width = max(len(k) for k in metrics)
     for k in sorted(metrics):
         print(f"{k:<{width}}  {metrics[k]:.4f}")

@@ -133,8 +133,11 @@ def compute_ap(
     per_image: Sequence[ImageEval],
     iou_threshold: float,
     num_points: Optional[int] = 40,
+    return_curve: bool = False,
 ) -> Dict[str, float]:
-    """AP for one class over a split. num_points=None -> all-point AP."""
+    """AP for one class over a split. num_points=None -> all-point AP.
+    return_curve=True adds the raw "recall"/"precision" arrays (for
+    eval.plots PR figures)."""
     all_scores, all_tp, total_gt = [], [], 0
     for ev in per_image:
         s, t, n = match_image(ev, iou_threshold)
@@ -149,12 +152,16 @@ def compute_ap(
         if num_points is None
         else ap_interpolated(recall, precision, num_points)
     )
-    return {
+    out = {
         "ap": ap,
         "num_gt": float(total_gt),
         "num_det": float(len(scores)),
         "max_recall": float(recall[-1]) if len(recall) else 0.0,
     }
+    if return_curve:
+        out["recall"] = recall
+        out["precision"] = precision
+    return out
 
 
 # KITTI per-class matching IoU (official devkit).

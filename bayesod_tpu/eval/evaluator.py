@@ -318,6 +318,7 @@ def evaluate(
     compute_pdq: bool = True,
     model_class_names: Optional[Sequence[str]] = None,
     class_aliases: Optional[Dict[str, str]] = None,
+    plots_dir: Optional[str] = None,
 ) -> Dict[str, float]:
     """Score dumped detections: per-class AP (+KITTI difficulty bins), mAP,
     the uncertainty metrics over all matched detections, and PDQ
@@ -330,7 +331,10 @@ def evaluate(
     `model_class_names` (cross-dataset evaluation, paper §IV): the class
     list the DUMPING model was trained on, when it differs from the eval
     dataset's — records are remapped by name first (remap_detections;
-    `class_aliases` extends CROSS_DATASET_ALIASES)."""
+    `class_aliases` extends CROSS_DATASET_ALIASES).
+
+    `plots_dir`: also write diagnostic PNGs (per-class PR curves,
+    reliability diagram, TP/FP entropy separation — eval/plots.py)."""
     dataset = make_dataset(cfg.data, split=split)
     class_names = list(dataset.class_names)
     if model_class_names is not None and (
@@ -376,6 +380,7 @@ def evaluate(
         metrics.update(coco_metrics)
         metrics["map"] = coco_metrics["coco_ap"]
 
+    pr_curves: Dict = {}
     if not is_coco:
         aps = []
         for ci, name in enumerate(class_names, start=1):
@@ -389,15 +394,24 @@ def evaluate(
                     evs = _per_class_image_evals(
                         dets, gts, ci, diff, min_score
                     )
-                    r = ap_lib.compute_ap(evs, thr, num_points=40)
+                    r = ap_lib.compute_ap(
+                        evs, thr, num_points=40,
+                        return_curve=diff == "moderate",
+                    )
                     metrics[f"ap_{name}_{diff}"] = r["ap"]
                     if diff == "moderate":
                         aps.append(r["ap"])
+                        pr_curves[name] = (
+                            r["recall"], r["precision"], r["ap"]
+                        )
             else:
                 evs = _per_class_image_evals(dets, gts, ci, None, min_score)
-                r = ap_lib.compute_ap(evs, thr, num_points=None)
+                r = ap_lib.compute_ap(
+                    evs, thr, num_points=None, return_curve=True
+                )
                 metrics[f"ap_{name}"] = r["ap"]
                 aps.append(r["ap"])
+                pr_curves[name] = (r["recall"], r["precision"], r["ap"])
         metrics["map"] = float(np.mean(aps)) if aps else 0.0
 
     # ---- uncertainty metrics over all classes pooled -----------------------
@@ -472,4 +486,23 @@ def evaluate(
                 ent = unc_lib.entropy(probs[mask])
                 mue, _ = unc_lib.minimum_uncertainty_error(ent, correct[mask])
                 metrics[f"categorical_mue_{name}"] = mue
+        if plots_dir:
+            from bayesod_tpu.eval import plots as plots_lib
+
+            plots_lib.dump_diagnostics(
+                plots_dir,
+                pr_curves,
+                confidence=np.max(probs[:, 1:], axis=-1),
+                correct=correct,
+                entropy=unc_lib.entropy(probs),
+                metrics=metrics,
+            )
+    elif plots_dir and pr_curves:
+        from bayesod_tpu.eval import plots as plots_lib
+
+        plots_lib.dump_diagnostics(
+            plots_dir, pr_curves,
+            confidence=np.zeros(0), correct=np.zeros(0, bool),
+            entropy=np.zeros(0), metrics=metrics,
+        )
     return metrics

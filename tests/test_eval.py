@@ -381,6 +381,35 @@ class TestEvaluateScaling:
         for k in base:  # identical up to fp32 pooling order
             np.testing.assert_allclose(got[k], base[k], rtol=1e-5, atol=1e-7)
 
+    def test_plots_dir_writes_diagnostics(self, tmp_path):
+        """evaluate(plots_dir=...) drops the three diagnostic PNGs
+        (PR curves, reliability, entropy separation)."""
+        import jax
+
+        from bayesod_tpu.eval.evaluator import evaluate, run_inference
+        from bayesod_tpu.models.retinanet import RetinaNet, init_variables
+
+        pytest.importorskip("matplotlib")
+        cfg = self._tiny_cfg()
+        model = RetinaNet(cfg=cfg.model, train=False)
+        variables = init_variables(
+            model, jax.random.PRNGKey(0), cfg.data.image_hw
+        )
+        records = run_inference(
+            cfg, variables, split="val", max_images=4, batch_size=2
+        )
+        out = tmp_path / "plots"
+        metrics = evaluate(
+            cfg, records, split="val", min_score=0.0,
+            plots_dir=str(out),
+        )
+        assert "map" in metrics
+        for name in (
+            "pr_curves.png", "reliability.png", "entropy_separation.png"
+        ):
+            f = out / name
+            assert f.exists() and f.stat().st_size > 2000, name
+
     def test_subset_scores_like_full_positional_subset(self):
         """A strict subset (dropping the first image) must score against ITS
         OWN ids — the round-1 positional join scored record i against GT i."""
