@@ -32,6 +32,7 @@ from typing import NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as _np
 
 from bayesod_tpu.bayes import clustering as clus
 from bayesod_tpu.bayes import fusion as fus
@@ -114,13 +115,13 @@ def _postprocess_single(
 
 # Linear part of the corner-box mirror x1' = W - x2, x2' = W - x1 (y fixed):
 # flipped-view covariances map as L Sigma L^T (the offset W drops out).
-_FLIP_L = jnp.asarray(
+_FLIP_L = _np.asarray(
     [[0.0, 0.0, -1.0, 0.0],
      [0.0, 1.0, 0.0, 0.0],
      [-1.0, 0.0, 0.0, 0.0],
      [0.0, 0.0, 0.0, 1.0]],
-    jnp.float32,
-)
+    _np.float32,
+)  # numpy on purpose — module-scope jnp would init the backend at import.
 
 
 def _flip_posteriors_back(

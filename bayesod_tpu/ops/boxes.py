@@ -23,6 +23,7 @@ setting is (1, 1, 1, 1).
 from __future__ import annotations
 
 import jax.numpy as jnp
+import numpy as np
 
 # Clamp on predicted log-size deltas, log(1000/16) — standard detectron-era
 # guard preventing exp() overflow on early-training garbage predictions.
@@ -32,15 +33,16 @@ BBOX_XFORM_CLIP = 4.135166556742356
 # (x1, y1, x2, y2): x1 = cx - w/2, etc. Used both for box conversion and for
 # pushing covariances between the two parametrizations (Sigma_corner =
 # L @ Sigma_centroid @ L.T).
-_CENTROID_TO_CORNER = jnp.array(
+_CENTROID_TO_CORNER = np.array(
     [
         [1.0, 0.0, -0.5, 0.0],
         [0.0, 1.0, 0.0, -0.5],
         [1.0, 0.0, 0.5, 0.0],
         [0.0, 1.0, 0.0, 0.5],
     ],
-    dtype=jnp.float32,
-)
+    dtype=np.float32,
+)  # numpy on purpose: a module-scope jnp.array would initialize the device
+#    backend at import time (hangs every CLI when the TPU tunnel is down).
 
 
 def centroid_to_corners(boxes: jnp.ndarray) -> jnp.ndarray:

@@ -233,3 +233,27 @@ def test_serve_cli_http_endpoint(tmp_path):
     finally:
         proc.kill()
         proc.wait()
+
+
+def test_import_chain_initializes_no_backend():
+    """Importing the CLIs / evaluator must NOT initialize a jax backend:
+    a module-scope jnp.array anywhere in the chain claims the device at
+    import time, which hangs every CLI for minutes when the remote TPU
+    tunnel is down (boxes._CENTROID_TO_CORNER regression, round 2)."""
+    code = (
+        "from jax._src import xla_bridge\n"
+        "import bayesod_tpu.cli.evaluate\n"
+        "import bayesod_tpu.infer.detector\n"
+        "import bayesod_tpu.eval.evaluator\n"
+        "import bayesod_tpu.train.trainer\n"
+        "assert not xla_bridge._backends, sorted(xla_bridge._backends)\n"
+        "print('CLEAN')\n"
+    )
+    env = dict(os.environ)
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    r = subprocess.run(
+        [sys.executable, "-c", code],
+        capture_output=True, text=True, env=env, timeout=300,
+    )
+    assert r.returncode == 0, r.stdout + r.stderr
+    assert "CLEAN" in r.stdout
