@@ -13,8 +13,14 @@ run() {  # run <tag> <args...>
   tail -1 "$LOG/$tag.json"
 }
 Q="--backbone_dtype int8_resident --trunk_dtype int8_resident --fpn_dtype int8_resident"
-run baseline_default           # sanity: ~1059.5 expected
-run quant_full $Q
+# Priority order per the 2026-08-19 session: defaults first (they refresh
+# the ledger), then train/latency, then the quant variants (measured ~3%
+# below bf16 end-to-end on the re-provisioned runtime — see DESIGN.md).
+run baseline_default           # 2026-08-19 runtime: 1505.1 img/s
+run bdd_default --hw 768 1280 --classes 10 --batch 48  # 785.7
+run train_b32 --train --batch 32
+run latency_default --latency
+run quant_full $Q              # 2026-08-19: 1458.6 (opt-in; bf16 wins)
 run quant_backbone --backbone_dtype int8_resident
 run quant_trunk --trunk_dtype int8_resident
 run quant_full_b128 $Q --batch 128
@@ -33,7 +39,5 @@ bash /root/repo/tools/flagship_synth_run.sh
 # --- session-6 additions (auto-run on tunnel recovery) -----------------------
 # Online-serving number through the dynamic batcher (host+tunnel-inclusive;
 # small batch — the tunnel's H2D bound dominates at large batches).
+# (train_b32 moved into the priority block above.)
 run serve_b8 --serve --batch 8 --serve_seconds 20 --clients 16
-# Training-step rate with the async host loop (device-resident; unchanged
-# methodology) + the real train() loop rate via the flagship synth run above.
-run train_b32 --train --batch 32
