@@ -24,6 +24,13 @@ def main(argv=None) -> None:
         ".pth); applied on fresh starts (models/pretrained.py)",
     )
     p.add_argument(
+        "--check_data", action="store_true",
+        help="dataset-layout preflight only: validate split sizes, "
+        "annotation parses, class ids, box geometry and one image decode "
+        "for the config's dataset, then exit (never touches the TPU — "
+        "data/preflight.py)",
+    )
+    p.add_argument(
         "overrides", nargs="*",
         help="dotted config overrides, e.g. train.base_lr=0.001",
     )
@@ -33,6 +40,21 @@ def main(argv=None) -> None:
 
     overrides = dict(parse_override(o) for o in args.overrides)
     cfg = load_config(args.yaml_path, overrides)
+
+    if args.check_data:
+        from bayesod_tpu.data.preflight import (
+            PreflightError,
+            check_data,
+            format_report,
+        )
+
+        try:
+            reports = check_data(cfg.data)
+        except PreflightError as e:
+            raise SystemExit(f"check_data FAILED: {e}")
+        print(format_report(reports))
+        print("check_data OK")
+        return
 
     from bayesod_tpu.train import train
 
