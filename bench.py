@@ -170,6 +170,13 @@ def main() -> None:
         "--serve_delay_ms", type=float, default=5.0,
         help="DetectionServer max_delay_ms batching window",
     )
+    p.add_argument(
+        "--linearity", action="store_true",
+        help="after the measurement, verify elapsed time scales linearly "
+        "in --iters (iters/2 and 2x iters under the same compile) and "
+        "cross-check with per-iteration scalar fetches — catches any "
+        "residual loop-invariant hoisting or early-return tunnel artifacts",
+    )
     args = p.parse_args()
 
     if args.loader:
@@ -316,14 +323,25 @@ def main() -> None:
     # Measurement note: this environment's remote-PJRT tunnel neither blocks
     # reliably in block_until_ready nor executes dropped results, so
     # per-iteration host timing is untrustworthy. Instead ITERS detect steps
-    # are CHAINED inside one compiled graph (each step's output feeds a
-    # scalar accumulator consumed by the next iteration's rng fold), and the
-    # whole chain is fetched once — one D2H round-trip amortized over all
-    # steps, serial execution guaranteed by the data dependency.
+    # are CHAINED inside one compiled graph and the whole chain is fetched
+    # once — one D2H round-trip amortized over all steps, serial execution
+    # guaranteed by the data dependency.
+    #
+    # HOIST-PROOFING (round-3 fix): the carry must feed the IMAGES, not just
+    # the rng fold. With carry->rng only, `variables` and `images` are
+    # loop-invariant, and everything that does not depend on the dropout rng
+    # (backbone, FPN, head trunks — and under deterministic preselect, the
+    # candidate selection too) is eligible for loop-invariant code motion:
+    # the compiler may run the trunk ONCE and replay only the rng-dependent
+    # tail per iteration, inflating the reported rate. Adding acc*1e-24 to
+    # the pixels is numerically invisible (<=1e-21 on [0,1) f32 pixels,
+    # below f32 resolution) but makes every iteration's trunk input a fresh
+    # data-dependent tensor, so nothing can be hoisted.
     def chained(variables, images, rng, iters):
         def body(i, acc):
+            imgs = images + acc * jnp.float32(1e-24)
             out = detect(
-                variables, images, jax.random.fold_in(rng, i + (acc == 0.5))
+                variables, imgs, jax.random.fold_in(rng, i + (acc == 0.5))
             )
             return acc + jnp.sum(out.scores) + jnp.sum(out.boxes) * 1e-9
         # traced trip count -> one compile serves warmup and timed runs
@@ -341,6 +359,47 @@ def main() -> None:
     elapsed = time.time() - t0
 
     per_batch = elapsed / args.iters
+
+    if args.linearity:
+        # 1) same compile, different trip counts: elapsed must scale ~1:2:4.
+        # A hoisted trunk would show up as a large iter-independent constant
+        # (sublinear scaling); tunnel early-return would show as noise.
+        rows = []
+        for it in (max(args.iters // 2, 1), args.iters, 2 * args.iters):
+            t0 = time.time()
+            np.asarray(run(variables, images, rng, it))
+            rows.append((it, time.time() - t0))
+        base = rows[0][1] / rows[0][0]
+        for it, el in rows:
+            print(
+                f"[linearity] iters={it:4d} elapsed={el:7.3f}s "
+                f"per_iter={el / it * 1e3:7.1f}ms "
+                f"ratio_vs_smallest={el / it / base:.3f}",
+                file=sys.stderr,
+            )
+        # 2) cross-check: per-iteration scalar fetch (each np.asarray is a
+        # true D2H sync), RTT measured separately on a trivial graph and
+        # subtracted. Slower method, but immune to chaining artifacts.
+        one = jax.jit(lambda v, im, r: chained(v, im, r, 1))
+        np.asarray(one(variables, images, rng))  # warm
+        trivial = jax.jit(lambda x: x + 1.0)
+        np.asarray(trivial(jnp.float32(0.0)))
+        t0 = time.time()
+        n_rtt = 10
+        for i in range(n_rtt):
+            np.asarray(trivial(jnp.float32(i)))
+        rtt = (time.time() - t0) / n_rtt
+        t0 = time.time()
+        n_x = 8
+        for i in range(n_x):
+            np.asarray(one(variables, images, jax.random.fold_in(rng, i)))
+        per_fetch = (time.time() - t0) / n_x
+        print(
+            f"[linearity] per-iteration-fetch={per_fetch * 1e3:.1f}ms "
+            f"(rtt={rtt * 1e3:.1f}ms -> net {(per_fetch - rtt) * 1e3:.1f}ms) "
+            f"vs chained {per_batch * 1e3:.1f}ms",
+            file=sys.stderr,
+        )
     imgs_per_sec = args.batch / per_batch
     target = 500.0
     if args.latency:
