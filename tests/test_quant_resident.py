@@ -476,11 +476,14 @@ def test_unprefixed_trunk_scales_rejected():
 def test_quantized_dp_mesh_serving():
     """The full production serving stack COMBINED: int8-resident backbone+
     FPN+trunks under a pure-DP shard_map mesh on the candidates_fused fast
-    path. int8 round() sits on numeric cliffs, so a different compilation
-    context (shard_map) can flip quantization levels and reshuffle
-    borderline NOISE detections from these random weights — the sharding
-    MECHANISM itself is pinned bit-tight by the bf16 test above
-    (TestDataParallelFastPath). Here we assert semantic equivalence: same
+    path. Root cause of the residual set-level (not bit-level) agreement —
+    pinned quantitatively in test_quant_divergence.py: the int8 tensors are
+    bit-identical across contexts; the final fp32 head convs differ by 1-2
+    ulps under batch-extent-dependent XLA conv lowering (batch B vs B/8 per
+    shard — reproducible with no mesh at all), which can reorder near-tied
+    NOISE detections from these random weights. The bf16 graph pins
+    bit-tight above (TestDataParallelFastPath) because bf16 rounding
+    absorbs the ulp wiggle. Here we assert semantic equivalence: same
     valid counts, and the detection sets agree (IoU-matched, same class)
     with near-identical matched boxes."""
     import dataclasses
