@@ -267,11 +267,24 @@ class ResNet(nn.Module):
     # bf16 path: sow per-site activation absmax into "intermediates" for
     # the calibration pass.
     capture_scales: bool = False
+    # Selective rematerialization (training only): wrap every residual
+    # block in nn.remat, so the backward recomputes the block's inner
+    # conv/bn/relu intermediates instead of reading them back from HBM —
+    # only block-boundary tensors stay saved. The round-2 whole-model
+    # remat was a measured dead end (XLA materialized the recomputed
+    # forward to HBM, bytes went UP — DESIGN.md §8); block granularity
+    # keeps each recomputation small enough to stay fused into its
+    # backward consumers.
+    block_remat: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> Dict[str, jnp.ndarray]:
         stage_sizes = STAGE_SIZES[self.variant]
         block_cls = BottleneckBlock if BOTTLENECK[self.variant] else BasicBlock
+        if self.block_remat and self.train:
+            # Lifted remat preserves the variable tree (no extra scope), so
+            # checkpoints are interchangeable with the non-remat model.
+            block_cls = nn.remat(block_cls)
         resident = self.conv_dtype == "int8_resident"
         if resident:
             if self.train:

@@ -43,6 +43,11 @@ class RetinaNet(nn.Module):
     # Calibration mode: bf16 paths sow per-site activation absmax into the
     # "intermediates" collection (models/calibration.py reads them).
     capture_scales: bool = False
+    # TrainConfig.remat="blocks": per-residual-block rematerialization in
+    # the backward (models/resnet.py ResNet.block_remat). Training-only
+    # knob; the variable tree is unchanged, so checkpoints are
+    # interchangeable with block_remat=False instances.
+    block_remat: bool = False
 
     def setup(self):
         if self.train and "int8_resident" in (
@@ -62,6 +67,7 @@ class RetinaNet(nn.Module):
             act_scale=self.cfg.backbone_act_scale,
             act_scales=self.cfg.backbone_act_scales,
             capture_scales=self.capture_scales,
+            block_remat=self.block_remat,
             name="backbone",
         )
         self.fpn = FPN(

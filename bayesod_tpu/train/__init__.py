@@ -8,7 +8,7 @@ from bayesod_tpu.train.state import (
     make_lr_schedule,
     make_optimizer,
 )
-from bayesod_tpu.train.step import build_train_step
+from bayesod_tpu.train.step import build_train_step, make_train_model
 from bayesod_tpu.train.trainer import train
 
 __all__ = [
@@ -16,6 +16,7 @@ __all__ = [
     "restore_state",
     "TrainState",
     "build_train_step",
+    "make_train_model",
     "create_train_state",
     "make_lr_schedule",
     "make_optimizer",

@@ -35,13 +35,25 @@ from bayesod_tpu.train.state import TrainState, make_optimizer
 from bayesod_tpu.utils.config import ExperimentConfig
 
 
+def make_train_model(cfg: ExperimentConfig) -> RetinaNet:
+    """The training-mode model for a config: applies TrainConfig.remat=
+    "blocks" (per-residual-block rematerialization) at construction — the
+    one train-step knob that lives in the module tree rather than the step
+    function. Used by the trainer, the bench, and build_train_step's
+    default so every entry point agrees."""
+    return RetinaNet(
+        cfg=cfg.model, train=True,
+        block_remat=cfg.train.remat == "blocks",
+    )
+
+
 def build_train_step(cfg: ExperimentConfig, anchors: jnp.ndarray, model=None):
     """Returns `train_step(state, batch) -> (state, metrics)`, jit-ready.
 
     `batch` is the loader's dict: image uint8 [B,H,W,3], gt_boxes [B,G,4],
     gt_classes [B,G], gt_valid [B,G]. `anchors` is the trace-time [A,4] grid.
     """
-    model = model or RetinaNet(cfg=cfg.model, train=True)
+    model = model or make_train_model(cfg)
     opt = make_optimizer(cfg.train)
     tc = cfg.train
     use_bn = cfg.model.norm == "batchnorm"
@@ -78,7 +90,8 @@ def build_train_step(cfg: ExperimentConfig, anchors: jnp.ndarray, model=None):
         # activations from HBM (TrainConfig.remat docstring; the step is
         # HBM-bound, so bytes are the budget).
         forward = jax.checkpoint(forward)
-    elif tc.remat != "none":
+    elif tc.remat not in ("none", "blocks"):
+        # "blocks" is applied inside the module tree (make_train_model).
         raise ValueError(f"unknown TrainConfig.remat '{tc.remat}'")
 
     def loss_fn(params, batch_stats, images, targets, dropout_rng, var_w):

@@ -21,7 +21,7 @@ from bayesod_tpu.ops import anchors as anchor_ops
 from bayesod_tpu.parallel import mesh as mesh_lib
 from bayesod_tpu.train.checkpoint import CheckpointManager
 from bayesod_tpu.train.state import TrainState, create_train_state
-from bayesod_tpu.train.step import build_train_step
+from bayesod_tpu.train.step import build_train_step, make_train_model
 from bayesod_tpu.utils.config import ExperimentConfig
 from bayesod_tpu.utils.metrics import MetricsLogger
 
@@ -52,7 +52,7 @@ def train(
             f"batch_size={tc.batch_size} must be divisible by the data-"
             f"parallel axis ({n_data} devices) for even sharding"
         )
-    model = RetinaNet(cfg=cfg.model, train=True)
+    model = make_train_model(cfg)
     anchors = anchor_ops.generate_anchors(cfg.data.image_hw, cfg.anchors)
 
     # --- state init (restore if a checkpoint exists: SURVEY.md §5.4) --------

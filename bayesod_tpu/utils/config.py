@@ -277,11 +277,14 @@ class TrainConfig:
     # value here. 1 = off.
     grad_accum_steps: int = 1
     # Rematerialization of the forward pass in the backward ("none" |
-    # "full"). "full" wraps the model apply in jax.checkpoint: saved
-    # activations never round-trip HBM, the backward recomputes them —
-    # trades ~2x forward FLOPs for activation bytes. The train step is
-    # HBM-bound (DESIGN.md §8 training roofline), so this moves the floor;
-    # measured effect documented there.
+    # "full" | "blocks"). "full" wraps the whole model apply in
+    # jax.checkpoint — measured dead end (XLA materializes the recomputed
+    # forward to HBM, bytes go UP; DESIGN.md §8). "blocks" wraps each
+    # backbone residual block in nn.remat instead: only block-boundary
+    # tensors stay saved, each block's inner conv/bn/relu intermediates are
+    # recomputed in the backward at a granularity small enough to stay
+    # fused into its consumers. The train step is HBM-bound, so bytes are
+    # the budget; measured effect documented in DESIGN.md §8.
     remat: str = "none"
     # Exponential moving average of the weights (0 = off). With decay d the
     # state carries ema_params updated as e <- d*e + (1-d)*p every step

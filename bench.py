@@ -65,8 +65,9 @@ def main() -> None:
         help="measure host input-pipeline throughput (no TPU touched)",
     )
     p.add_argument(
-        "--remat", default="none", choices=["none", "full"],
-        help="train-step forward rematerialization (TrainConfig.remat)",
+        "--remat", default="none", choices=["none", "full", "blocks"],
+        help="train-step forward rematerialization (TrainConfig.remat; "
+        "'blocks' = per-residual-block nn.remat, the selective variant)",
     )
     p.add_argument(
         "--latency", action="store_true",
@@ -535,7 +536,11 @@ def _bench_train(cfg, args) -> None:
     from bayesod_tpu.data import Loader
     from bayesod_tpu.models.retinanet import RetinaNet
     from bayesod_tpu.ops import anchors as anchor_ops
-    from bayesod_tpu.train import build_train_step, create_train_state
+    from bayesod_tpu.train import (
+        build_train_step,
+        create_train_state,
+        make_train_model,
+    )
 
     cfg = dataclasses.replace(
         cfg,
@@ -543,7 +548,7 @@ def _bench_train(cfg, args) -> None:
             cfg.train, batch_size=args.batch, remat=args.remat
         ),
     )
-    model = RetinaNet(cfg=cfg.model, train=True)
+    model = make_train_model(cfg)
     anchors = anchor_ops.generate_anchors(cfg.data.image_hw, cfg.anchors)
     state = create_train_state(
         model, cfg.train, jax.random.PRNGKey(0), cfg.data.image_hw

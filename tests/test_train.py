@@ -490,3 +490,70 @@ class TestEvalStep:
         m2 = step(state, batch)
         assert float(m1["loss"]) == float(m2["loss"])
 
+
+
+class TestBlockRemat:
+    """TrainConfig.remat='blocks': per-residual-block rematerialization.
+
+    The lifted nn.remat must be semantics-free: identical variable tree
+    (checkpoints interchangeable) and an identical training trajectory —
+    only the backward's saved-tensor schedule changes."""
+
+    @pytest.mark.parametrize("norm", ["groupnorm", "batchnorm"])
+    def test_step_parity_with_no_remat(self, norm):
+        import dataclasses
+
+        from bayesod_tpu.train import make_train_model
+
+        cfg = tiny_cfg(norm=norm, augment=False)
+        cfg_r = dataclasses.replace(
+            cfg, train=dataclasses.replace(cfg.train, remat="blocks")
+        )
+        anchors = anchor_ops.generate_anchors(cfg.data.image_hw, cfg.anchors)
+        batch = make_batch(cfg)
+
+        model = make_train_model(cfg)
+        model_r = make_train_model(cfg_r)
+        assert model.block_remat is False and model_r.block_remat is True
+        state = create_train_state(
+            model, cfg.train, jax.random.PRNGKey(0), cfg.data.image_hw
+        )
+        state_r = create_train_state(
+            model_r, cfg_r.train, jax.random.PRNGKey(0), cfg.data.image_hw
+        )
+        # Same variable tree: remat adds no scope level.
+        assert jax.tree_util.tree_structure(
+            state.params
+        ) == jax.tree_util.tree_structure(state_r.params)
+
+        s1, m1 = jax.jit(build_train_step(cfg, anchors, model))(state, batch)
+        s2, m2 = jax.jit(build_train_step(cfg_r, anchors, model_r))(
+            state_r, batch
+        )
+        assert float(m1["loss"]) == pytest.approx(float(m2["loss"]), rel=1e-6)
+        for a, b in zip(
+            jax.tree_util.tree_leaves(s1.params),
+            jax.tree_util.tree_leaves(s2.params),
+        ):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-7
+            )
+        if norm == "batchnorm":
+            for a, b in zip(
+                jax.tree_util.tree_leaves(s1.batch_stats),
+                jax.tree_util.tree_leaves(s2.batch_stats),
+            ):
+                np.testing.assert_allclose(
+                    np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-7
+                )
+
+    def test_unknown_remat_rejected(self):
+        import dataclasses
+
+        cfg = tiny_cfg()
+        cfg = dataclasses.replace(
+            cfg, train=dataclasses.replace(cfg.train, remat="bogus")
+        )
+        anchors = anchor_ops.generate_anchors(cfg.data.image_hw, cfg.anchors)
+        with pytest.raises(ValueError, match="remat"):
+            build_train_step(cfg, anchors)
