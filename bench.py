@@ -34,10 +34,9 @@ import numpy as np
 
 def main() -> None:
     p = argparse.ArgumentParser()
-    # batch 160 measured best on v5e-1 with the candidate-fused routes:
-    # 128 -> 1040.1, 160 -> 1059.5 img/s. (Pre-candidates the order was
-    # reversed — 128 -> 560.9, 160 -> 515.8 — the dense reg finals' HBM
-    # pressure is what regressed 160; the fused routes removed it.)
+    # Honest (hoist-proofed) batch sweep on v5e-1: bf16 128 -> 474.0,
+    # 160 -> 445.2, 256 -> 463.3; full int8-resident 160 -> 588.5.
+    # Default stays 160 = the int8-resident optimum measured so far.
     p.add_argument("--batch", type=int, default=160)
     p.add_argument("--iters", type=int, default=20)
     p.add_argument("--warmup", type=int, default=3)
@@ -98,7 +97,7 @@ def main() -> None:
         # int8 default: the fused final convs quantize with dynamic
         # activation + per-channel weight scales (<=3% relative logit error,
         # identical dropout masks — pinned by tests/test_fused_final.py);
-        # --head_dtype bf16 gives the exact-numerics figure (479.6 img/s).
+        # --head_dtype bf16 gives the exact-numerics figure.
         "--head_dtype", default="int8", choices=["bf16", "int8"],
         help="fused final-conv matmul precision",
     )
@@ -170,6 +169,14 @@ def main() -> None:
     p.add_argument(
         "--serve_delay_ms", type=float, default=5.0,
         help="DetectionServer max_delay_ms batching window",
+    )
+    p.add_argument(
+        "--segment", default="full",
+        choices=["full", "backbone", "features", "trunks"],
+        help="chain only a prefix of the serving graph (hoist-proofed, same "
+        "harness): honest per-stage decomposition. 'features' = backbone+"
+        "FPN; 'trunks' adds the deterministic head trunks; full-minus-"
+        "trunks is the stochastic finals + post-processing tail",
     )
     p.add_argument(
         "--linearity", action="store_true",
@@ -338,13 +345,41 @@ def main() -> None:
     # the pixels is numerically invisible (<=1e-21 on [0,1) f32 pixels,
     # below f32 resolution) but makes every iteration's trunk input a fresh
     # data-dependent tensor, so nothing can be hoisted.
+    if args.segment != "full":
+        # Prefix-of-the-graph segment: same hoist-proofed chain, but the
+        # body runs only the deterministic prefix (backbone / +FPN /
+        # +head-trunks). Differences between consecutive segments give the
+        # honest per-stage times; full minus 'trunks' is the stochastic
+        # finals + post-processing tail.
+        def _seg_backbone(m, im):
+            return m.backbone(im)
+
+        def _seg_trunks(m, im):
+            return m.head_trunk_outputs(m.features(im))
+
+        _method = {
+            "backbone": _seg_backbone,
+            "features": type(model).features,
+            "trunks": _seg_trunks,
+        }[args.segment]
+
+        def call(variables, imgs, r):
+            out = model.apply(variables, imgs, method=_method)
+            return sum(
+                jnp.sum(x.astype(jnp.float32)) * jnp.float32(1e-9)
+                for x in jax.tree_util.tree_leaves(out)
+            )
+    else:
+        def call(variables, imgs, r):
+            out = detect(variables, imgs, r)
+            return jnp.sum(out.scores) + jnp.sum(out.boxes) * 1e-9
+
     def chained(variables, images, rng, iters):
         def body(i, acc):
             imgs = images + acc * jnp.float32(1e-24)
-            out = detect(
+            return acc + call(
                 variables, imgs, jax.random.fold_in(rng, i + (acc == 0.5))
             )
-            return acc + jnp.sum(out.scores) + jnp.sum(out.boxes) * 1e-9
         # traced trip count -> one compile serves warmup and timed runs
         return jax.lax.fori_loop(0, iters, body, jnp.float32(0.0))
 
@@ -411,8 +446,9 @@ def main() -> None:
             "vs_baseline": round(imgs_per_sec / target, 4),
         }
     else:
+        seg = "" if args.segment == "full" else f"_{args.segment}_segment"
         result = {
-            "metric": f"images_per_sec_per_chip@{args.samples}mc_bayesod",
+            "metric": f"images_per_sec_per_chip@{args.samples}mc_bayesod{seg}",
             "value": round(imgs_per_sec, 2),
             "unit": "images/sec/chip",
             "vs_baseline": round(imgs_per_sec / target, 4),
