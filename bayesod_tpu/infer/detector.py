@@ -444,6 +444,76 @@ def build_detect_fn(
             mc_per_member = (
                 n_mc if cfg.bayes.epistemic == "ensemble_mc" else 0
             )
+            # Pure-ensemble fused fast path: members have no dropout, so
+            # each member is one deterministic pass and the fused
+            # candidate-stats kernel (one weight set per launch) runs per
+            # member; member-mean stats == M-sample moments (linearity).
+            # ensemble_mc keeps the dense route (per-member dropout inside
+            # the reduced kernels would need per-member sample offsets).
+            dp_here = 1 if mesh is None else mesh.shape[mesh_cfg.data_axis]
+            ens_fast = (
+                mc_per_member == 0
+                and images.shape[0] % dp_here == 0
+                and _reg_route(
+                    cfg, images, model.anchors_per_cell,
+                    batch=images.shape[0] // dp_here,
+                )
+                == "candidates_fused"
+            )
+            if ens_fast and mesh is not None:
+                n_members = jax.tree_util.tree_leaves(variables)[0].shape[0]
+                ens_fast = n_members % mesh.shape[mesh_cfg.sample_axis] == 0
+            if ens_fast:
+                from bayesod_tpu.models.retinanet import (
+                    ensemble_forward_candidates,
+                    ensemble_forward_candidates_sp,
+                )
+                from bayesod_tpu.ops.anchors import feature_shapes
+                from bayesod_tpu.ops.candidate_reg import LevelTables
+
+                tables = LevelTables(
+                    feature_shapes(cfg.data.image_hw, cfg.anchors),
+                    model.anchors_per_cell,
+                )
+                if mesh is None:
+                    idx, valid_sel, cand_probs, cand_stats = (
+                        ensemble_forward_candidates(
+                            model, variables, images,
+                            cfg.bayes.pre_cluster_topk,
+                            cfg.bayes.score_threshold,
+                            cfg.bayes.approx_topk, tables,
+                            cfg.bayes.box_scale_factors,
+                            cfg.bayes.log_var_clip,
+                        )
+                    )
+                else:
+                    idx, valid_sel, cand_probs, cand_stats = (
+                        ensemble_forward_candidates_sp(
+                            model, variables, images,
+                            cfg.bayes.pre_cluster_topk,
+                            cfg.bayes.score_threshold,
+                            cfg.bayes.approx_topk, tables,
+                            mesh, mesh_cfg.data_axis, mesh_cfg.sample_axis,
+                            cfg.bayes.box_scale_factors,
+                            cfg.bayes.log_var_clip,
+                        )
+                    )
+
+                def per_image_ens(idx_b, valid_b, probs_b, stats_b):
+                    boxes_c, covs_c = mom.moments_from_stats(
+                        stats_b, anchors[idx_b], cfg.bayes.box_scale_factors
+                    )
+                    cand = mom.AnchorPosteriors(
+                        boxes=boxes_c, covs=covs_c, probs=probs_b
+                    )
+                    return _postprocess_posteriors(cand, valid_b, cfg)
+
+                fused = jax.vmap(per_image_ens)(
+                    idx, valid_sel, cand_probs, cand_stats
+                )
+                return _as_detections(
+                    fused, cfg.data.image_hw, cfg.bayes.output_temperature
+                )
             if mesh is not None:
                 # Member-parallel serving: each device runs its member
                 # shard's full forwards under shard_map (one psum for the

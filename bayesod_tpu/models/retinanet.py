@@ -884,6 +884,205 @@ def ensemble_forward_sp(
     )(stacked_variables, images, keys_data)
 
 
+def _member_det_probs_and_reg_trunk(model: RetinaNet, vars_m, images):
+    """One ensemble member's deterministic pass, reduced to what the
+    candidates route needs: the flattened per-anchor softmax categorical
+    [B, A, C+1] fp32 (preselect + fusion statistic) and the reg trunk
+    activations (input of the fused candidate-stats kernel)."""
+    feats = model.apply(vars_m, images, method=RetinaNet.features)
+    cls_t, reg_t = model.apply(
+        vars_m, feats, method=RetinaNet.head_trunk_outputs
+    )
+    params = vars_m["params"]["heads"]
+    cls_k = params["cls_out"]["kernel"]
+    cls_b = params["cls_out"]["bias"]
+    k = model.anchors_per_cell
+    n_cls = model.cfg.num_classes + 1
+    probs_lvls = []
+    for ct in cls_t:
+        logits = jax.lax.conv_general_dilated(
+            ct, cls_k.astype(ct.dtype), (1, 1), "SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        ) + cls_b.astype(ct.dtype)
+        b, h, w, _ = logits.shape
+        lg = logits.reshape(b, h * w * k, n_cls).astype(jnp.float32)
+        probs_lvls.append(jax.nn.softmax(lg, axis=-1))
+    probs = jnp.concatenate(probs_lvls, axis=1)  # [B, A, C+1]
+    reg_params = (params["reg_out"]["kernel"], params["reg_out"]["bias"])
+    return probs, list(reg_t), reg_params
+
+
+def ensemble_forward_candidates(
+    model: RetinaNet,
+    stacked_variables,
+    images: jnp.ndarray,
+    topk: int,
+    score_threshold: float,
+    approx_topk: bool,
+    tables,
+    scale_factors=(1.0, 1.0, 1.0, 1.0),
+    log_var_clip: float = 10.0,
+    batch_base=0,
+):
+    """Candidates-only DEEP-ENSEMBLE forward (epistemic="ensemble", fused
+    fast path — the dense [M, B, A, .] member tensors never exist).
+
+    Pure ensembles have no dropout, so each member is ONE deterministic
+    pass and the fused candidate-stats kernel runs per member with
+    num_samples=1, keep_prob=1 (one weight set per launch — exactly the
+    kernel's contract). The REG_STATS accumulator is linear in samples, so
+    the member-mean of per-member stats IS the M-sample moment statistics;
+    the categorical mean softmax falls out of the same member-mean that
+    preselection already needs. Per-image memory: M reg-trunk row tables
+    (bf16) live simultaneously; everything else is [B, A or K]-sized.
+
+    Returns (idx [B,K], valid [B,K], cand_probs [B,K,C+1],
+    cand_stats [B,K,18]) — the same contract as mc_forward_candidates_det,
+    with the sample axis sourced from members instead of dropout."""
+    num_members = jax.tree_util.tree_leaves(stacked_variables)[0].shape[0]
+    inv_m = 1.0 / num_members
+
+    probs_mean = None
+    member_reg = []
+    for m in range(num_members):
+        vars_m = member_variables(stacked_variables, m)
+        probs_m, reg_t, reg_params = _member_det_probs_and_reg_trunk(
+            model, vars_m, images
+        )
+        probs_mean = (
+            probs_m * inv_m
+            if probs_mean is None
+            else probs_mean + probs_m * inv_m
+        )
+        member_reg.append((reg_t, reg_params))
+
+    def presel(s):
+        if approx_topk:
+            _, idx = jax.lax.approx_max_k(s, topk, recall_target=0.99)
+        else:
+            _, idx = jax.lax.top_k(s, topk)
+        return idx
+
+    idx = jax.vmap(presel)(jnp.max(probs_mean[..., 1:], axis=-1))
+
+    from bayesod_tpu.ops.candidate_reg import candidate_reg_stats
+
+    cand_stats = None
+    for reg_t, (reg_k, reg_b) in member_reg:
+        stats_m = candidate_reg_stats(
+            reg_t, reg_k, reg_b, idx, jnp.int32(0),
+            num_samples=1, keep_prob=1.0, tables=tables,
+            scale_factors=tuple(scale_factors), log_var_clip=log_var_clip,
+            batch_base=batch_base,
+        )  # [B, K, 18]
+        cand_stats = (
+            stats_m * inv_m
+            if cand_stats is None
+            else cand_stats + stats_m * inv_m
+        )
+
+    cand_probs = jax.vmap(lambda p, i: p[i])(probs_mean, idx)
+    valid = jnp.max(cand_probs[..., 1:], axis=-1) >= score_threshold
+    return idx, valid, cand_probs, cand_stats
+
+
+def ensemble_forward_candidates_sp(
+    model: RetinaNet,
+    stacked_variables,
+    images: jnp.ndarray,
+    topk: int,
+    score_threshold: float,
+    approx_topk: bool,
+    tables,
+    mesh,
+    data_axis: str,
+    sample_axis: str,
+    scale_factors=(1.0, 1.0, 1.0, 1.0),
+    log_var_clip: float = 10.0,
+):
+    """Member-parallel `ensemble_forward_candidates` under shard_map.
+
+    Each device runs the single-chip fast path for its M/sp members on its
+    B/dp images; the only collectives are two psums over the member axis
+    (mean softmax for preselection, member-mean candidate stats — both
+    linear reductions, so sharded == unsharded up to fp32 summation
+    order). Preselection runs identically on every member shard from the
+    psum'd mean, so candidate sets agree by construction. Weights stay
+    device-local (GSPMD deliberately out of the loop — see
+    ensemble_forward_sp on the FPN miscompile)."""
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    num_members = jax.tree_util.tree_leaves(stacked_variables)[0].shape[0]
+    sp = mesh.shape[sample_axis]
+    dp = mesh.shape[data_axis]
+    if num_members % sp or images.shape[0] % dp:
+        raise ValueError(
+            f"ensemble candidates mesh serving needs members "
+            f"({num_members}) divisible by sample_parallel ({sp}) and "
+            f"batch ({images.shape[0]}) by data_parallel ({dp})"
+        )
+    m_loc = num_members // sp
+    b_loc = images.shape[0] // dp
+    inv_m = 1.0 / num_members
+
+    from bayesod_tpu.ops.candidate_reg import candidate_reg_stats
+
+    def body(v_loc, im_loc):
+        b_base = jax.lax.axis_index(data_axis) * b_loc
+        probs_part = None
+        member_reg = []
+        for m in range(m_loc):
+            vars_m = member_variables(v_loc, m)
+            probs_m, reg_t, reg_params = _member_det_probs_and_reg_trunk(
+                model, vars_m, im_loc
+            )
+            probs_part = (
+                probs_m * inv_m
+                if probs_part is None
+                else probs_part + probs_m * inv_m
+            )
+            member_reg.append((reg_t, reg_params))
+        probs_mean = jax.lax.psum(probs_part, sample_axis)
+
+        def presel(s):
+            if approx_topk:
+                _, idx = jax.lax.approx_max_k(s, topk, recall_target=0.99)
+            else:
+                _, idx = jax.lax.top_k(s, topk)
+            return idx
+
+        idx = jax.vmap(presel)(jnp.max(probs_mean[..., 1:], axis=-1))
+
+        stats_part = None
+        for reg_t, (reg_k, reg_b) in member_reg:
+            stats_m = candidate_reg_stats(
+                reg_t, reg_k, reg_b, idx, jnp.int32(0),
+                num_samples=1, keep_prob=1.0, tables=tables,
+                scale_factors=tuple(scale_factors),
+                log_var_clip=log_var_clip, batch_base=b_base,
+            )
+            stats_part = (
+                stats_m * inv_m
+                if stats_part is None
+                else stats_part + stats_m * inv_m
+            )
+        cand_stats = jax.lax.psum(stats_part, sample_axis)
+        cand_probs = jax.vmap(lambda p, i: p[i])(probs_mean, idx)
+        valid = jnp.max(cand_probs[..., 1:], axis=-1) >= score_threshold
+        return idx, valid, cand_probs, cand_stats
+
+    return shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(P(sample_axis), P(data_axis)),
+        out_specs=(
+            P(data_axis), P(data_axis), P(data_axis), P(data_axis),
+        ),
+        check_vma=False,
+    )(stacked_variables, images)
+
+
 def mc_forward_candidates_det(
     model: RetinaNet,
     variables,

@@ -314,6 +314,102 @@ class TestEnsembleMeshServing:
             detect(stacked, images, jax.random.PRNGKey(1))
 
 
+class TestEnsembleCandidatesFastPath:
+    """Pure-ensemble fused fast path (reg_finals='candidates_fused' with
+    epistemic='ensemble'): per-member deterministic passes + the fused
+    candidate-stats kernel per member, member-mean stats == M-sample
+    moments (the REG_STATS accumulator is linear in samples). Must match
+    the dense ensemble route up to float reordering."""
+
+    def _mk(self, reg):
+        cfg = ens_config()
+        return dataclasses.replace(
+            cfg,
+            model=dataclasses.replace(
+                cfg.model, reg_finals=reg, dropout_layers="last",
+                head_channels=128,
+            ),
+            bayes=dataclasses.replace(cfg.bayes, pre_cluster_topk=128),
+        )
+
+    @pytest.fixture(scope="class")
+    def members128(self):
+        cfg = self._mk("dense")
+        model = RetinaNet(cfg=cfg.model, train=False)
+        trees = [
+            init_variables(model, jax.random.PRNGKey(i), cfg.data.image_hw)
+            for i in range(3)
+        ]
+        return trees
+
+    def test_fast_path_matches_dense(self, members128):
+        cfg_d = self._mk("dense")
+        cfg_f = self._mk("candidates_fused")
+        stacked = stack_variables(members128)
+        images = jax.random.uniform(jax.random.PRNGKey(3), (2, 128, 128, 3))
+        rng = jax.random.PRNGKey(1)
+        out_d = jax.jit(
+            build_detect_fn(cfg_d, RetinaNet(cfg=cfg_d.model, train=False))
+        )(stacked, images, rng)
+        out_f = jax.jit(
+            build_detect_fn(cfg_f, RetinaNet(cfg=cfg_f.model, train=False))
+        )(stacked, images, rng)
+        np.testing.assert_array_equal(
+            np.asarray(out_d.valid), np.asarray(out_f.valid)
+        )
+        np.testing.assert_allclose(
+            np.asarray(out_d.boxes), np.asarray(out_f.boxes), atol=5e-2
+        )
+        np.testing.assert_allclose(
+            np.asarray(out_d.probs), np.asarray(out_f.probs), atol=1e-4
+        )
+        scale = np.abs(np.asarray(out_d.covs)).max() + 1e-6
+        np.testing.assert_allclose(
+            np.asarray(out_d.covs) / scale,
+            np.asarray(out_f.covs) / scale,
+            atol=2e-2,
+        )
+        # Distinct members -> real epistemic spread survives the fast path.
+        assert float(np.abs(np.asarray(out_f.covs)).max()) > 0.0
+
+    def test_member_parallel_fast_path_matches_unsharded(
+        self, members128, cpu_devices
+    ):
+        from bayesod_tpu.parallel import mesh as mesh_lib
+        from bayesod_tpu.utils.config import MeshConfig
+
+        cfg_f = self._mk("candidates_fused")
+        model = RetinaNet(cfg=cfg_f.model, train=False)
+        trees4 = members128 + [members128[0]]
+        stacked = stack_variables(trees4)
+        images = jax.random.uniform(jax.random.PRNGKey(3), (2, 128, 128, 3))
+        rng = jax.random.PRNGKey(1)
+        base = jax.jit(build_detect_fn(cfg_f, model))(stacked, images, rng)
+
+        mesh_cfg = MeshConfig(data_parallel=2, sample_parallel=4)
+        mesh = mesh_lib.make_mesh(mesh_cfg)
+        member_sharding = mesh_lib.sample_sharding(mesh, mesh_cfg)
+        detect = jax.jit(
+            build_detect_fn(cfg_f, model, mesh=mesh, mesh_cfg=mesh_cfg),
+            in_shardings=(
+                member_sharding,
+                mesh_lib.batch_sharding(mesh, mesh_cfg),
+                mesh_lib.replicated(mesh),
+            ),
+        )
+        out = detect(jax.device_put(stacked, member_sharding), images, rng)
+        np.testing.assert_array_equal(
+            np.asarray(out.valid), np.asarray(base.valid)
+        )
+        np.testing.assert_allclose(
+            np.asarray(out.boxes), np.asarray(base.boxes), atol=1e-3,
+            rtol=1e-4,
+        )
+        np.testing.assert_allclose(
+            np.asarray(out.probs), np.asarray(base.probs), atol=1e-5
+        )
+
+
 class TestAverageVariables:
     def test_uniform_and_weighted(self, three_members):
         from bayesod_tpu.models.retinanet import average_variables
