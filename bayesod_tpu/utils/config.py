@@ -87,12 +87,14 @@ class ModelConfig:
     #   "candidates" — per-sample outputs computed ONLY at the preselected
     #     top-k anchors (ops/candidate_reg.py + the one-hot-matmul Pallas
     #     gather): 0.6% of the cells do reg work instead of all of them.
-    #     750.8 vs 598.5 img/s dense on v5e (batch 128) once every indexed
+    #     750.8 vs 598.5 img/s dense on v5e (batch 128; pre-hoist-fix
+    #     absolutes — the ratio is the honest part, BASELINE.md) once every indexed
     #     access was de-gather-ified — XLA's TPU gather lowers to serial
     #     dynamic slices and one take_along_axis cost 130 ms/batch;
     #   "candidates_fused" — ONE Pallas kernel per image: streamed one-hot
     #     gather + in-register masks + finals + moment statistics
-    #     (ops/pallas/candidate_finals.py): 799.8 img/s (1.60x target);
+    #     (ops/pallas/candidate_finals.py): 799.8 img/s pre-hoist-fix
+    #     (tail-knob ratios honest, absolutes inflated — BASELINE.md);
     #   "auto" (default) — candidates_fused for batch >= 8 on the pallas
     #     backend, dense otherwise (small batches favor the simpler graph).
     reg_finals: str = "auto"
@@ -162,7 +164,9 @@ class BayesConfig:
     #     softmax is then computed only at the K candidates (fusion's
     #     categoricals stay exact MC means — only the *ordering* of
     #     borderline candidates can differ). Measured 1039.8 vs 799.8
-    #     img/s on v5e (batch 128, 2.08x the design target).
+    #     img/s on v5e (batch 128; pre-hoist-fix absolutes — deterministic
+    #     preselect is itself hoistable, so the honest delta needs the
+    #     round-3 bench; BASELINE.md).
     preselect_source: str = "mc_mean"
     # TPU-native approximate top-k for the candidate preselect (recall 0.99
     # vs exact; preselection is a heuristic filter). False = exact sort.
