@@ -172,11 +172,12 @@ def main() -> None:
     )
     p.add_argument(
         "--segment", default="full",
-        choices=["full", "backbone", "features", "trunks"],
+        choices=["full", "backbone", "features", "trunks", "finals"],
         help="chain only a prefix of the serving graph (hoist-proofed, same "
         "harness): honest per-stage decomposition. 'features' = backbone+"
-        "FPN; 'trunks' adds the deterministic head trunks; full-minus-"
-        "trunks is the stochastic finals + post-processing tail",
+        "FPN; 'trunks' adds the deterministic head trunks; 'finals' adds "
+        "preselect + the fused N-sample candidate finals (everything except "
+        "clustering/fusion); full-minus-finals is the post-processing tail",
     )
     p.add_argument(
         "--linearity", action="store_true",
@@ -357,18 +358,64 @@ def main() -> None:
         def _seg_trunks(m, im):
             return m.head_trunk_outputs(m.features(im))
 
-        _method = {
-            "backbone": _seg_backbone,
-            "features": type(model).features,
-            "trunks": _seg_trunks,
-        }[args.segment]
-
-        def call(variables, imgs, r):
-            out = model.apply(variables, imgs, method=_method)
-            return sum(
-                jnp.sum(x.astype(jnp.float32)) * jnp.float32(1e-9)
-                for x in jax.tree_util.tree_leaves(out)
+        if args.segment == "finals":
+            # Trunk + preselect + the fused candidate finals (both heads,
+            # N samples, moment stats) — everything EXCEPT clustering +
+            # fusion + output marshalling. full-minus-finals isolates the
+            # post-processing tail honestly.
+            from bayesod_tpu.models.retinanet import (
+                mc_forward_candidates,
+                mc_forward_candidates_det,
             )
+            from bayesod_tpu.ops.anchors import feature_shapes
+            from bayesod_tpu.ops.candidate_reg import LevelTables
+
+            tables = LevelTables(
+                feature_shapes(cfg.data.image_hw, cfg.anchors),
+                model.anchors_per_cell,
+            )
+
+            def call(variables, imgs, r):
+                if cfg.bayes.preselect_source == "deterministic":
+                    out = mc_forward_candidates_det(
+                        model, variables, imgs, r, cfg.bayes.num_mc_samples,
+                        cfg.bayes.pre_cluster_topk,
+                        cfg.bayes.score_threshold,
+                        cfg.bayes.approx_topk, tables,
+                        cfg.bayes.box_scale_factors,
+                        cfg.bayes.log_var_clip,
+                    )
+                else:
+                    from bayesod_tpu.infer.detector import _preselect
+
+                    out = mc_forward_candidates(
+                        model, variables, imgs, r, cfg.bayes.num_mc_samples,
+                        lambda p: _preselect(
+                            p, cfg.bayes.pre_cluster_topk,
+                            cfg.bayes.score_threshold,
+                            approx=cfg.bayes.approx_topk,
+                        ),
+                        tables, stats=True,
+                        scale_factors=cfg.bayes.box_scale_factors,
+                        log_var_clip=cfg.bayes.log_var_clip,
+                    )
+                return sum(
+                    jnp.sum(x.astype(jnp.float32)) * jnp.float32(1e-9)
+                    for x in jax.tree_util.tree_leaves(out)
+                )
+        else:
+            _method = {
+                "backbone": _seg_backbone,
+                "features": type(model).features,
+                "trunks": _seg_trunks,
+            }[args.segment]
+
+            def call(variables, imgs, r):
+                out = model.apply(variables, imgs, method=_method)
+                return sum(
+                    jnp.sum(x.astype(jnp.float32)) * jnp.float32(1e-9)
+                    for x in jax.tree_util.tree_leaves(out)
+                )
     else:
         def call(variables, imgs, r):
             out = detect(variables, imgs, r)
