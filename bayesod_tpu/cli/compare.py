@@ -70,7 +70,15 @@ def compare_modes(
             run_cfg = dataclasses.replace(
                 cfg,
                 bayes=dataclasses.replace(
-                    cfg.bayes, mode=mode, preselect_source=pre
+                    cfg.bayes, mode=mode, preselect_source=pre,
+                    # The evaluator sweeps score operating points down to
+                    # min_score; the DETECTOR must not pre-filter above it
+                    # or every mAP/PDQ row silently evaluates an empty set
+                    # (a serving config like score_threshold=0.5 zeroes the
+                    # whole table otherwise).
+                    score_threshold=min(
+                        min_score, cfg.bayes.score_threshold
+                    ),
                 ),
             )
             # Warmup pass: one batch through the jitted graph pays the
@@ -92,6 +100,9 @@ def compare_modes(
             row.update({k: metrics.get(k, float("nan")) for k, _ in COLUMNS})
             row["img_per_sec"] = len(records) / elapsed if elapsed else 0.0
             row["n_images"] = len(records)
+            row["n_detections"] = int(
+                sum(len(r["scores"]) for r in records)
+            )
             rows.append(row)
     return rows
 

@@ -46,6 +46,24 @@ def test_rows_and_table(tiny):
     assert "| mAP |" in table.splitlines()[0]
 
 
+def test_high_serving_threshold_does_not_zero_the_table(tiny):
+    """Regression (round-3 flagship table came back all-zero): a config
+    whose SERVING score_threshold sits above the eval floor must not make
+    the detector pre-filter everything — compare_modes lowers the detect
+    threshold to min_score so the evaluator actually sees detections."""
+    import dataclasses
+
+    cfg, variables = tiny
+    hi = dataclasses.replace(
+        cfg, bayes=dataclasses.replace(cfg.bayes, score_threshold=0.9)
+    )
+    rows = compare_modes(
+        hi, variables, modes=("bayes_od",), preselects=("mc_mean",),
+        max_images=2, batch_size=2, min_score=0.0,
+    )
+    assert rows[0]["n_detections"] > 0, rows
+
+
 def test_all_modes_listed_match_detector():
     from bayesod_tpu.infer import detector
 
