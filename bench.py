@@ -325,10 +325,6 @@ def main() -> None:
         jnp.float32,
     )
 
-    if args.roofline:
-        _roofline(detect, variables, images, rng, args)
-        return
-
     # Measurement note: this environment's remote-PJRT tunnel neither blocks
     # reliably in block_until_ready nor executes dropped results, so
     # per-iteration host timing is untrustworthy. Instead ITERS detect steps
@@ -420,6 +416,16 @@ def main() -> None:
         def call(variables, imgs, r):
             out = detect(variables, imgs, r)
             return jnp.sum(out.scores) + jnp.sum(out.boxes) * 1e-9
+
+    if args.roofline:
+        # Composes with --segment: cost analysis of exactly the subgraph
+        # the segment bench times (full graph when segment == "full").
+        _roofline(
+            (lambda v, im, r: detect(v, im, r))
+            if args.segment == "full" else call,
+            variables, images, rng, args,
+        )
+        return
 
     def chained(variables, images, rng, iters):
         def body(i, acc):
@@ -738,7 +744,9 @@ def _roofline(detect, variables, images, rng, args) -> None:
     print(
         json.dumps(
             {
-                "metric": "roofline_hbm_floor_ms_per_batch",
+                "metric": "roofline_hbm_floor_ms_per_batch"
+                + ("" if args.segment == "full"
+                   else f"_{args.segment}_segment"),
                 "value": round(t_mem * 1e3, 2),
                 "unit": "ms",
                 "vs_baseline": 0.0,
