@@ -221,10 +221,14 @@ def _postprocess_posteriors(
         backend = "pallas" if jax.default_backend() == "tpu" else "xla"
     if backend == "pallas":
         from bayesod_tpu.ops.pallas.clustering import (
-            iou_affinity_clustering_pallas,
+            iou_affinity_clustering_pallas_auto,
         )
 
-        cluster_fn = iou_affinity_clustering_pallas
+        # The auto wrapper's custom-vmap rule turns the per-image kernel
+        # into ONE batch-blocked pallas_call under the image vmap (several
+        # greedy loops advance together per program) — the per-image
+        # semantics are bit-identical.
+        cluster_fn = iou_affinity_clustering_pallas_auto
     else:
         cluster_fn = clus.iou_affinity_clustering
 
