@@ -250,10 +250,15 @@ def _cluster_kernel_batched(
     valid_ref[:] = valid
 
 
-def _images_per_program(k: int, d8: int, vmem_budget: int = 11 << 20) -> int:
-    """Largest power-of-two image block whose VMEM slab fits the budget
-    (IoU [blk,K,K] fp32 dominates; member out + state are the rest)."""
-    per_img = k * k * 4 + d8 * k * 4 + 8 * k * 4
+def _images_per_program(k: int, d8: int, vmem_budget: int = 13 << 20) -> int:
+    """Largest power-of-two image block whose VMEM working set fits.
+
+    Peak live set during the IoU build is THREE [blk,K,K] fp32 slabs
+    (inter, union, iou) — not one; Mosaic allocates each HLO buffer on the
+    scoped-vmem stack (measured: blk=8 @ K=512 asked for 22.8 MB against
+    the 16 MB limit). Budget 13 MB leaves headroom for the in/out blocks
+    and loop state -> blk=4 at the default K=512."""
+    per_img = 3 * k * k * 4 + d8 * k * 4 + 16 * k * 4
     blk = 8
     while blk > 1 and blk * per_img > vmem_budget:
         blk //= 2
