@@ -177,17 +177,21 @@ def iou_affinity_clustering_pallas(
 
 def _cluster_kernel_batched(
     boxes_ref,  # [blk, K, 4] fp32 VMEM
-    scores_ref,  # [blk, K] fp32 VMEM (invalid pre-masked to -inf)
+    scores_ref,  # [blk, 1, K] fp32 VMEM (invalid pre-masked to -inf)
     member_ref,  # [blk, D8, K] fp32 VMEM out
-    center_ref,  # [blk, Dp] int32 VMEM out
-    valid_ref,  # [blk, Dp] fp32 VMEM out
+    center_ref,  # [blk, 1, Dp] int32 VMEM out
+    valid_ref,  # [blk, 1, Dp] fp32 VMEM out
     *,
     max_detections: int,
     affinity_threshold: float,
 ):
+    # All per-candidate state is [blk, 1, K] and per-slot state [blk, 1, Dp]
+    # so every ref's LAST TWO dims equal the full array dims (Mosaic's block
+    # rule: last-two divisible by (8,128) or full-size — blk can then be
+    # any size the VMEM budget allows).
     blk, k, _ = boxes_ref.shape
     d8 = member_ref.shape[1]
-    d_pad = center_ref.shape[1]
+    d_pad = center_ref.shape[2]
     boxes = boxes_ref[:]  # [blk, K, 4]
 
     x1 = boxes[:, :, 0:1]  # [blk, K, 1]
@@ -205,21 +209,24 @@ def _cluster_kernel_batched(
     union = area + jnp.swapaxes(area, 1, 2) - inter
     iou = jnp.where(union > 0.0, inter / jnp.maximum(union, 1e-9), 0.0)
 
-    col_ids = jax.lax.broadcasted_iota(jnp.int32, (blk, k), 1)  # [blk, K]
     lane_ids = jax.lax.broadcasted_iota(jnp.int32, (blk, 1, k), 2)
-    d_ids = jax.lax.broadcasted_iota(jnp.int32, (blk, d_pad), 1)
+    sub_ids = jax.lax.broadcasted_iota(jnp.int32, (blk, k, 1), 1)
+    d_ids = jax.lax.broadcasted_iota(jnp.int32, (blk, 1, d_pad), 2)
     d = max_detections
 
     def body(i, state):
-        avail, assigned, centers, valid = state
-        m = jnp.max(avail, axis=1, keepdims=True)  # [blk, 1]
+        avail, assigned, centers, valid = state  # [blk,1,K] x2, [blk,1,Dp] x2
+        m = jnp.max(avail, axis=2, keepdims=True)  # [blk, 1, 1]
         is_max = avail >= m
-        c = jnp.min(jnp.where(is_max, col_ids, k), axis=1, keepdims=True)
-        has_center = m > _NEG_INF  # [blk, 1]
-        # IoU is symmetric: row c == column c. Exactly one lane matches the
-        # mask, so the sum IS that element (bit-identical, no reordering).
-        sel = (lane_ids == c[:, :, None]).astype(jnp.float32)  # [blk, 1, K]
-        iou_row = jnp.sum(iou * sel, axis=2)  # [blk, K]
+        c = jnp.min(
+            jnp.where(is_max, lane_ids, k), axis=2, keepdims=True
+        )  # [blk, 1, 1]
+        has_center = m > _NEG_INF  # [blk, 1, 1]
+        # IoU is symmetric: column c == row c. The sublane mask matches
+        # exactly one row, so the sum IS iou[b, c, :] — bit-identical (one
+        # term, no float reordering).
+        sel = (sub_ids == c).astype(jnp.float32)  # [blk, K, 1]
+        iou_row = jnp.sum(iou * sel, axis=1, keepdims=True)  # [blk, 1, K]
         members = (
             (iou_row >= affinity_threshold) & (avail > _NEG_INF) & has_center
         )
@@ -235,15 +242,15 @@ def _cluster_kernel_batched(
 
     init = (
         scores_ref[:],
-        jnp.full((blk, k), -1, jnp.int32),
-        jnp.zeros((blk, d_pad), jnp.int32),
-        jnp.zeros((blk, d_pad), jnp.float32),
+        jnp.full((blk, 1, k), -1, jnp.int32),
+        jnp.zeros((blk, 1, d_pad), jnp.int32),
+        jnp.zeros((blk, 1, d_pad), jnp.float32),
     )
     _, assigned, centers, valid = jax.lax.fori_loop(
         0, d, body, init, unroll=False
     )
     member_ref[:] = (
-        assigned[:, None, :]
+        assigned
         == jax.lax.broadcasted_iota(jnp.int32, (blk, d8, k), 1)
     ).astype(jnp.float32)
     center_ref[:] = centers
@@ -291,9 +298,9 @@ def iou_affinity_clustering_pallas_batched(
         boxes.astype(jnp.float32)
     )
     masked = jnp.where(valid_mask, scores.astype(jnp.float32), _NEG_INF)
-    scores_p = jnp.full((bp, kp), _NEG_INF, jnp.float32).at[:bsz, :k].set(
-        masked
-    )
+    scores_p = jnp.full((bp, 1, kp), _NEG_INF, jnp.float32).at[
+        :bsz, 0, :k
+    ].set(masked)
 
     member, center, valid = pl.pallas_call(
         functools.partial(
@@ -304,25 +311,25 @@ def iou_affinity_clustering_pallas_batched(
         grid=(g,),
         out_shape=(
             jax.ShapeDtypeStruct((bp, d8, kp), jnp.float32),
-            jax.ShapeDtypeStruct((bp, dp), jnp.int32),
-            jax.ShapeDtypeStruct((bp, dp), jnp.float32),
+            jax.ShapeDtypeStruct((bp, 1, dp), jnp.int32),
+            jax.ShapeDtypeStruct((bp, 1, dp), jnp.float32),
         ),
         in_specs=[
             pl.BlockSpec((blk, kp, 4), lambda i: (i, 0, 0)),
-            pl.BlockSpec((blk, kp), lambda i: (i, 0)),
+            pl.BlockSpec((blk, 1, kp), lambda i: (i, 0, 0)),
         ],
         out_specs=(
             pl.BlockSpec((blk, d8, kp), lambda i: (i, 0, 0)),
-            pl.BlockSpec((blk, dp), lambda i: (i, 0)),
-            pl.BlockSpec((blk, dp), lambda i: (i, 0)),
+            pl.BlockSpec((blk, 1, dp), lambda i: (i, 0, 0)),
+            pl.BlockSpec((blk, 1, dp), lambda i: (i, 0, 0)),
         ),
         interpret=interpret,
     )(boxes_p, scores_p)
 
     return Clusters(
-        centers=center[:bsz, :d],
+        centers=center[:bsz, 0, :d],
         membership=member[:bsz, :d, :k] > 0.5,
-        valid=valid[:bsz, :d] > 0.5,
+        valid=valid[:bsz, 0, :d] > 0.5,
     )
 
 
