@@ -584,15 +584,40 @@ def _bench_serve(cfg, variables, args) -> None:
         ]
         for t in threads:
             t.start()
-        time.sleep(max(args.serve_seconds * 0.3, 1.0))  # reach steady state
+        # Over the remote-PJRT tunnel one batch cycle (host resize on a
+        # 1-vCPU box + H2D over ~10-130 MB/s + a true D2H sync) can exceed
+        # any fixed wall window, so a pure time.sleep window can measure
+        # ZERO completed batches (observed: 15 s window, 0 reqs -> rps 0.0).
+        # Warm up by BATCHES, then measure until BOTH the requested window
+        # elapsed AND >= 3 batches completed, with a hard cap.
+        def _wait_batches(target: int, cap_s: float) -> None:
+            t_cap = time.monotonic() + cap_s
+            while srv.stats.batches < target and time.monotonic() < t_cap:
+                time.sleep(0.05)
+
+        _wait_batches(2, 900.0)  # steady state: the first batches are warmup
         with lock:
             latencies.clear()
         req0, bat0, t0 = (
             srv.stats.requests, srv.stats.batches, time.monotonic()
         )
-        time.sleep(args.serve_seconds)
-        reqs, elapsed = srv.stats.requests - req0, time.monotonic() - t0
-        nbatches = srv.stats.batches - bat0
+        t_min = t0 + args.serve_seconds
+        t_cap = t0 + max(args.serve_seconds * 20, 600.0)
+        # Snap the window to whole-batch boundaries: (reqs, elapsed) are
+        # sampled at the moment the batch counter last advanced, so a
+        # half-finished batch at the deadline can't bias the rate down.
+        reqs, nbatches, elapsed = 0, 0, float("nan")
+        seen = bat0
+        while time.monotonic() < t_cap:
+            b = srv.stats.batches
+            if b > seen:
+                seen = b
+                reqs = srv.stats.requests - req0
+                nbatches = b - bat0
+                elapsed = time.monotonic() - t0
+            if time.monotonic() >= t_min and nbatches >= 3:
+                break
+            time.sleep(0.05)
         with lock:
             lat = sorted(latencies)
         fill = reqs / nbatches if nbatches else float("nan")
