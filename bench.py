@@ -34,10 +34,10 @@ import numpy as np
 
 def main() -> None:
     p = argparse.ArgumentParser()
-    # Honest (hoist-proofed) batch sweep on v5e-1: bf16 128 -> 474.0,
-    # 160 -> 445.2, 256 -> 463.3; full int8-resident 160 -> 588.5.
-    # Default stays 160 = the int8-resident optimum measured so far.
-    p.add_argument("--batch", type=int, default=160)
+    # Honest (hoist-proofed) batch sweep on v5e-1: bf16 128 -> 476.3,
+    # 160 -> 445.2, 256 -> 463.3; full int8-resident 128 -> 622.0 (best).
+    # Default = 128, the measured optimum for both graphs.
+    p.add_argument("--batch", type=int, default=128)
     p.add_argument("--iters", type=int, default=20)
     p.add_argument("--warmup", type=int, default=3)
     p.add_argument("--samples", type=int, default=10)
@@ -105,8 +105,15 @@ def main() -> None:
         # int8_resident: trunk activations stay int8 in HBM (bias+relu+
         # requant conv epilogues, calibrated at startup). The trunks are
         # ~50% of the serving graph's FLOPs. "int8" is the round-1
-        # inside-quant path (measured neutral).
-        "--trunk_dtype", default="bf16",
+        # inside-quant path (measured neutral). DEFAULT int8_resident:
+        # the production serving graph (622.0 img/s @ b128 = 1.24x target;
+        # PTQ ablation mAP -0.002 / PDQ -0.001 vs bf16, DESIGN.md §8).
+        # Pass bf16 for the exact-numerics graph (476.3 @ b128). The
+        # LIBRARY default stays bf16 — this is the perf bench's default,
+        # and it applies only to the plain/--segment throughput bench:
+        # --train/--latency/--serve/--ensemble/--tiny resolve a None
+        # default to bf16 (see post-parse resolution below).
+        "--trunk_dtype", default=None,
         choices=["bf16", "int8", "int8_resident"],
         help="head-trunk conv precision",
     )
@@ -115,7 +122,8 @@ def main() -> None:
         # folded-batchnorm conv epilogues (calibrated on the bench batch at
         # startup; models/calibration.py). "int8" is the round-1
         # inside-quant path, kept for comparison (measured neutral).
-        "--backbone_dtype", default="bf16",
+        # Default int8_resident — see --trunk_dtype note.
+        "--backbone_dtype", default=None,
         choices=["bf16", "int8", "int8_resident"],
         help="backbone residual-block conv precision",
     )
@@ -124,19 +132,21 @@ def main() -> None:
         help="static int8 activation scale (None = dynamic absmax)",
     )
     p.add_argument(
-        "--fpn_dtype", default="bf16", choices=["bf16", "int8_resident"],
-        help="FPN conv precision (int8_resident calibrates at startup)",
+        "--fpn_dtype", default=None,
+        choices=["bf16", "int8_resident"],
+        help="FPN conv precision (int8_resident calibrates at startup; "
+        "default int8_resident — see --trunk_dtype note)",
     )
     p.add_argument(
         "--probs_reduce", default="auto", choices=["auto", "flat", "fused"],
         help="MC class-prob reduction: XLA flat or in-kernel softmax-mean",
     )
     p.add_argument(
-        # deterministic preselect default: 1039.8 vs 799.8 img/s with no
-        # measurable accuracy cost (DESIGN.md "deterministic preselect" —
-        # mAP/MUE/PDQ deltas inside the route noise band on the trained
-        # synthetic model). --preselect mc_mean gives the reference-exact
-        # candidate ordering.
+        # deterministic preselect default: honest 1.22x (476.3 vs 391.0 at
+        # bf16 b128) with no measurable accuracy cost (DESIGN.md
+        # "deterministic preselect" — mAP/MUE/PDQ deltas inside the route
+        # noise band on the trained synthetic model). --preselect mc_mean
+        # gives the reference-exact candidate ordering.
         "--preselect", default="deterministic",
         choices=["mc_mean", "deterministic"],
         help="preselection score source (bayes.preselect_source)",
@@ -187,6 +197,22 @@ def main() -> None:
         "residual loop-invariant hoisting or early-return tunnel artifacts",
     )
     args = p.parse_args()
+
+    # Dtype-default resolution: the plain / --segment throughput bench
+    # defaults to the production int8-resident serving graph (the honest
+    # best, 622.0 img/s @ b128 = 1.24x target); every other mode defaults
+    # to bf16 — training IS bf16 by design, --ensemble is exclusive with
+    # calibration (one weight set), --tiny uses groupnorm (no BN folding),
+    # and --latency/--serve keep their recorded bf16 semantics. Explicit
+    # flags always win.
+    bf16_default = (
+        args.train or args.ensemble or args.latency or args.serve
+        or args.tiny or args.loader
+    )
+    default_dtype = "bf16" if bf16_default else "int8_resident"
+    for _flag in ("trunk_dtype", "backbone_dtype", "fpn_dtype"):
+        if getattr(args, _flag) is None:
+            setattr(args, _flag, default_dtype)
 
     if args.loader:
         _bench_loader(args)
