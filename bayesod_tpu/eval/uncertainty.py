@@ -63,13 +63,36 @@ def minimum_uncertainty_error(
     return float(err[j]), t
 
 
+def psd_project(cov: np.ndarray, floor: float = 1e-3) -> np.ndarray:
+    """Nearest-PSD repair for per-detection 4x4 covariances, [N, 4, 4].
+
+    Evaluation must not die on one degenerate matrix: a bf16 serving graph
+    can emit a borderline cluster whose fused covariance has a slightly
+    negative eigenvalue (or non-finite entries after an extreme precision
+    sum), and np.linalg.cholesky raises on the whole batch. Symmetrize,
+    replace non-finite rows with a huge isotropic covariance (maximally
+    uncertain — the honest reading of a broken posterior), and floor the
+    eigenvalues."""
+    cov = np.asarray(cov, np.float64)
+    bad = ~np.isfinite(cov).all(axis=(-2, -1))
+    if bad.any():
+        cov = cov.copy()
+        cov[bad] = 1e8 * np.eye(4)
+    cov = 0.5 * (cov + cov.swapaxes(-1, -2))
+    w, v = np.linalg.eigh(cov)
+    if w.min() >= floor:
+        return cov
+    w = np.maximum(w, floor)
+    return np.einsum("...ij,...j,...kj->...ik", v, w, v)
+
+
 def gaussian_nll(
     gt_boxes: np.ndarray, mu: np.ndarray, cov: np.ndarray, jitter: float = 1e-3
 ) -> np.ndarray:
     """Per-detection -log N(gt | mu, Sigma), full 4x4 covariance. [N]"""
     if len(gt_boxes) == 0:
         return np.zeros(0)
-    cov = cov + jitter * np.eye(4)
+    cov = psd_project(cov, floor=jitter)
     err = (gt_boxes - mu)[..., None]  # [N, 4, 1]
     chol = np.linalg.cholesky(cov)
     sol = np.linalg.solve(chol, err)  # [N, 4, 1]
@@ -95,7 +118,7 @@ def entropy(probs: np.ndarray) -> np.ndarray:
 def gaussian_entropy(cov: np.ndarray, jitter: float = 1e-3) -> np.ndarray:
     """Differential entropy of N(mu, Sigma), [N] (paper's box-uncertainty
     ranking measure): 0.5 * log((2 pi e)^4 |Sigma|)."""
-    cov = cov + jitter * np.eye(4)
+    cov = psd_project(cov, floor=jitter)
     sign, logdet = np.linalg.slogdet(cov)
     return 0.5 * (4.0 * (_LOG_2PI + 1.0) + logdet)
 

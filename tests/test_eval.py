@@ -158,6 +158,27 @@ class TestUncertainty:
         big = gaussian_entropy(np.eye(4)[None] * 10.0, jitter=0.0)
         assert small[0] < big[0]
 
+    def test_degenerate_covariances_do_not_crash(self):
+        # One bad detection must not kill the whole evaluation (observed:
+        # a bf16 serving graph emitted one borderline fused covariance
+        # with a negative eigenvalue among 96 images and np.linalg.cholesky
+        # raised for the entire compare run). Non-PSD and non-finite
+        # covariances get PSD-projected; healthy rows are untouched.
+        gt = np.zeros((3, 4))
+        mu = np.zeros((3, 4))
+        healthy = np.eye(4)
+        indefinite = np.diag([4.0, 1.0, 1.0, -0.5])  # worse than any jitter
+        broken = np.full((4, 4), np.nan)
+        cov = np.stack([healthy, indefinite, broken])
+        nll = gaussian_nll(gt, mu, cov, jitter=1e-3)
+        assert np.isfinite(nll).all()
+        # The healthy row's value is what it always was.
+        assert nll[0] == pytest.approx(2.0 * np.log(2 * np.pi), rel=1e-5)
+        # The broken row reads as maximally uncertain (huge entropy).
+        ent = gaussian_entropy(cov, jitter=1e-3)
+        assert np.isfinite(ent).all()
+        assert ent[2] > ent[0]
+
 
 class TestEndToEndEval:
     """Synthetic-dataset round trip: detect garbage (random weights) ->
