@@ -1083,6 +1083,38 @@ def ensemble_forward_candidates_sp(
     )(stacked_variables, images)
 
 
+def deterministic_preselect_idx(
+    cls_t, cls_k, cls_b, anchors_per_cell, n_cls, topk, approx_topk
+):
+    """Dense deterministic preselection: one cls-final conv per level
+    (dropout off), max-foreground-softmax score per anchor, top-k indices.
+
+    Factored out of mc_forward_candidates_det so the bench can time the
+    trunk+preselect prefix alone (`bench.py --segment preselect`)."""
+    score_lvls = []
+    for ct in cls_t:
+        logits = jax.lax.conv_general_dilated(
+            ct, cls_k.astype(ct.dtype), (1, 1), "SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        ) + cls_b.astype(ct.dtype)
+        b, h, w, _ = logits.shape
+        lg = logits.reshape(
+            b, h * w * anchors_per_cell, n_cls
+        ).astype(jnp.float32)
+        p = jax.nn.softmax(lg, axis=-1)
+        score_lvls.append(jnp.max(p[..., 1:], axis=-1))  # [B, cells*k]
+    scores = jnp.concatenate(score_lvls, axis=-1)  # [B, A]
+
+    def presel(s):
+        if approx_topk:
+            _, idx = jax.lax.approx_max_k(s, topk, recall_target=0.99)
+        else:
+            _, idx = jax.lax.top_k(s, topk)
+        return idx
+
+    return jax.vmap(presel)(scores)
+
+
 def mc_forward_candidates_det(
     model: RetinaNet,
     variables,
@@ -1135,27 +1167,9 @@ def mc_forward_candidates_det(
     else:
         seed0 = (rng[0] ^ (rng[1] << 1)).astype(jnp.int32)
 
-    # Deterministic preselection scores: max foreground softmax per anchor.
-    score_lvls = []
-    for ct in cls_t:
-        logits = jax.lax.conv_general_dilated(
-            ct, cls_k.astype(ct.dtype), (1, 1), "SAME",
-            dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        ) + cls_b.astype(ct.dtype)
-        b, h, w, _ = logits.shape
-        lg = logits.reshape(b, h * w * k, n_cls).astype(jnp.float32)
-        p = jax.nn.softmax(lg, axis=-1)
-        score_lvls.append(jnp.max(p[..., 1:], axis=-1))  # [B, cells*k]
-    scores = jnp.concatenate(score_lvls, axis=-1)  # [B, A]
-
-    def presel(s):
-        if approx_topk:
-            _, idx = jax.lax.approx_max_k(s, topk, recall_target=0.99)
-        else:
-            _, idx = jax.lax.top_k(s, topk)
-        return idx
-
-    idx = jax.vmap(presel)(scores)
+    idx = deterministic_preselect_idx(
+        cls_t, cls_k, cls_b, k, n_cls, topk, approx_topk
+    )
 
     cand_probs = candidate_cls_probs(
         list(cls_t), cls_k, cls_b, idx, seed0 + jnp.int32(104729),

@@ -182,7 +182,8 @@ def main() -> None:
     )
     p.add_argument(
         "--segment", default="full",
-        choices=["full", "backbone", "features", "trunks", "finals"],
+        choices=["full", "backbone", "features", "trunks", "preselect",
+                 "finals"],
         help="chain only a prefix of the serving graph (hoist-proofed, same "
         "harness): honest per-stage decomposition. 'features' = backbone+"
         "FPN; 'trunks' adds the deterministic head trunks; 'finals' adds "
@@ -380,7 +381,29 @@ def main() -> None:
         def _seg_trunks(m, im):
             return m.head_trunk_outputs(m.features(im))
 
-        if args.segment == "finals":
+        if args.segment == "preselect":
+            # Trunk + the dense deterministic cls pass + top-k, nothing
+            # per-sample: finals-minus-preselect isolates the N-sample
+            # candidate kernels from the dense selection work.
+            from bayesod_tpu.models.retinanet import (
+                RetinaNet as _RN,
+                deterministic_preselect_idx,
+            )
+
+            def call(variables, imgs, r):
+                feats = model.apply(variables, imgs, method=_RN.features)
+                cls_t, _ = model.apply(
+                    variables, feats, method=_RN.head_trunk_outputs
+                )
+                params = variables["params"]["heads"]
+                idx = deterministic_preselect_idx(
+                    cls_t, params["cls_out"]["kernel"],
+                    params["cls_out"]["bias"], model.anchors_per_cell,
+                    cfg.model.num_classes + 1, cfg.bayes.pre_cluster_topk,
+                    cfg.bayes.approx_topk,
+                )
+                return jnp.sum(idx.astype(jnp.float32)) * jnp.float32(1e-9)
+        elif args.segment == "finals":
             # Trunk + preselect + the fused candidate finals (both heads,
             # N samples, moment stats) — everything EXCEPT clustering +
             # fusion + output marshalling. full-minus-finals isolates the
