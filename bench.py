@@ -41,6 +41,12 @@ def main() -> None:
     p.add_argument("--iters", type=int, default=20)
     p.add_argument("--warmup", type=int, default=3)
     p.add_argument("--samples", type=int, default=10)
+    p.add_argument(
+        "--topk", type=int, default=512,
+        help="bayes.pre_cluster_topk — candidate count for the fused "
+        "finals (multiple of 128); the candidate kernels' one-hot gather "
+        "FLOPs scale linearly in it",
+    )
     p.add_argument("--tiny", action="store_true", help="CI-sized model")
     p.add_argument(
         "--cpu", action="store_true",
@@ -264,6 +270,7 @@ def main() -> None:
             num_mc_samples=args.samples, mode=args.mode,
             preselect_source=args.preselect,
             epistemic="ensemble" if args.ensemble else "mc_dropout",
+            pre_cluster_topk=args.topk,
         ),
         data=DataConfig(dataset="synthetic", image_hw=image_hw),
     )
