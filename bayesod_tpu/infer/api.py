@@ -203,6 +203,7 @@ class Detector:
         backbone: bool = True,
         trunk: bool = True,
         fpn: bool = True,
+        table: bool = False,
     ) -> "Detector":
         """New Detector serving the SAME weights through the int8-resident
         backbone / FPN / head trunks (models/{resnet,fpn,heads}.py),
@@ -237,11 +238,12 @@ class Detector:
                 backbone_act_scales=None,
                 head_trunk_dtype="bf16", head_trunk_act_scales=None,
                 fpn_dtype="bf16", fpn_act_scales=None,
+                head_table_dtype="bf16", head_table_scales=None,
             ),
         )
         cfg8 = quantized_serving_config(
             base, self.variables, normalized, margin=margin,
-            backbone=backbone, trunk=trunk, fpn=fpn,
+            backbone=backbone, trunk=trunk, fpn=fpn, table=table,
         )
         return Detector(cfg8, self.variables, self.batch_size, mesh=self._mesh)
 

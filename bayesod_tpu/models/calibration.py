@@ -111,16 +111,20 @@ def calibrate_serving_scales(
     Tuple[Tuple[str, float], ...],
     Tuple[Tuple[str, float], ...],
     Tuple[Tuple[str, float], ...],
+    Tuple[Tuple[str, float], ...],
 ]:
     """ONE bf16 capture pass over backbone + FPN + head trunks, returning
-    (backbone_scales, fpn_scales, trunk_scales) — the inputs for
-    ModelConfig.backbone_act_scales / .fpn_act_scales /
-    .head_trunk_act_scales.
+    (backbone_scales, fpn_scales, trunk_scales, table_scales) — the inputs
+    for ModelConfig.backbone_act_scales / .fpn_act_scales /
+    .head_trunk_act_scales / .head_table_scales.
 
     Trunk sites are "{cls|reg}/p{level}_{in|conv{i}}": the trunk weights are
     shared across pyramid levels, but activation statistics are not, so each
     level gets its own requant constants (free — they're epilogue scalars).
     FPN sites are c3,c4,c5 (inputs), l3,l4,l5 (post-add, pre-smooth), p6r.
+    Table sites are ("cls", s), ("reg", s) — ONE scale per head over all
+    levels (the trunk convs are level-shared, so trunk-OUTPUT ranges match
+    across levels; the scale quantizes the candidate kernels' row table).
     """
     from bayesod_tpu.models.retinanet import RetinaNet
 
@@ -134,7 +138,7 @@ def calibrate_serving_scales(
     def run(m, imgs):
         return m.head_trunk_outputs(m.features(imgs))
 
-    _, state = model.apply(
+    (cls_t, reg_t), state = model.apply(
         variables, images, method=run, mutable=["intermediates"]
     )
     inter = state["intermediates"]
@@ -151,10 +155,19 @@ def calibrate_serving_scales(
         for site, value in inter["heads"][trunk_key].items():
             trunk[f"{prefix}/{site}"] = _to_scale(value, margin)
 
+    def table_scale(levels) -> float:
+        m = jnp.max(
+            jnp.stack([jnp.max(jnp.abs(t.astype(jnp.float32))) for t in levels])
+        )
+        return _to_scale((m,), margin)  # (m,) matches the sown-tuple shape
+
+    table = {"cls": table_scale(cls_t), "reg": table_scale(reg_t)}
+
     return (
         tuple(sorted(backbone.items())),
         tuple(sorted(fpn.items())),
         tuple(sorted(trunk.items())),
+        tuple(sorted(table.items())),
     )
 
 
@@ -166,15 +179,19 @@ def quantized_serving_config(
     backbone: bool = True,
     trunk: bool = True,
     fpn: bool = True,
+    table: bool = False,
 ):
     """Calibrate and return an ExperimentConfig serving the same weights
     through the int8-resident backbone / FPN / head trunks. The backbone
     path needs norm="batchnorm" (it folds BN statically); the FPN and trunk
-    paths have no norm so they work under any config."""
+    paths have no norm so they work under any config. `table` additionally
+    quantizes the candidate kernels' trunk row tables to int8
+    (ModelConfig.head_table_dtype — orthogonal to the other three, works
+    on an otherwise-bf16 graph too)."""
     if backbone and cfg.model.norm != "batchnorm":
         backbone = False  # fpn/trunk-only quantization still applies
-    backbone_scales, fpn_scales, trunk_scales = calibrate_serving_scales(
-        cfg, variables, images, margin
+    backbone_scales, fpn_scales, trunk_scales, table_scales = (
+        calibrate_serving_scales(cfg, variables, images, margin)
     )
     model = cfg.model
     if backbone:
@@ -190,5 +207,9 @@ def quantized_serving_config(
         model = dataclasses.replace(
             model, head_trunk_dtype="int8_resident",
             head_trunk_act_scales=trunk_scales,
+        )
+    if table:
+        model = dataclasses.replace(
+            model, head_table_dtype="int8", head_table_scales=table_scales,
         )
     return dataclasses.replace(cfg, model=model)

@@ -475,6 +475,20 @@ def _stats_from_samples(reg_map, k, scale_factors, log_var_clip):
     return stats.reshape(b, h, w, k * 18)
 
 
+def head_table_scale(model_cfg, head: str):
+    """Static int8 row-table scale for `head` ("cls"/"reg"), or None when
+    ModelConfig.head_table_dtype is bf16. See utils/config.py and
+    ops/candidate_reg.py (table_scale)."""
+    if getattr(model_cfg, "head_table_dtype", "bf16") != "int8":
+        return None
+    if not model_cfg.head_table_scales:
+        raise ValueError(
+            "head_table_dtype='int8' needs calibrated head_table_scales "
+            "(models/calibration.py:calibrate_serving_scales)"
+        )
+    return float(dict(model_cfg.head_table_scales)[head])
+
+
 def mc_forward_candidates(
     model: RetinaNet,
     variables,
@@ -552,6 +566,7 @@ def mc_forward_candidates(
             num_samples, keep, tables,
             scale_factors=tuple(scale_factors), log_var_clip=log_var_clip,
             batch_base=batch_base,
+            table_scale=head_table_scale(model.cfg, "reg"),
         )  # [B, K, 18]
     else:
         cand = candidate_reg_outputs(
@@ -1174,6 +1189,7 @@ def mc_forward_candidates_det(
     cand_probs = candidate_cls_probs(
         list(cls_t), cls_k, cls_b, idx, seed0 + jnp.int32(104729),
         num_samples, keep, tables, n_cls, batch_base=batch_base,
+        table_scale=head_table_scale(model.cfg, "cls"),
     )
     # Validity gate on the MC-MEAN categorical (the statistic fusion
     # consumes), not the deterministic preselect scores: only the top-k
@@ -1185,5 +1201,6 @@ def mc_forward_candidates_det(
         num_samples, keep, tables,
         scale_factors=tuple(scale_factors), log_var_clip=log_var_clip,
         batch_base=batch_base,
+        table_scale=head_table_scale(model.cfg, "reg"),
     )
     return idx, valid, cand_probs, cand_stats

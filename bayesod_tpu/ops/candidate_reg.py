@@ -227,6 +227,7 @@ def candidate_reg_stats(
     log_var_clip: float = 10.0,
     backend: str = "auto",
     batch_base: "jnp.ndarray | int" = 0,
+    table_scale: "float | None" = None,
 ) -> jnp.ndarray:
     """[B, K, 18] per-candidate moment statistics.
 
@@ -234,10 +235,22 @@ def candidate_reg_stats(
     (ops/pallas/candidate_finals.py) — gather, masks, finals, and stats
     never leave VMEM. "xla": candidate_reg_outputs' per-sample path +
     stats reduction (same masks -> the two agree to bf16 tolerance; the
-    parity oracle)."""
+    parity oracle).
+
+    table_scale (ModelConfig.head_table_dtype="int8"): the trunk row table
+    is quantized to int8 at this static scale before the kernel streams it
+    — the one-hot gather matmuls run int8 x int8 -> int32 at 2x the bf16
+    MXU rate on half the DMA bytes. XLA fuses the requant into the trunk's
+    last conv epilogue, so the bf16 table never reaches HBM when this is
+    its only consumer. The XLA oracle consumes dequant(quant(table)) —
+    same numerics, so parity tests cover the quantized route too."""
     if backend == "auto":
         backend = "pallas" if jax.default_backend() == "tpu" else "xla"
     if backend == "xla":
+        if table_scale is not None:
+            reg_t_levels = [
+                _fake_quant_table(t, table_scale) for t in reg_t_levels
+            ]
         samples = candidate_reg_outputs(
             reg_t_levels, kernel, bias, idx, seed, num_samples, keep_prob,
             tables, batch_base=batch_base,
@@ -253,12 +266,29 @@ def candidate_reg_stats(
     flat = jnp.concatenate(
         [t.reshape(b, -1, c) for t in reg_t_levels], axis=1
     )
+    if table_scale is not None:
+        from bayesod_tpu.models.quant import quantize_act
+
+        flat = quantize_act(flat, float(table_scale))
     rows_pm, a_idx = tap_major_rows(idx, tables)
     return candidate_finals_stats(
         flat, rows_pm, a_idx, kernel, bias, seed, num_samples, keep_prob,
         tables.k, scale_factors=tuple(scale_factors),
         log_var_clip=log_var_clip, batch_base=batch_base,
+        table_scale=(
+            None if table_scale is None else float(table_scale)
+        ),
     )
+
+
+def _fake_quant_table(t: jnp.ndarray, scale: float) -> jnp.ndarray:
+    """dequant(quant(t)) in the table's own dtype — the XLA-oracle
+    simulation of the int8 row table the Pallas kernels stream."""
+    from bayesod_tpu.models.quant import quantize_act
+
+    return (
+        quantize_act(t, float(scale)).astype(jnp.float32) * float(scale)
+    ).astype(t.dtype)
 
 
 def tap_major_rows(idx: jnp.ndarray, tables: LevelTables):
@@ -298,16 +328,22 @@ def candidate_cls_probs(
     num_classes_incl_bg: int,
     backend: str = "auto",
     batch_base: "jnp.ndarray | int" = 0,
+    table_scale: "float | None" = None,
 ) -> jnp.ndarray:
     """[B, K, C+1] MC mean-softmax categoricals at the candidates only.
 
     Companion to candidate_reg_stats for BayesConfig.preselect_source=
     "deterministic": preselection runs on a single deterministic pass, so
     the N-sample cls work shrinks to the K candidates (paper §III.A's mean
-    softmax, computed exactly where fusion reads it)."""
+    softmax, computed exactly where fusion reads it). table_scale: see
+    candidate_reg_stats."""
     if backend == "auto":
         backend = "pallas" if jax.default_backend() == "tpu" else "xla"
     if backend == "xla":
+        if table_scale is not None:
+            cls_t_levels = [
+                _fake_quant_table(t, table_scale) for t in cls_t_levels
+            ]
         samples = candidate_reg_outputs(
             cls_t_levels, kernel, bias, idx, seed, num_samples, keep_prob,
             tables, batch_base=batch_base,
@@ -323,8 +359,15 @@ def candidate_cls_probs(
     flat = jnp.concatenate(
         [t.reshape(b, -1, c) for t in cls_t_levels], axis=1
     )
+    if table_scale is not None:
+        from bayesod_tpu.models.quant import quantize_act
+
+        flat = quantize_act(flat, float(table_scale))
     rows_pm, a_idx = tap_major_rows(idx, tables)
     return candidate_finals_probs(
         flat, rows_pm, a_idx, kernel, bias, seed, num_samples, keep_prob,
         tables.k, num_classes_incl_bg, batch_base=batch_base,
+        table_scale=(
+            None if table_scale is None else float(table_scale)
+        ),
     )

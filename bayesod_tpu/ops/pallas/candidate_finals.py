@@ -75,6 +75,7 @@ def _kernel(
     inv_sh: float,
     mode: str,  # "stats" (reg moments) | "probs" (cls mean softmax)
     group: int,  # lanes per anchor group (8 for reg, C+1 for cls)
+    table_scale: Optional[float],  # int8 table: dequant scale (None = bf16)
 ):
     b_idx = pl.program_id(0)
     # Absolute image index for the mask stream: seed_ref[0, 1] carries the
@@ -94,19 +95,37 @@ def _kernel(
     rows = rows_ref[0, 0, :].reshape(k9, 1)  # [K9, 1] int32
 
     # ---- streamed one-hot gather: win[j] = flat[b, rows[j]] --------------
+    # int8 table (table_scale set): the one-hot matmul runs int8 x int8 ->
+    # int32 on the MXU — 2x the bf16 rate and half the DMA bytes. Row
+    # selection is EXACT (one-hot times int8 values = the values; each row
+    # lives in exactly one chunk, so the bf16 accumulation adds one integer
+    # |v| <= 127 — exactly representable — to zeros). One dequant multiply
+    # at the end replaces the per-chunk bf16 matmuls.
     chunk_dma(0, 0).start()
     win_ref[...] = jnp.zeros((k9, c), jnp.bfloat16)
     for ci in range(n_chunks):
         if ci + 1 < n_chunks:
             chunk_dma((ci + 1) % 2, ci + 1).start()
         chunk_dma(ci % 2, ci).wait()
-        onehot = (
+        onehot_bool = (
             rows
             == ci * chunk
             + jax.lax.broadcasted_iota(jnp.int32, (k9, chunk), 1)
-        ).astype(jnp.bfloat16)
-        win_ref[...] = win_ref[...] + jnp.dot(
-            onehot, chunk_ref[ci % 2], preferred_element_type=jnp.float32
+        )
+        if table_scale is None:
+            win_ref[...] = win_ref[...] + jnp.dot(
+                onehot_bool.astype(jnp.bfloat16), chunk_ref[ci % 2],
+                preferred_element_type=jnp.float32,
+            ).astype(jnp.bfloat16)
+        else:
+            win_ref[...] = win_ref[...] + jax.lax.dot_general(
+                onehot_bool.astype(jnp.int8), chunk_ref[ci % 2],
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            ).astype(jnp.bfloat16)
+    if table_scale is not None:
+        win_ref[...] = (
+            win_ref[...].astype(jnp.float32) * jnp.float32(table_scale)
         ).astype(jnp.bfloat16)
 
     # ---- per-sample finals + epilogue accumulation -----------------------
@@ -199,6 +218,7 @@ def _kernel(
     static_argnames=(
         "num_samples", "keep_prob", "anchors_per_cell", "scale_factors",
         "log_var_clip", "interpret", "chunk", "mode", "group_size",
+        "table_scale",
     ),
 )
 def _candidate_finals(
@@ -218,6 +238,7 @@ def _candidate_finals(
     mode: str = "stats",
     group_size: int = 8,
     batch_base: jnp.ndarray | int = 0,
+    table_scale: Optional[float] = None,
 ) -> jnp.ndarray:
     """mode="stats": [B, K, REG_STATS] reg moment statistics;
     mode="probs": [B, K, group_size] mean softmax over each candidate's
@@ -232,6 +253,11 @@ def _candidate_finals(
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
+    if (flat.dtype == jnp.int8) != (table_scale is not None):
+        raise ValueError(
+            "int8 tables require table_scale (and bf16 tables must not "
+            f"pass one): flat.dtype={flat.dtype}, table_scale={table_scale}"
+        )
     b, r, c = flat.shape
     k = a_idx.shape[1]
     kp = _round_up(k, 128)
@@ -245,7 +271,8 @@ def _candidate_finals(
     if cout >= cph:
         raise ValueError("anchor groups exceed one lane tile")
 
-    flat_p = jnp.pad(flat.astype(jnp.bfloat16), ((0, 0), (0, rp - r), (0, 0)))
+    table_dtype = jnp.int8 if table_scale is not None else jnp.bfloat16
+    flat_p = jnp.pad(flat.astype(table_dtype), ((0, 0), (0, rp - r), (0, 0)))
     w9 = jnp.zeros((9, c, cph), jnp.bfloat16).at[:, :, :cout].set(
         kernel.reshape(9, c, cout).astype(jnp.bfloat16)
     )
@@ -295,6 +322,9 @@ def _candidate_finals(
             th_clip=sh * float(BBOX_XFORM_CLIP),
             inv_sw=1.0 / sw, inv_sh=1.0 / sh,
             mode=mode, group=group_size,
+            table_scale=(
+                None if table_scale is None else float(table_scale)
+            ),
         ),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
@@ -315,7 +345,7 @@ def _candidate_finals(
                 memory_space=pltpu.VMEM,
             ),
             scratch_shapes=[
-                pltpu.VMEM((2, chunk, c), jnp.bfloat16),
+                pltpu.VMEM((2, chunk, c), table_dtype),
                 pltpu.VMEM((9 * kp, c), jnp.bfloat16),
                 pltpu.SemaphoreType.DMA((2,)),
             ],
@@ -335,19 +365,21 @@ def _candidate_finals(
 
 def candidate_finals_stats(*args, **kwargs):
     """Reg-moment statistics at candidates (mode="stats"); see
-    _candidate_finals."""
+    _candidate_finals. Pass table_scale for an int8 row table."""
     return _candidate_finals(*args, **kwargs, mode="stats", group_size=8)
 
 
 def candidate_finals_probs(
     flat, rows, a_idx, kernel, bias, seed, num_samples, keep_prob,
     anchors_per_cell, group_size, interpret=None, chunk=512, batch_base=0,
+    table_scale=None,
 ):
     """Mean-softmax class probabilities at candidates (mode="probs"):
     [B, K, C+1] — the MC categorical (paper §III.A) computed only where
-    fusion reads it."""
+    fusion reads it. Pass table_scale for an int8 row table."""
     return _candidate_finals(
         flat, rows, a_idx, kernel, bias, seed, num_samples, keep_prob,
         anchors_per_cell, interpret=interpret, chunk=chunk,
         mode="probs", group_size=group_size, batch_base=batch_base,
+        table_scale=table_scale,
     )

@@ -47,6 +47,18 @@ class ModelConfig:
     # ("{cls|reg}/p{level}_{in|conv{i}}", scale) pairs from
     # models/calibration.py:calibrate_serving_scales (YAML dicts coerce).
     head_trunk_act_scales: Optional[Tuple[Tuple[str, float], ...]] = None
+    # Candidate-route trunk ROW-TABLE precision: "bf16" (exact) or "int8".
+    # int8 quantizes the trunk outputs the fused candidate kernels stream
+    # (one static scale per head — the trunk convs are level-shared, so
+    # level ranges match): the kernels' one-hot gather matmuls run
+    # int8 x int8 -> int32 at 2x the bf16 MXU rate on half the DMA bytes,
+    # and XLA fuses the requant into the trunk's last conv epilogue.
+    # Orthogonal to head_trunk_dtype (works on the bf16 graph too); only
+    # the candidates_fused routes consume it — dense routes stay bf16.
+    head_table_dtype: str = "bf16"
+    # Scales for head_table_dtype="int8": (("cls", s), ("reg", s)) from
+    # models/calibration.py (trunk-output absmax over the calib batch).
+    head_table_scales: Optional[Tuple[Tuple[str, float], ...]] = None
     # FPN conv precision: "bf16" (exact) or "int8_resident" (serving —
     # int8 convs with fused dequant+bias epilogues, adds in fp32;
     # models/fpn.py). Completes the quantized single-pass graph together

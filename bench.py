@@ -138,6 +138,14 @@ def main() -> None:
         help="static int8 activation scale (None = dynamic absmax)",
     )
     p.add_argument(
+        # int8 row tables for the fused candidate kernels: the one-hot
+        # gather matmuls (K9 x R x C MACs, THE finals cost) run int8 at 2x
+        # MXU rate on half the DMA bytes; one calibrated scale per head.
+        # Orthogonal to the other dtype knobs (works on the bf16 graph).
+        "--table_dtype", default="bf16", choices=["bf16", "int8"],
+        help="candidate-kernel trunk row-table precision",
+    )
+    p.add_argument(
         "--fpn_dtype", default=None,
         choices=["bf16", "int8_resident"],
         help="FPN conv precision (int8_resident calibrates at startup; "
@@ -294,9 +302,11 @@ def main() -> None:
         args.batch = 1
         args.iters = max(args.iters, 50)
 
-    if "int8_resident" in (args.backbone_dtype, args.trunk_dtype, args.fpn_dtype):
+    if "int8_resident" in (
+        args.backbone_dtype, args.trunk_dtype, args.fpn_dtype
+    ) or args.table_dtype == "int8":
         # init + calibrate through the bf16 path, then rebuild with static
-        # per-site scales (backbone/fpn/head_trunk act_scales).
+        # per-site scales (backbone/fpn/head_trunk act_scales + row tables).
         import dataclasses
 
         from bayesod_tpu.models.calibration import quantized_serving_config
@@ -321,11 +331,13 @@ def main() -> None:
             backbone=args.backbone_dtype == "int8_resident",
             trunk=args.trunk_dtype == "int8_resident",
             fpn=args.fpn_dtype == "int8_resident",
+            table=args.table_dtype == "int8",
         )
         n_sites = (
             len(cfg.model.backbone_act_scales or ())
             + len(cfg.model.fpn_act_scales or ())
             + len(cfg.model.head_trunk_act_scales or ())
+            + len(cfg.model.head_table_scales or ())
         )
         print(
             f"[bench] int8_resident calibration: {n_sites} sites "

@@ -319,3 +319,126 @@ def test_detect_deterministic_preselect_route():
     assert bool(jnp.all(jnp.isfinite(od.covs)))
     np.testing.assert_allclose(np.asarray(od.probs).sum(-1), 1.0, atol=1e-4)
     assert int(od.valid.sum()) == int(om.valid.sum())
+
+
+def test_candidate_stats_int8_table_matches_xla_simulation():
+    """head_table_dtype="int8": the Pallas kernel streaming an int8 row
+    table equals the XLA oracle consuming dequant(quant(table)) — the
+    gather itself is exact (one-hot selection of int8 values), so the two
+    routes differ only by the usual bf16 reordering."""
+    from bayesod_tpu.ops.candidate_reg import (
+        candidate_cls_probs,
+        candidate_reg_stats,
+    )
+
+    rng = np.random.RandomState(0)
+    level_hw = [(8, 16), (4, 8)]
+    levels = [
+        jnp.asarray(rng.randn(2, h, w, 128) * 0.5, jnp.float32)
+        for h, w in level_hw
+    ]
+    kernel = jnp.asarray(rng.randn(3, 3, 128, 72) * 0.05, jnp.float32)
+    bias = jnp.asarray(rng.randn(72) * 0.1, jnp.float32)
+    a_total = sum(h * w * 9 for h, w in level_hw)
+    idx = jnp.asarray(
+        rng.choice(a_total, size=(2, 128), replace=False), jnp.int32
+    )
+    tables = LevelTables(level_hw, 9)
+    sf = (1.0, 1.0, 2.0, 2.0)
+    absmax = max(float(jnp.max(jnp.abs(t))) for t in levels)
+    scale = absmax / 127.0
+    for keep in (1.0, 0.7):
+        st_x = candidate_reg_stats(
+            levels, kernel, bias, idx, jnp.int32(5), 3, keep, tables, sf,
+            backend="xla", table_scale=scale,
+        )
+        st_p = candidate_reg_stats(
+            levels, kernel, bias, idx, jnp.int32(5), 3, keep, tables, sf,
+            backend="pallas", table_scale=scale,
+        )
+        d = np.abs(np.asarray(st_x) - np.asarray(st_p))
+        span = np.abs(np.asarray(st_x)).max()
+        assert d.max() / span < 0.02, (keep, d.max(), span)
+        # int8 quantization error vs the bf16 table stays PTQ-small.
+        st_b = candidate_reg_stats(
+            levels, kernel, bias, idx, jnp.int32(5), 3, keep, tables, sf,
+            backend="pallas",
+        )
+        rel = np.abs(np.asarray(st_b) - np.asarray(st_p)).max() / span
+        assert rel < 0.15, (keep, rel)
+
+    ncls = 4
+    kernel_c = jnp.asarray(rng.randn(3, 3, 128, 9 * ncls) * 0.05, jnp.float32)
+    bias_c = jnp.asarray(rng.randn(9 * ncls) * 0.1, jnp.float32)
+    px = candidate_cls_probs(
+        levels, kernel_c, bias_c, idx, jnp.int32(5), 3, 0.7, tables, ncls,
+        backend="xla", table_scale=scale,
+    )
+    pp = candidate_cls_probs(
+        levels, kernel_c, bias_c, idx, jnp.int32(5), 3, 0.7, tables, ncls,
+        backend="pallas", table_scale=scale,
+    )
+    assert float(jnp.max(jnp.abs(px - pp))) < 0.02
+    np.testing.assert_allclose(np.asarray(pp).sum(-1), 1.0, atol=1e-4)
+
+
+def test_detect_int8_table_route_close_to_bf16():
+    """End to end: head_table_dtype="int8" through the deterministic-
+    preselect candidates route stays close to the bf16-table graph and
+    yields finite, valid detections."""
+    import dataclasses
+
+    from bayesod_tpu.infer import jit_detect_fn
+    from bayesod_tpu.models.calibration import calibrate_serving_scales
+    from bayesod_tpu.models.retinanet import RetinaNet, init_variables
+    from bayesod_tpu.utils.config import (
+        BayesConfig,
+        DataConfig,
+        ExperimentConfig,
+        ModelConfig,
+    )
+
+    cfg = ExperimentConfig(
+        model=ModelConfig(
+            num_classes=3, backbone="resnet18", fpn_channels=32,
+            head_depth=1, head_channels=128, norm="groupnorm",
+            compute_dtype="float32", dropout_rate=0.3,
+            head_final_backend="pallas", dropout_layers="last",
+            probs_reduce="fused", reg_finals="candidates_fused",
+        ),
+        bayes=BayesConfig(
+            num_mc_samples=3, score_threshold=0.0,
+            pre_cluster_topk=128, max_detections=8,
+            preselect_source="deterministic",
+        ),
+        data=DataConfig(image_hw=(128, 128)),
+    )
+    model = RetinaNet(cfg=cfg.model, train=False)
+    v = init_variables(model, jax.random.PRNGKey(0), (128, 128))
+    img = jax.random.uniform(jax.random.PRNGKey(2), (2, 128, 128, 3))
+    rng = jax.random.PRNGKey(1)
+    out_bf = jit_detect_fn(cfg, model)(v, img, rng)
+
+    _, _, _, table_scales = calibrate_serving_scales(cfg, v, img)
+    cfg8 = dataclasses.replace(
+        cfg, model=dataclasses.replace(
+            cfg.model, head_table_dtype="int8",
+            head_table_scales=table_scales,
+        ),
+    )
+    out_q = jit_detect_fn(cfg8, RetinaNet(cfg=cfg8.model, train=False))(
+        v, img, rng
+    )
+    assert bool(jnp.all(jnp.isfinite(out_q.boxes)))
+    assert int(jnp.sum(out_q.valid)) > 0
+    # Same candidate sets (preselection is table-independent), so most box
+    # means agree to PTQ tolerance slot-for-slot; a BORDERLINE cluster can
+    # flip membership under quantization and reshuffle one slot (the same
+    # behavior the quantized shard_map graphs show — CLAUDE.md session
+    # 4.3), so assert on the distribution, not the max.
+    both = np.asarray(out_bf.valid) & np.asarray(out_q.valid)
+    d = np.abs(
+        np.asarray(out_bf.boxes) - np.asarray(out_q.boxes)
+    ).max(axis=-1)[both]
+    assert np.median(d) < 0.5, np.median(d)
+    assert (d < 1.0).mean() >= 0.8, d

@@ -192,7 +192,9 @@ class TestInt8ResidentTrunk:
         cfg = self._cfg()
         _, v = self._model_and_vars(cfg)
         x = jax.random.uniform(jax.random.PRNGKey(1), (1, 128, 256, 3))
-        backbone, fpn, trunk = calibrate_serving_scales(cfg, v, x)
+        backbone, fpn, trunk, table = calibrate_serving_scales(cfg, v, x)
+        assert set(dict(table)) == {"cls", "reg"}
+        assert all(s > 0 for _, s in table)
         tsc = dict(trunk)
         # 5 levels x (in + conv0) x 2 trunks at depth 2 = 20 sites
         assert len(tsc) == 20
