@@ -1099,19 +1099,42 @@ def ensemble_forward_candidates_sp(
 
 
 def deterministic_preselect_idx(
-    cls_t, cls_k, cls_b, anchors_per_cell, n_cls, topk, approx_topk
+    cls_t, cls_k, cls_b, anchors_per_cell, n_cls, topk, approx_topk,
+    table_scale=None,
 ):
     """Dense deterministic preselection: one cls-final conv per level
     (dropout off), max-foreground-softmax score per anchor, top-k indices.
 
     Factored out of mc_forward_candidates_det so the bench can time the
-    trunk+preselect prefix alone (`bench.py --segment preselect`)."""
+    trunk+preselect prefix alone (`bench.py --segment preselect`).
+
+    table_scale (head_table_dtype="int8"): the dense selection conv runs
+    int8 x int8 -> int32 on the SAME quantized activations the candidate
+    kernels stream (per-output-channel weight scales, dequant + bias in
+    fp32 before the softmax). Selection is ordering-only — membership can
+    shift near the cut, but the validity gate downstream reads the exact
+    MC-mean categorical, so admitted/dropped semantics are unchanged."""
+    if table_scale is not None:
+        from bayesod_tpu.models.quant import (
+            conv_int8,
+            quantize_act,
+            quantize_kernel,
+        )
+
+        wq, ws = quantize_kernel(cls_k)
     score_lvls = []
     for ct in cls_t:
-        logits = jax.lax.conv_general_dilated(
-            ct, cls_k.astype(ct.dtype), (1, 1), "SAME",
-            dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        ) + cls_b.astype(ct.dtype)
+        if table_scale is None:
+            logits = jax.lax.conv_general_dilated(
+                ct, cls_k.astype(ct.dtype), (1, 1), "SAME",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            ) + cls_b.astype(ct.dtype)
+        else:
+            acc = conv_int8(quantize_act(ct, float(table_scale)), wq, 1)
+            logits = (
+                acc.astype(jnp.float32) * (float(table_scale) * ws)
+                + cls_b.astype(jnp.float32)
+            )
         b, h, w, _ = logits.shape
         lg = logits.reshape(
             b, h * w * anchors_per_cell, n_cls
@@ -1183,7 +1206,8 @@ def mc_forward_candidates_det(
         seed0 = (rng[0] ^ (rng[1] << 1)).astype(jnp.int32)
 
     idx = deterministic_preselect_idx(
-        cls_t, cls_k, cls_b, k, n_cls, topk, approx_topk
+        cls_t, cls_k, cls_b, k, n_cls, topk, approx_topk,
+        table_scale=head_table_scale(model.cfg, "cls"),
     )
 
     cand_probs = candidate_cls_probs(

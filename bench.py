@@ -407,6 +407,7 @@ def main() -> None:
             from bayesod_tpu.models.retinanet import (
                 RetinaNet as _RN,
                 deterministic_preselect_idx,
+                head_table_scale,
             )
 
             def call(variables, imgs, r):
@@ -420,6 +421,7 @@ def main() -> None:
                     params["cls_out"]["bias"], model.anchors_per_cell,
                     cfg.model.num_classes + 1, cfg.bayes.pre_cluster_topk,
                     cfg.bayes.approx_topk,
+                    table_scale=head_table_scale(cfg.model, "cls"),
                 )
                 return jnp.sum(idx.astype(jnp.float32)) * jnp.float32(1e-9)
         elif args.segment == "finals":
