@@ -74,6 +74,8 @@ def psd_project(cov: np.ndarray, floor: float = 1e-3) -> np.ndarray:
     uncertain — the honest reading of a broken posterior), and floor the
     eigenvalues."""
     cov = np.asarray(cov, np.float64)
+    if cov.size == 0:  # zero detections: nothing to repair
+        return cov
     bad = ~np.isfinite(cov).all(axis=(-2, -1))
     if bad.any():
         cov = cov.copy()

@@ -156,8 +156,17 @@ def calibrate_serving_scales(
             trunk[f"{prefix}/{site}"] = _to_scale(value, margin)
 
     def table_scale(levels) -> float:
-        m = jnp.max(
-            jnp.stack([jnp.max(jnp.abs(t.astype(jnp.float32))) for t in levels])
+        # 99.99th-percentile absmax, not the max: one exploded activation
+        # (observed: an overfit flagship checkpoint with cls-trunk absmax
+        # 1.25e6 vs typical values ~1e2) would otherwise blow the scale up
+        # until every normal value quantizes to 0 and the quantized graph
+        # emits ZERO detections. Values above the quantile saturate at
+        # +-127 (quantize_act clips) — ordering-preserving for scores.
+        m = jnp.quantile(
+            jnp.concatenate(
+                [jnp.abs(t.astype(jnp.float32)).ravel() for t in levels]
+            ),
+            0.9999,
         )
         return _to_scale((m,), margin)  # (m,) matches the sown-tuple shape
 

@@ -178,6 +178,9 @@ class TestUncertainty:
         ent = gaussian_entropy(cov, jitter=1e-3)
         assert np.isfinite(ent).all()
         assert ent[2] > ent[0]
+        # Zero detections (a quantized/undertrained model can emit none)
+        # must not crash the report either.
+        assert gaussian_entropy(np.zeros((0, 4, 4))).shape == (0,)
 
 
 class TestEndToEndEval:
