@@ -188,7 +188,7 @@ def quantized_serving_config(
     backbone: bool = True,
     trunk: bool = True,
     fpn: bool = True,
-    table: bool = False,
+    table: "bool | str" = False,
 ):
     """Calibrate and return an ExperimentConfig serving the same weights
     through the int8-resident backbone / FPN / head trunks. The backbone
@@ -218,7 +218,11 @@ def quantized_serving_config(
             head_trunk_act_scales=trunk_scales,
         )
     if table:
+        # table=True -> both heads; table="int8_reg" -> reg only (safe when
+        # the cls trunk's dynamic range exceeds int8 — see retinanet.py).
         model = dataclasses.replace(
-            model, head_table_dtype="int8", head_table_scales=table_scales,
+            model,
+            head_table_dtype=table if isinstance(table, str) else "int8",
+            head_table_scales=table_scales,
         )
     return dataclasses.replace(cfg, model=model)

@@ -477,10 +477,17 @@ def _stats_from_samples(reg_map, k, scale_factors, log_var_clip):
 
 def head_table_scale(model_cfg, head: str):
     """Static int8 row-table scale for `head` ("cls"/"reg"), or None when
-    ModelConfig.head_table_dtype is bf16. See utils/config.py and
+    that head's table stays bf16. head_table_dtype: "bf16" | "int8" (both
+    heads) | "int8_reg" (reg only — the safe mode when a checkpoint's cls
+    trunk has an exploded dynamic range that int8 cannot hold; observed on
+    an overfit flagship checkpoint whose cls-table 99.99th-pct absmax was
+    1.2e6 while reg sat at ~6e2). See utils/config.py and
     ops/candidate_reg.py (table_scale)."""
-    if getattr(model_cfg, "head_table_dtype", "bf16") != "int8":
+    mode = getattr(model_cfg, "head_table_dtype", "bf16")
+    if mode == "bf16" or (mode == "int8_reg" and head != "reg"):
         return None
+    if mode not in ("int8", "int8_reg"):
+        raise ValueError(f"unknown head_table_dtype '{mode}'")
     if not model_cfg.head_table_scales:
         raise ValueError(
             "head_table_dtype='int8' needs calibrated head_table_scales "

@@ -47,7 +47,9 @@ class ModelConfig:
     # ("{cls|reg}/p{level}_{in|conv{i}}", scale) pairs from
     # models/calibration.py:calibrate_serving_scales (YAML dicts coerce).
     head_trunk_act_scales: Optional[Tuple[Tuple[str, float], ...]] = None
-    # Candidate-route trunk ROW-TABLE precision: "bf16" (exact) or "int8".
+    # Candidate-route trunk ROW-TABLE precision: "bf16" (exact), "int8"
+    # (both heads), or "int8_reg" (reg table only — for checkpoints whose
+    # cls trunk range int8 cannot hold; models/retinanet.head_table_scale).
     # int8 quantizes the trunk outputs the fused candidate kernels stream
     # (one static scale per head — the trunk convs are level-shared, so
     # level ranges match): the kernels' one-hot gather matmuls run

@@ -142,7 +142,8 @@ def main() -> None:
         # gather matmuls (K9 x R x C MACs, THE finals cost) run int8 at 2x
         # MXU rate on half the DMA bytes; one calibrated scale per head.
         # Orthogonal to the other dtype knobs (works on the bf16 graph).
-        "--table_dtype", default="bf16", choices=["bf16", "int8"],
+        "--table_dtype", default="bf16",
+        choices=["bf16", "int8", "int8_reg"],
         help="candidate-kernel trunk row-table precision",
     )
     p.add_argument(
@@ -304,7 +305,7 @@ def main() -> None:
 
     if "int8_resident" in (
         args.backbone_dtype, args.trunk_dtype, args.fpn_dtype
-    ) or args.table_dtype == "int8":
+    ) or args.table_dtype != "bf16":
         # init + calibrate through the bf16 path, then rebuild with static
         # per-site scales (backbone/fpn/head_trunk act_scales + row tables).
         import dataclasses
@@ -331,7 +332,11 @@ def main() -> None:
             backbone=args.backbone_dtype == "int8_resident",
             trunk=args.trunk_dtype == "int8_resident",
             fpn=args.fpn_dtype == "int8_resident",
-            table=args.table_dtype == "int8",
+            table=(
+                args.table_dtype
+                if args.table_dtype == "int8_reg"
+                else args.table_dtype == "int8"
+            ),
         )
         n_sites = (
             len(cfg.model.backbone_act_scales or ())
