@@ -167,6 +167,37 @@ def main(argv=None) -> None:
         raise SystemExit(f"{e} (use --allow_random for smoke runs)")
     variables = state.variables(use_ema=args.ema)
 
+    if (
+        cfg.model.head_table_dtype != "bf16"
+        and not cfg.model.head_table_scales
+    ):
+        # A `model.head_table_dtype=int8` override has no scales in the
+        # YAML — calibrate on a small split batch so knob ablations run
+        # from one command line.
+        import jax.numpy as jnp
+
+        from bayesod_tpu.data import make_dataset, normalize_images
+        from bayesod_tpu.models.calibration import calibrate_serving_scales
+
+        import numpy as np
+
+        ds = make_dataset(cfg.data, split=args.split)
+        calib = np.stack(
+            [ds.example(i)["image"] for i in range(min(4, len(ds)))]
+        )
+        _, _, _, table_scales = calibrate_serving_scales(
+            cfg, variables,
+            normalize_images(
+                jnp.asarray(calib), cfg.data.mean, cfg.data.std
+            ),
+        )
+        cfg = dataclasses.replace(
+            cfg, model=dataclasses.replace(
+                cfg.model, head_table_scales=table_scales
+            ),
+        )
+        print(f"[compare] calibrated table scales: {table_scales}")
+
     modes = [m.strip() for m in args.modes.split(",") if m.strip()]
     unknown = set(modes) - set(ALL_MODES)
     if unknown:
