@@ -42,7 +42,12 @@ def main() -> None:
     p.add_argument("--warmup", type=int, default=3)
     p.add_argument("--samples", type=int, default=10)
     p.add_argument(
-        "--topk", type=int, default=512,
+        # None resolves to 256 for the plain/--segment throughput bench
+        # (775.0 img/s with int8 tables = 1.55x; halving topk is accuracy-
+        # POSITIVE on the ablation — the deep score-ranked candidate tail
+        # is junk that degrades fusion, tools/topk_ablation.py + DESIGN.md
+        # §8) and 512 (the library config default) everywhere else.
+        "--topk", type=int, default=None,
         help="bayes.pre_cluster_topk — candidate count for the fused "
         "finals (multiple of 128); the candidate kernels' one-hot gather "
         "FLOPs scale linearly in it",
@@ -142,7 +147,9 @@ def main() -> None:
         # gather matmuls (K9 x R x C MACs, THE finals cost) run int8 at 2x
         # MXU rate on half the DMA bytes; one calibrated scale per head.
         # Orthogonal to the other dtype knobs (works on the bf16 graph).
-        "--table_dtype", default="bf16",
+        # None resolves to int8 for the plain/--segment throughput bench
+        # (670.0 alone, 775.0 with topk 256 @ b128), bf16 elsewhere.
+        "--table_dtype", default=None,
         choices=["bf16", "int8", "int8_reg"],
         help="candidate-kernel trunk row-table precision",
     )
@@ -229,6 +236,15 @@ def main() -> None:
     for _flag in ("trunk_dtype", "backbone_dtype", "fpn_dtype"):
         if getattr(args, _flag) is None:
             setattr(args, _flag, default_dtype)
+    # Round-3 finals levers (same resolution rule): int8 candidate row
+    # tables + topk 256 are the production throughput operating point
+    # (775.0 img/s @ b128 = 1.55x; accuracy evidence in DESIGN.md §8 —
+    # PTQ-pinned tables, accuracy-positive topk ablation). Other modes
+    # keep bf16 tables and the library default topk 512.
+    if args.table_dtype is None:
+        args.table_dtype = "bf16" if bf16_default else "int8"
+    if args.topk is None:
+        args.topk = 512 if bf16_default else 256
 
     if args.loader:
         _bench_loader(args)
