@@ -1,37 +1,28 @@
 #!/bin/bash
 # Flagship-SCALE learning validation on TPU (configs/flagship_synthetic.yaml):
-# R50 @ 384x1280 synthetic, 400 steps, then dump + evaluate (raw and EMA
-# weights). ONE TPU job at a time (CLAUDE.md).
+# R50 @ 384x1280 synthetic, trained end-to-end, then tools/flagship_eval.sh
+# (raw/EMA eval + the paper comparison tables). Outputs live under the repo
+# (data/outputs/, runs/) because /tmp is wiped between sessions (CLAUDE.md).
+# ONE TPU job at a time (CLAUDE.md).
+#
+#   tools/flagship_synth_run.sh [TOTAL_STEPS] [TRAIN_TIMEOUT_S]
+# A 2000-step run (completed LR schedule via the decay override) fits a
+# ~45-min window at the measured ~1.0-1.7 s/step; config default is 3200.
 set -u
-cd /root/repo
-export JAX_COMPILATION_CACHE_DIR=/tmp/jax_cache_bayesod
-OUT=/tmp/flagship_synth
-mkdir -p $OUT
+cd "$(dirname "$0")/.."
+export JAX_COMPILATION_CACHE_DIR=${JAX_COMPILATION_CACHE_DIR:-/tmp/jax_cache_bayesod}
+STEPS=${1:-2000}
+TMO=${2:-2850}
+RUN=data/outputs/flagship_r3
 Y=configs/flagship_synthetic.yaml
+mkdir -p runs
 
-echo "=== train (400 steps) ==="
-timeout 7200 python -m bayesod_tpu.cli.train --yaml_path $Y \
-    > $OUT/train.log 2>&1
-tail -3 $OUT/train.log
+echo "=== train ($STEPS steps, timeout ${TMO}s) ==="
+DECAY="[$((STEPS * 3 / 4)),$((STEPS * 9 / 10))]"
+timeout "$TMO" python -m bayesod_tpu.cli.train --yaml_path $Y \
+    --out_dir $RUN train.total_steps=$STEPS "train.lr_decay_steps=$DECAY" \
+    > runs/flagship_r3_train.log 2>&1
+echo "train rc=$? ; last metrics:"
+tail -2 $RUN/metrics.jsonl
 
-echo "=== infer val (raw weights) ==="
-timeout 3600 python -m bayesod_tpu.cli.infer --yaml_path $Y --split val \
-    --max_images 64 --batch_size 8 --out $OUT/det_val.jsonl \
-    > $OUT/infer.log 2>&1
-tail -2 $OUT/infer.log
-
-echo "=== evaluate (raw) ==="
-timeout 1800 python -m bayesod_tpu.cli.evaluate --yaml_path $Y \
-    --detections $OUT/det_val.jsonl > $OUT/eval_raw.txt 2>&1
-tail -20 $OUT/eval_raw.txt
-
-echo "=== infer val (EMA weights) ==="
-timeout 3600 python -m bayesod_tpu.cli.infer --yaml_path $Y --split val \
-    --ema --max_images 64 --batch_size 8 --out $OUT/det_val_ema.jsonl \
-    > $OUT/infer_ema.log 2>&1
-
-echo "=== evaluate (EMA) ==="
-timeout 1800 python -m bayesod_tpu.cli.evaluate --yaml_path $Y \
-    --detections $OUT/det_val_ema.jsonl > $OUT/eval_ema.txt 2>&1
-tail -20 $OUT/eval_ema.txt
-echo "flagship synth run done"
+tools/flagship_eval.sh runs/flagship_eval $RUN
