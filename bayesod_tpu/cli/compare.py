@@ -143,6 +143,11 @@ def main(argv=None) -> None:
         "--allow_random", action="store_true",
         help="run with random-init weights when no checkpoint exists",
     )
+    p.add_argument(
+        "--weights_npz", default=None,
+        help="serving-weights archive (tools/export_weights.py) instead "
+        "of an Orbax checkpoint dir",
+    )
     p.add_argument("--ema", action="store_true")
     p.add_argument("--out", default=None, help="write the markdown table here")
     p.add_argument("--json_out", default=None)
@@ -161,7 +166,7 @@ def main(argv=None) -> None:
     try:
         state = restore_state(
             cfg, args.checkpoint_dir, model=model,
-            missing_ok=args.allow_random,
+            missing_ok=args.allow_random, weights_npz=args.weights_npz,
         )
     except FileNotFoundError as e:
         raise SystemExit(f"{e} (use --allow_random for smoke runs)")

@@ -29,6 +29,11 @@ def main(argv=None) -> None:
         help="run with random-init weights when no checkpoint exists",
     )
     p.add_argument(
+        "--weights_npz", default=None,
+        help="serving-weights archive (tools/export_weights.py) instead "
+        "of an Orbax checkpoint dir",
+    )
+    p.add_argument(
         "--ema", action="store_true",
         help="serve the EMA-smoothed weights (train.ema_decay > 0 runs)",
     )
@@ -89,7 +94,7 @@ def main(argv=None) -> None:
     try:
         state = restore_state(
             cfg, args.checkpoint_dir, model=model,
-            missing_ok=args.allow_random,
+            missing_ok=args.allow_random, weights_npz=args.weights_npz,
         )
     except FileNotFoundError as e:
         raise SystemExit(f"{e} (use --allow_random for smoke runs)")

@@ -80,6 +80,7 @@ def restore_state(
     checkpoint_dir: Optional[str] = None,
     model=None,
     missing_ok: bool = False,
+    weights_npz: Optional[str] = None,
 ) -> TrainState:
     """Template-build + latest-checkpoint restore in one call — the single
     restore recipe shared by Detector.from_checkpoint / from_ensemble and
@@ -87,6 +88,9 @@ def restore_state(
 
     Returns the restored TrainState; with missing_ok=True a fresh template
     (random init, step 0) when no checkpoint exists, else FileNotFoundError.
+    `weights_npz` restores from a serving-weights archive instead (see
+    save_weights_npz) — step/params/batch_stats/EMA only, optimizer state
+    stays at init (eval/serving path; resuming training needs Orbax).
     """
     import jax
 
@@ -98,6 +102,8 @@ def restore_state(
         model, cfg.train, jax.random.PRNGKey(cfg.train.seed),
         cfg.data.image_hw,
     )
+    if weights_npz is not None:
+        return load_weights_npz(template, weights_npz)
     with CheckpointManager(
         checkpoint_dir or f"data/outputs/{cfg.name}/checkpoints",
         async_save=False,
@@ -108,3 +114,96 @@ def restore_state(
                 return template
             raise FileNotFoundError(f"no checkpoint found under {mgr.directory}")
         return state
+
+
+# --- serving-weights npz archives ------------------------------------------
+# A full Orbax TrainState checkpoint is ~3.4x the model size (params + two
+# adamw moments + EMA + opt bookkeeping). Evaluation and serving only need
+# params/batch_stats/EMA, and this environment only persists files committed
+# to git between sessions (CLAUDE.md) — so trained weights ship as one
+# compressed npz with '/'-joined pytree paths, loadable into a fresh
+# TrainState template on any host. Reference counterpart: the released
+# .ckpt serving archives (SURVEY.md §5.4); format is ours.
+
+_NPZ_COLLECTIONS = ("params", "batch_stats", "ema_params")
+
+
+def save_weights_npz(state: TrainState, path: str) -> int:
+    """Write params/batch_stats/EMA (+ step) as one np.savez_compressed.
+
+    Returns the number of arrays written. Optimizer state and the carried
+    rng are deliberately dropped — archives restore for EVAL, not resume.
+    """
+    import numpy as np
+    from flax import traverse_util
+
+    arrays = {"_step": np.asarray(state.step)}
+    for coll in _NPZ_COLLECTIONS:
+        tree = getattr(state, coll)
+        if not tree:
+            continue
+        flat = traverse_util.flatten_dict(dict(tree), sep="/")
+        for key, value in flat.items():
+            arrays[f"{coll}/{key}"] = np.asarray(value)
+    np.savez_compressed(path, **arrays)
+    return len(arrays)
+
+
+def load_weights_npz(template: TrainState, path: str) -> TrainState:
+    """Rebuild a TrainState from save_weights_npz onto a fresh template.
+
+    Every archive array must match the template's structure (loud on
+    unknown keys — a config/archive mismatch should fail, not half-load);
+    an archive without EMA loads into an EMA-less template only.
+    """
+    import jax.numpy as jnp
+    import numpy as np
+    from flax import traverse_util
+
+    with np.load(path) as z:
+        arrays = {k: z[k] for k in z.files}
+    step = arrays.pop("_step", None)
+    flats = {}
+    for coll in _NPZ_COLLECTIONS:
+        prefix = f"{coll}/"
+        flats[coll] = {
+            k[len(prefix):]: arrays.pop(k)
+            for k in list(arrays)
+            if k.startswith(prefix)
+        }
+    if arrays:
+        raise ValueError(f"unknown arrays in {path}: {sorted(arrays)[:5]}")
+
+    def graft(templ, l_flat, name):
+        t_flat = (
+            traverse_util.flatten_dict(dict(templ), sep="/") if templ else {}
+        )
+        diff = sorted(set(t_flat) ^ set(l_flat))[:5] or [
+            f"{k}: {tuple(l_flat[k].shape)} != {tuple(t_flat[k].shape)}"
+            for k in sorted(t_flat)
+            if tuple(t_flat[k].shape) != tuple(l_flat[k].shape)
+        ][:5]
+        if diff:
+            raise ValueError(
+                f"{path} {name} tree does not match the config's model "
+                f"(archive saved from a different config? first "
+                f"mismatches: {diff})"
+            )
+        if not templ:
+            return templ
+        new_flat = {k: jnp.asarray(l_flat[k], t_flat[k].dtype) for k in t_flat}
+        out = traverse_util.unflatten_dict(new_flat, sep="/")
+        return out if isinstance(templ, dict) else type(templ)(out)
+
+    state = template.replace(
+        params=graft(template.params, flats["params"], "params"),
+        batch_stats=graft(
+            template.batch_stats, flats["batch_stats"], "batch_stats"
+        ),
+        ema_params=graft(
+            template.ema_params, flats["ema_params"], "ema_params"
+        ),
+    )
+    if step is not None:
+        state = state.replace(step=jnp.asarray(step, template.step.dtype))
+    return state

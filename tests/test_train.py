@@ -557,3 +557,73 @@ class TestBlockRemat:
         anchors = anchor_ops.generate_anchors(cfg.data.image_hw, cfg.anchors)
         with pytest.raises(ValueError, match="remat"):
             build_train_step(cfg, anchors)
+
+
+class TestWeightsNpz:
+    """save_weights_npz / --weights_npz archives (the git-committable
+    serving-weights form; train/checkpoint.py)."""
+
+    def _state(self, cfg, seed=0):
+        import dataclasses
+
+        model = RetinaNet(cfg=cfg.model, train=True)
+        return model, create_train_state(
+            model,
+            dataclasses.replace(cfg.train, ema_decay=0.9),
+            jax.random.PRNGKey(seed),
+            cfg.data.image_hw,
+        )
+
+    def test_roundtrip_params_stats_ema_step(self, tmp_path):
+        import dataclasses
+
+        from bayesod_tpu.train import load_weights_npz, save_weights_npz
+        from bayesod_tpu.train.checkpoint import restore_state
+
+        cfg = tiny_cfg(norm="batchnorm")
+        model, state = self._state(cfg)
+        # Perturb so a successful load is distinguishable from a fresh
+        # template: params +1, ema +2, step 7.
+        state = state.replace(
+            params=jax.tree_util.tree_map(lambda x: x + 1.0, state.params),
+            ema_params=jax.tree_util.tree_map(
+                lambda x: x + 2.0, state.params
+            ),
+            step=jnp.asarray(7, jnp.int32),
+        )
+        path = str(tmp_path / "w.npz")
+        n = save_weights_npz(state, path)
+        assert n > 1
+
+        _, template = self._state(cfg, seed=3)
+        loaded = load_weights_npz(template, path)
+        assert int(loaded.step) == 7
+        for coll in ("params", "batch_stats", "ema_params"):
+            got = jax.tree_util.tree_leaves(getattr(loaded, coll))
+            want = jax.tree_util.tree_leaves(getattr(state, coll))
+            assert len(got) == len(want) and len(got) > 0 or coll != "params"
+            for a, b in zip(want, got):
+                np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+        # restore_state end-to-end routing (needs ema in cfg for template).
+        cfg_ema = dataclasses.replace(
+            cfg, train=dataclasses.replace(cfg.train, ema_decay=0.9)
+        )
+        st2 = restore_state(cfg_ema, weights_npz=path, model=None)
+        assert int(st2.step) == 7
+
+    def test_mismatched_config_is_loud(self, tmp_path):
+        from bayesod_tpu.train import load_weights_npz, save_weights_npz
+
+        cfg = tiny_cfg(norm="batchnorm")
+        _, state = self._state(cfg)
+        path = str(tmp_path / "w.npz")
+        save_weights_npz(state, path)
+        import dataclasses
+
+        other = dataclasses.replace(
+            cfg, model=dataclasses.replace(cfg.model, head_channels=16)
+        )
+        _, template = self._state(other)
+        with pytest.raises(ValueError, match="does not match"):
+            load_weights_npz(template, path)
