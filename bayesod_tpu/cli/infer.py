@@ -31,7 +31,8 @@ def main(argv=None) -> None:
     p.add_argument(
         "--weights_npz", default=None,
         help="serving-weights archive (tools/export_weights.py) instead "
-        "of an Orbax checkpoint dir",
+        "of an Orbax checkpoint dir (takes precedence: --checkpoint_dir "
+        "and --allow_random are ignored when this is given)",
     )
     p.add_argument(
         "--ema", action="store_true",
@@ -91,6 +92,11 @@ def main(argv=None) -> None:
     from bayesod_tpu.train import restore_state
 
     model = RetinaNet(cfg=cfg.model, train=False)
+    if args.weights_npz and (args.checkpoint_dir or args.allow_random):
+        print(
+            "[infer] --weights_npz takes precedence: ignoring "
+            "--checkpoint_dir/--allow_random"
+        )
     try:
         state = restore_state(
             cfg, args.checkpoint_dir, model=model,

@@ -601,8 +601,10 @@ class TestWeightsNpz:
         for coll in ("params", "batch_stats", "ema_params"):
             got = jax.tree_util.tree_leaves(getattr(loaded, coll))
             want = jax.tree_util.tree_leaves(getattr(state, coll))
-            assert len(got) == len(want) and len(got) > 0 or coll != "params"
-            for a, b in zip(want, got):
+            assert len(got) == len(want)
+            if coll == "params":
+                assert len(got) > 0
+            for a, b in zip(want, got, strict=True):
                 np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
         # restore_state end-to-end routing (needs ema in cfg for template).
