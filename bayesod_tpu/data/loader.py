@@ -279,6 +279,7 @@ def make_dataset(data_cfg, split: str = "train"):
         return SyntheticDataset(
             size=getattr(data_cfg, "synthetic_size", 512),
             image_hw=data_cfg.image_hw,
+            max_objects=getattr(data_cfg, "synthetic_max_objects", 4),
             seed=0 if split == "train" else 1,
         )
     raise ValueError(f"unknown dataset '{name}'")

@@ -4,6 +4,7 @@ from bayesod_tpu.losses.losses import (
     attenuated_regression_loss,
     detection_loss,
     focal_loss,
+    zloss,
 )
 from bayesod_tpu.losses.targets import AnchorTargets, assign_targets
 
@@ -13,4 +14,5 @@ __all__ = [
     "attenuated_regression_loss",
     "detection_loss",
     "focal_loss",
+    "zloss",
 ]

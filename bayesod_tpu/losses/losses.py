@@ -103,6 +103,18 @@ def attenuated_regression_loss(
     return jnp.sum(per_anchor) / num_pos
 
 
+def zloss(logits: jnp.ndarray) -> jnp.ndarray:
+    """mean(logsumexp(logits)^2) over every anchor (PaLM's z-loss, adapted
+    to the per-anchor softmax). Softmax/focal losses are common-mode
+    invariant, so nothing else pins the classifier's output scale; under
+    AdamW the scale random-walks upward until bf16 rounding erases the
+    class-discriminative logit gaps (round-3 flagship failure — see
+    ModelConfig.head_norm / TrainConfig.zloss_weight). Pinning
+    logsumexp ~ 0 bounds both the common mode and the positive logits."""
+    z = jax.nn.logsumexp(logits.astype(jnp.float32), axis=-1)
+    return jnp.mean(z * z)
+
+
 def detection_loss(
     logits: jnp.ndarray,
     deltas: jnp.ndarray,
@@ -113,6 +125,7 @@ def detection_loss(
     regression_weight: float = 1.0,
     residual: str = "l2",
     variance_weight: jnp.ndarray | float = 1.0,
+    zloss_weight: float = 0.0,
 ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
     """Total loss and a metrics dict (SURVEY.md §3.1 train_step objective)."""
     cls = focal_loss(logits, targets, alpha, gamma)
@@ -125,5 +138,13 @@ def detection_loss(
         "loss_cls": cls,
         "loss_reg": reg,
         "num_positive": jnp.sum(targets.positive.astype(jnp.float32)),
+        # Scale canary: healthy runs sit at O(10); growth past ~1e3 means
+        # the logit scale is drifting into bf16-rounding territory.
+        "max_abs_logit": jnp.max(jnp.abs(logits.astype(jnp.float32))),
     }
+    if zloss_weight > 0.0:
+        zl = zloss_weight * zloss(logits)
+        total = total + zl
+        metrics["loss"] = total
+        metrics["loss_z"] = zl
     return total, metrics

@@ -193,7 +193,8 @@ def quantized_serving_config(
     """Calibrate and return an ExperimentConfig serving the same weights
     through the int8-resident backbone / FPN / head trunks. The backbone
     path needs norm="batchnorm" (it folds BN statically); the FPN and trunk
-    paths have no norm so they work under any config. `table` additionally
+    paths fold their optional BatchNorm (fpn_norm/head_norm) the same way
+    and also work norm-free. `table` additionally
     quantizes the candidate kernels' trunk row tables to int8
     (ModelConfig.head_table_dtype — orthogonal to the other three, works
     on an otherwise-bf16 graph too)."""

@@ -27,6 +27,7 @@ import jax
 import jax.numpy as jnp
 
 from bayesod_tpu.models.quant import (
+    BNFold,
     ConvKernelBias,
     absmax as _absmax,
     conv_int8,
@@ -50,14 +51,38 @@ class FPN(nn.Module):
     conv_dtype: str = "bf16"
     act_scales: Any = None
     capture: bool = False
+    # "none" | "batchnorm": BN after every FPN conv. The canonical FPN is
+    # norm-free (SGD-era); under AdamW the linear conv stack inflates
+    # without bound — round-3 flagship reached mean|P3| ~ 540 and poisoned
+    # everything downstream (ModelConfig.fpn_norm). BN is a per-channel
+    # affine at serving: XLA folds it on the bf16 path, BNFold folds it
+    # exactly into the int8_resident epilogues.
+    norm: str = "none"
+    train: bool = False
+
+    def _bn(self, x: jnp.ndarray, name: str) -> jnp.ndarray:
+        if self.norm == "none":
+            return x
+        if self.norm != "batchnorm":
+            raise ValueError(
+                f"unknown fpn norm '{self.norm}' (none|batchnorm — "
+                "batchnorm is the foldable choice; see ModelConfig.fpn_norm)"
+            )
+        return nn.BatchNorm(
+            use_running_average=not self.train, momentum=0.9, epsilon=1e-5,
+            dtype=self.dtype, param_dtype=jnp.float32, name=f"bn_{name}",
+        )(x)
 
     @nn.compact
     def __call__(self, feats: Dict[str, jnp.ndarray]) -> List[jnp.ndarray]:
         if self.conv_dtype == "int8_resident":
             return self._int8_resident(feats)
-        conv = lambda f, k, s, name: nn.Conv(
-            f, (k, k), strides=(s, s), padding="SAME",
-            dtype=self.dtype, param_dtype=jnp.float32, name=name,
+        conv = lambda f, k, s, name: lambda x: self._bn(
+            nn.Conv(
+                f, (k, k), strides=(s, s), padding="SAME",
+                dtype=self.dtype, param_dtype=jnp.float32, name=name,
+            )(x),
+            name,
         )
         c3, c4, c5 = feats["c3"], feats["c4"], feats["c5"]
         if self.capture:
@@ -92,14 +117,19 @@ class FPN(nn.Module):
         sc = dict(self.act_scales)
 
         def qconv(xq, s_in, features, ksize, strides, name):
-            """int8 conv -> fp32 (dequant + bias fused into the epilogue)."""
+            """int8 conv -> fp32 (dequant + bias [+ folded BN] fused into
+            the epilogue)."""
             kernel, bias = ConvKernelBias(
                 features, (ksize, ksize),
                 nn.initializers.lecun_normal(), name=name,
             )(xq.shape[-1])
             wq, ws = quantize_kernel(kernel)
+            eff, shift = s_in * ws, bias
+            if self.norm == "batchnorm":
+                g, b = BNFold(name=f"bn_{name}")(features)
+                eff, shift = eff * g, g * bias + b
             acc = conv_int8(xq, wq, strides)
-            return acc.astype(jnp.float32) * (s_in * ws) + bias
+            return acc.astype(jnp.float32) * eff + shift
 
         c3q = quantize_act(feats["c3"], sc["c3"])
         c4q = quantize_act(feats["c4"], sc["c4"])

@@ -34,6 +34,7 @@ import numpy as np
 
 
 from bayesod_tpu.models.quant import (
+    BNFold,
     ConvKernelBias,
     absmax as _absmax,
     QuantConv,
@@ -89,6 +90,28 @@ class SubnetTrunk(nn.Module):
     # "intermediates" for calibration (models/calibration.py).
     act_scales: Any = None
     capture: bool = False
+    # "none" | "batchnorm": conv -> BN -> ReLU per trunk conv. BN params and
+    # statistics are per-LEVEL (bn{i}_p{level}) while the convs stay
+    # level-shared — P3/P7 activation scales differ wildly, and a norm-free
+    # trunk inflates without bound under AdamW (ModelConfig.head_norm).
+    # At serving BN is a per-channel affine: XLA fuses it on the bf16 path,
+    # and the int8_resident epilogue folds it exactly (BNFold).
+    norm: str = "none"
+    train: bool = False
+
+    def _bn(self, x: jnp.ndarray, i: int, level: int) -> jnp.ndarray:
+        if self.norm == "none":
+            return x
+        if self.norm != "batchnorm":
+            raise ValueError(
+                f"unknown head norm '{self.norm}' (none|batchnorm — "
+                "batchnorm is the foldable choice; see ModelConfig.head_norm)"
+            )
+        return nn.BatchNorm(
+            use_running_average=not self.train, momentum=0.9, epsilon=1e-5,
+            dtype=self.dtype, param_dtype=jnp.float32,
+            name=f"bn{i}_p{level}",
+        )(x)
 
     @nn.compact
     def __call__(
@@ -110,6 +133,7 @@ class SubnetTrunk(nn.Module):
                     kernel_init=nn.initializers.normal(0.01),
                     name=f"conv{i}",
                 )(x)
+            x = self._bn(x, i, level)
             x = nn.relu(x)
             if self.capture and i < self.depth - 1:
                 self.sow("intermediates", f"p{level}_conv{i}", _absmax(x))
@@ -145,14 +169,22 @@ class SubnetTrunk(nn.Module):
                 self.channels, (3, 3), name=f"conv{i}"
             )(xq.shape[-1])
             wq, ws = quantize_kernel(kernel)
+            # Fold the (per-level) trunk BatchNorm into the epilogue:
+            # bn(conv + bias) = g*conv + (g*bias + b) — same fold the
+            # backbone path uses; eff/shift stay one FMA each.
+            if self.norm == "batchnorm":
+                g, b = BNFold(name=f"bn{i}_p{level}")(self.channels)
+                eff, shift = s_in * ws * g, g * bias + b
+            else:
+                eff, shift = s_in * ws, bias
             acc = conv_int8(xq, wq, 1)
             if i < self.depth - 1:
                 s_out = sc[f"p{level}_conv{i}"]
-                xq = requant(acc, s_in * ws, bias, s_out)
+                xq = requant(acc, eff, shift, s_out)
                 s_in = s_out
             else:
                 y = jax.nn.relu(
-                    acc.astype(jnp.float32) * (s_in * ws) + bias
+                    acc.astype(jnp.float32) * eff + shift
                 ).astype(self.dtype)
         return nn.Dropout(
             rate=self.dropout_rate, deterministic=not stochastic,
@@ -176,6 +208,12 @@ class RetinaNetHeads(nn.Module):
     # the "cls/"/"reg/" prefix routes each site to its subnet's SubnetTrunk.
     trunk_act_scales: Any = None
     capture_scales: bool = False
+    norm: str = "none"  # trunk norm (SubnetTrunk.norm)
+    train: bool = False
+    # Clamp on the raw log-variance head output (ModelConfig.log_var_bound):
+    # the regression loss never supervises negatives, so their log_vars are
+    # unconstrained and detect-time exp() must be protected.
+    log_var_bound: float = 16.0
 
     def _trunk_scales(self, prefix: str):
         if self.trunk_act_scales is None:
@@ -202,12 +240,14 @@ class RetinaNetHeads(nn.Module):
             self.dropout_layers, self.dtype, self.trunk_dtype,
             act_scales=self._trunk_scales("cls"),
             capture=self.capture_scales,
+            norm=self.norm, train=self.train,
         )
         self.reg_trunk = SubnetTrunk(
             self.depth, self.channels, self.dropout_rate,
             self.dropout_layers, self.dtype, self.trunk_dtype,
             act_scales=self._trunk_scales("reg"),
             capture=self.capture_scales,
+            norm=self.norm, train=self.train,
         )
         # Background starts near-certain: foreground logits biased to
         # -log((1-pi)/pi) so initial softmax fg mass ~ pi (focal convention).
@@ -249,7 +289,12 @@ class RetinaNetHeads(nn.Module):
         # math. Re-bench end to end before touching either choice.
         logits = jnp.concatenate(logits, axis=-2).astype(jnp.float32)
         reg = jnp.concatenate(reg, axis=-2)
-        return logits, reg[..., :4], reg[..., 4:]
+        # Negatives get no regression supervision, so their raw log-vars are
+        # unconstrained; bound them before any consumer exp()s (the loss
+        # clips tighter at ±10, so training gradients are unaffected).
+        bound = jnp.asarray(self.log_var_bound, reg.dtype)
+        log_vars = jnp.clip(reg[..., 4:], -bound, bound)
+        return logits, reg[..., :4], log_vars
 
     def trunk_outputs(
         self, feats: Sequence[jnp.ndarray]

@@ -75,6 +75,7 @@ class RetinaNet(nn.Module):
             conv_dtype=self.cfg.fpn_dtype,
             act_scales=self.cfg.fpn_act_scales,
             capture=self.capture_scales,
+            norm=self.cfg.fpn_norm, train=self.train,
             name="fpn",
         )
         self.heads = RetinaNetHeads(
@@ -89,6 +90,8 @@ class RetinaNet(nn.Module):
             dtype=dtype,
             trunk_act_scales=self.cfg.head_trunk_act_scales,
             capture_scales=self.capture_scales,
+            norm=self.cfg.head_norm, train=self.train,
+            log_var_bound=self.cfg.log_var_bound,
             name="heads",
         )
 

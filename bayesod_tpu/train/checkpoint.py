@@ -128,11 +128,16 @@ def restore_state(
 _NPZ_COLLECTIONS = ("params", "batch_stats", "ema_params")
 
 
-def save_weights_npz(state: TrainState, path: str) -> int:
+def save_weights_npz(state: TrainState, path: str, dtype=None) -> int:
     """Write params/batch_stats/EMA (+ step) as one np.savez_compressed.
 
     Returns the number of arrays written. Optimizer state and the carried
     rng are deliberately dropped — archives restore for EVAL, not resume.
+
+    `dtype` (e.g. "float16") downcasts floating arrays for the archive —
+    halves the committed size; serving runs bf16 so fp16 storage (10
+    mantissa bits > bf16's 7) is lossless for the serving graph.
+    load_weights_npz casts back to the template dtypes on restore.
     """
     import numpy as np
     from flax import traverse_util
@@ -144,7 +149,10 @@ def save_weights_npz(state: TrainState, path: str) -> int:
             continue
         flat = traverse_util.flatten_dict(dict(tree), sep="/")
         for key, value in flat.items():
-            arrays[f"{coll}/{key}"] = np.asarray(value)
+            a = np.asarray(value)
+            if dtype is not None and np.issubdtype(a.dtype, np.floating):
+                a = a.astype(dtype)
+            arrays[f"{coll}/{key}"] = a
     np.savez_compressed(path, **arrays)
     return len(arrays)
 

@@ -56,7 +56,7 @@ def build_train_step(cfg: ExperimentConfig, anchors: jnp.ndarray, model=None):
     model = model or make_train_model(cfg)
     opt = make_optimizer(cfg.train)
     tc = cfg.train
-    use_bn = cfg.model.norm == "batchnorm"
+    use_bn = cfg.model.uses_batch_stats()
 
     assign = jax.vmap(
         functools.partial(
@@ -108,6 +108,7 @@ def build_train_step(cfg: ExperimentConfig, anchors: jnp.ndarray, model=None):
             regression_weight=tc.regression_weight,
             residual=tc.residual,
             variance_weight=var_w,
+            zloss_weight=tc.zloss_weight,
         )
         return total, (metrics, new_stats)
 
@@ -225,6 +226,7 @@ def build_eval_step(cfg: ExperimentConfig, anchors: jnp.ndarray, model=None):
             regression_weight=tc.regression_weight,
             residual=tc.residual,
             variance_weight=1.0,
+            zloss_weight=tc.zloss_weight,
         )
         return metrics
 

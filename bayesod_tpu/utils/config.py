@@ -128,7 +128,31 @@ class ModelConfig:
     dropout_layers: str = "last"
     prior_prob: float = 0.01  # focal-loss final-bias init pi
     norm: str = "batchnorm"  # "batchnorm" | "groupnorm"
+    # Normalization in the FPN convs / head-trunk convs ("none" |
+    # "batchnorm"). The reference's FPN+heads are norm-free (canonical
+    # RetinaNet trained with SGD); under AdamW's scale-free updates a
+    # norm-free conv stack inflates without bound — the round-3 flagship run
+    # reached |logit| ~ 5.9e6 (bf16 resolution ~4096 at that magnitude), so
+    # class-discriminative gradients were quantized away and the classifier
+    # froze at uniform (runs/flagship_eval, DESIGN.md §8). BatchNorm bounds
+    # the activations by construction and — unlike GroupNorm — folds into
+    # the conv epilogues at serving (models/quant.py BNFold), so the bf16
+    # AND int8-resident serving graphs keep their measured cost. Head-trunk
+    # BN is per-LEVEL (params + stats) while the convs stay level-shared:
+    # P3 and P7 activation statistics differ by orders of magnitude.
+    fpn_norm: str = "batchnorm"
+    head_norm: str = "batchnorm"
+    # Model-side clamp on the regression log-variance outputs (encoded
+    # space). The loss clips tighter (log_var_clip=10) so training is
+    # unaffected; this bounds what DETECT-time consumers exp() at anchors
+    # the regression loss never supervised (negatives), where the raw head
+    # output is unconstrained (round-3 flagship: raw log_vars hit -8640,
+    # exploding black_box's gaussian NLL to ~2e5 — runs/flagship_eval).
+    log_var_bound: float = 16.0
     compute_dtype: str = "bfloat16"  # conv/matmul dtype; stats stay fp32
+
+    def uses_batch_stats(self) -> bool:
+        return "batchnorm" in (self.norm, self.fpn_norm, self.head_norm)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -231,6 +255,11 @@ class DataConfig:
     image_hw: Tuple[int, int] = (384, 1280)
     max_gt_boxes: int = 64  # GT padded to fixed count per image
     synthetic_size: int = 512  # examples per split for dataset="synthetic"
+    # Max rectangles per synthetic image (uniform 1..N). Round-3 postmortem:
+    # this was silently unplumbed — make_dataset always built the handler at
+    # its default 4 regardless of config (runs/flagship_eval had 240 GT over
+    # 96 images where the config implied ~12/image).
+    synthetic_max_objects: int = 4
     # Memoize prepared (resized/padded) examples in host RAM across epochs.
     # Semantically identical for deterministic handlers (all of ours);
     # costs ~1.5 MB/image at flagship shape. Essential for synthetic
@@ -285,6 +314,14 @@ class TrainConfig:
     # the NLL's ds gradient otherwise dominates and trips grad clipping every
     # step; 0 disables the ramp (attenuation on from step 0).
     variance_warmup_steps: int = 2000
+    # z-loss (PaLM-style): zloss_weight * mean(logsumexp(logits)^2) over all
+    # anchors. Softmax losses are invariant to the logit common mode, so
+    # nothing else anchors the classifier's output scale; under AdamW the
+    # scale random-walks upward until bf16/fp32 rounding kills the class
+    # gradients (the round-3 flagship failure — ModelConfig.head_norm note).
+    # This term pins logsumexp ~ 0 with negligible force at healthy scales
+    # (penalty ~ 1e-4 * 100 at |logit| ~ 10). 0 disables.
+    zloss_weight: float = 1e-4
     grad_clip_norm: float = 10.0
     # Gradient accumulation (optax.MultiSteps): average grads over this many
     # train_step calls before ONE optimizer update — an effective batch of

@@ -25,6 +25,12 @@ def main(argv=None) -> None:
     p.add_argument("--yaml_path", required=True)
     p.add_argument("--checkpoint_dir", required=True)
     p.add_argument("--out", required=True)
+    p.add_argument(
+        "--dtype", default="float16",
+        help="archive float dtype (float16 halves the committed size; "
+        "serving runs bf16, so fp16 storage is lossless for it. "
+        "Pass float32 for exact-resume archives.)",
+    )
     p.add_argument("overrides", nargs="*")
     args = p.parse_args(argv)
 
@@ -39,7 +45,7 @@ def main(argv=None) -> None:
         args.yaml_path, dict(parse_override(o) for o in args.overrides)
     )
     state = restore_state(cfg, args.checkpoint_dir)
-    n = save_weights_npz(state, args.out)
+    n = save_weights_npz(state, args.out, dtype=args.dtype)
     mb = os.path.getsize(args.out) / 1e6
     print(
         f"wrote {args.out}: {n} arrays, {mb:.1f} MB, step {int(state.step)}"

@@ -16,9 +16,9 @@
 set -u
 cd "$(dirname "$0")/.."
 export JAX_COMPILATION_CACHE_DIR=${JAX_COMPILATION_CACHE_DIR:-/tmp/jax_cache_bayesod}
-STEPS=${1:-2000}
+STEPS=${1:-2400}
 TMO=${2:-4000}
-RUN=data/outputs/flagship_r3
+RUN=${RUN:-data/outputs/flagship_r4}
 Y=configs/flagship_synthetic.yaml
 mkdir -p runs
 
@@ -44,13 +44,13 @@ while true; do
     timeout "$TMO" python -m bayesod_tpu.cli.train --yaml_path $Y \
         --out_dir $RUN train.total_steps=$STEPS \
         "train.lr_decay_steps=$DECAY" \
-        >> runs/flagship_r3_train.log 2>&1
+        >> runs/flagship_r4_train.log 2>&1
     rc=$?
     new=$(last_step)
     [ "$rc" -eq 124 ] && echo "(attempt timed out at step $new; resuming)"
     if [ "${new:-0}" -le "${cur:-0}" ] && [ "$rc" -ne 0 ]; then
         echo "!!! no progress (rc=$rc, step $cur -> $new); see train log:"
-        tail -5 runs/flagship_r3_train.log
+        tail -5 runs/flagship_r4_train.log
         break
     fi
 done
@@ -61,4 +61,4 @@ python tools/export_weights.py --yaml_path $Y \
     --checkpoint_dir "$RUN/checkpoints" --out "$RUN/weights.npz" \
     || echo "!!! weights export failed"
 
-tools/flagship_eval.sh runs/flagship_eval $RUN
+tools/flagship_eval.sh ${EVAL_OUT:-runs/flagship_eval_r4} $RUN
