@@ -149,6 +149,17 @@ def main(argv=None) -> None:
         "of an Orbax checkpoint dir",
     )
     p.add_argument("--ema", action="store_true")
+    p.add_argument(
+        "--quantize", action="store_true",
+        help="run the requested modes through the full int8-resident "
+        "serving graph (backbone/FPN/trunks PTQ-calibrated on the split's "
+        "first images — models/calibration.py); the flagship-scale "
+        "accuracy check for the production quantized operating point",
+    )
+    p.add_argument(
+        "--calib_images", type=int, default=8,
+        help="calibration batch size for --quantize",
+    )
     p.add_argument("--out", default=None, help="write the markdown table here")
     p.add_argument("--json_out", default=None)
     p.add_argument("overrides", nargs="*")
@@ -171,6 +182,28 @@ def main(argv=None) -> None:
     except FileNotFoundError as e:
         raise SystemExit(f"{e} (use --allow_random for smoke runs)")
     variables = state.variables(use_ema=args.ema)
+
+    if args.quantize:
+        import jax.numpy as jnp
+        import numpy as np
+
+        from bayesod_tpu.data import make_dataset, normalize_images
+        from bayesod_tpu.models.calibration import quantized_serving_config
+
+        ds = make_dataset(cfg.data, split=args.split)
+        calib = np.stack(
+            [
+                ds.example(i)["image"]
+                for i in range(min(args.calib_images, len(ds)))
+            ]
+        )
+        cfg = quantized_serving_config(
+            cfg, variables,
+            normalize_images(
+                jnp.asarray(calib), cfg.data.mean, cfg.data.std
+            ),
+        )
+        print("[compare] int8-resident serving graph (PTQ-calibrated)")
 
     if (
         cfg.model.head_table_dtype != "bf16"

@@ -189,6 +189,7 @@ def quantized_serving_config(
     trunk: bool = True,
     fpn: bool = True,
     table: "bool | str" = False,
+    scales=None,
 ):
     """Calibrate and return an ExperimentConfig serving the same weights
     through the int8-resident backbone / FPN / head trunks. The backbone
@@ -197,11 +198,18 @@ def quantized_serving_config(
     and also work norm-free. `table` additionally
     quantizes the candidate kernels' trunk row tables to int8
     (ModelConfig.head_table_dtype — orthogonal to the other three, works
-    on an otherwise-bf16 graph too)."""
+    on an otherwise-bf16 graph too).
+
+    `scales` short-circuits the capture pass with a precomputed
+    (backbone, fpn, trunk, table) scale 4-tuple — exactly
+    calibrate_serving_scales' return value (e.g. loaded from a committed
+    YAML; the capture is deterministic in (weights, calib batch))."""
     if backbone and cfg.model.norm != "batchnorm":
         backbone = False  # fpn/trunk-only quantization still applies
     backbone_scales, fpn_scales, trunk_scales, table_scales = (
-        calibrate_serving_scales(cfg, variables, images, margin)
+        scales
+        if scales is not None
+        else calibrate_serving_scales(cfg, variables, images, margin)
     )
     model = cfg.model
     if backbone:

@@ -32,6 +32,50 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def _load_calibration(path: str, key: str):
+    """Committed int8 calibration cache: the capture pass is deterministic
+    in (init seed, calib batch, model config), so its result ships in
+    configs/bench_calibration.yaml instead of being recomputed over the
+    tunnel every bench run (~183 s of BENCH_r03's wall time)."""
+    import yaml
+
+    try:
+        with open(path) as fh:
+            data = yaml.safe_load(fh) or {}
+    except FileNotFoundError:
+        return None
+    entry = data.get(key)
+    if entry is None:
+        return None
+
+    def t(d):
+        return tuple(sorted((str(k), float(v)) for k, v in d.items()))
+
+    return (
+        t(entry["backbone"]), t(entry["fpn"]),
+        t(entry["trunk"]), t(entry["table"]),
+    )
+
+
+def _save_calibration(path: str, key: str, scales) -> None:
+    import yaml
+
+    try:
+        with open(path) as fh:
+            data = yaml.safe_load(fh) or {}
+    except FileNotFoundError:
+        data = {}
+    backbone, fpn, trunk, table = scales
+    data[key] = {
+        "backbone": {k: float(v) for k, v in backbone},
+        "fpn": {k: float(v) for k, v in fpn},
+        "trunk": {k: float(v) for k, v in trunk},
+        "table": {k: float(v) for k, v in table},
+    }
+    with open(path, "w") as fh:
+        yaml.safe_dump(data, fh, sort_keys=True)
+
+
 def main() -> None:
     p = argparse.ArgumentParser()
     # Honest (hoist-proofed) batch sweep on v5e-1: bf16 128 -> 476.3,
@@ -213,6 +257,15 @@ def main() -> None:
         "clustering/fusion); full-minus-finals is the post-processing tail",
     )
     p.add_argument(
+        "--calibration_yaml", default="configs/bench_calibration.yaml",
+        help="committed int8 calibration cache (capture is deterministic "
+        "in init seed + calib batch + model config; see _load_calibration)",
+    )
+    p.add_argument(
+        "--recalibrate", action="store_true",
+        help="force a fresh capture pass and refresh the YAML entry",
+    )
+    p.add_argument(
         "--linearity", action="store_true",
         help="after the measurement, verify elapsed time scales linearly "
         "in --iters (iters/2 and 2x iters under the same compile) and "
@@ -326,7 +379,10 @@ def main() -> None:
         # per-site scales (backbone/fpn/head_trunk act_scales + row tables).
         import dataclasses
 
-        from bayesod_tpu.models.calibration import quantized_serving_config
+        from bayesod_tpu.models.calibration import (
+            calibrate_serving_scales,
+            quantized_serving_config,
+        )
 
         bf16_cfg = dataclasses.replace(
             cfg, model=dataclasses.replace(
@@ -342,7 +398,25 @@ def main() -> None:
             ),
             jnp.float32,
         )
+        # Everything the capture depends on, so a stale entry can't be
+        # silently reused; "v2" = the BN-in-FPN/trunks era.
+        calib_key = (
+            f"v2|{'tiny' if args.tiny else 'r50'}|"
+            f"{image_hw[0]}x{image_hw[1]}|c{args.classes}|"
+            f"b{min(args.batch, 8)}"
+        )
         t0 = time.time()
+        scales = (
+            None
+            if args.recalibrate
+            else _load_calibration(args.calibration_yaml, calib_key)
+        )
+        if scales is None:
+            scales = calibrate_serving_scales(bf16_cfg, variables, calib)
+            _save_calibration(args.calibration_yaml, calib_key, scales)
+            how = "captured"
+        else:
+            how = f"loaded from {args.calibration_yaml}"
         cfg = quantized_serving_config(
             bf16_cfg, variables, calib,
             backbone=args.backbone_dtype == "int8_resident",
@@ -353,6 +427,7 @@ def main() -> None:
                 if args.table_dtype == "int8_reg"
                 else args.table_dtype == "int8"
             ),
+            scales=scales,
         )
         n_sites = (
             len(cfg.model.backbone_act_scales or ())
@@ -361,8 +436,8 @@ def main() -> None:
             + len(cfg.model.head_table_scales or ())
         )
         print(
-            f"[bench] int8_resident calibration: {n_sites} sites "
-            f"in {time.time() - t0:.1f}s",
+            f"[bench] int8_resident calibration ({calib_key}): {n_sites} "
+            f"sites {how} in {time.time() - t0:.1f}s",
             file=sys.stderr,
         )
         # Quantized param trees are identical to bf16 (pinned by

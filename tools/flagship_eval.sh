@@ -41,6 +41,13 @@ timeout 5400 python -m bayesod_tpu.cli.compare --yaml_path $Y \
     > "$OUT/compare.log" 2>&1
 cat "$OUT/compare_topk512.md" 2>/dev/null || tail -5 "$OUT/compare.log"
 
+echo "=== comparison table (bayes_od, full int8-resident graph) ==="
+timeout 3600 python -m bayesod_tpu.cli.compare --yaml_path $Y \
+    --checkpoint_dir "$CKPT" --max_images 96 --batch_size 8 \
+    --modes bayes_od --quantize --out "$OUT/compare_int8.md" \
+    --json_out "$OUT/compare_int8.json" > "$OUT/compare_int8.log" 2>&1
+cat "$OUT/compare_int8.md" 2>/dev/null || tail -5 "$OUT/compare_int8.log"
+
 echo "=== comparison table (bayes_od only, topk 256) ==="
 timeout 3600 python -m bayesod_tpu.cli.compare --yaml_path $Y \
     --checkpoint_dir "$CKPT" --max_images 96 --batch_size 8 \
