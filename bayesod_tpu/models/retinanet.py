@@ -1108,15 +1108,16 @@ def ensemble_forward_candidates_sp(
     )(stacked_variables, images)
 
 
-def deterministic_preselect_idx(
-    cls_t, cls_k, cls_b, anchors_per_cell, n_cls, topk, approx_topk,
-    table_scale=None,
+def preselect_scores(
+    cls_t, cls_k, cls_b, anchors_per_cell, n_cls, table_scale=None,
+    scores=True,
 ):
-    """Dense deterministic preselection: one cls-final conv per level
-    (dropout off), max-foreground-softmax score per anchor, top-k indices.
+    """Dense deterministic per-anchor foreground scores: one cls-final conv
+    per level (dropout off), max-foreground-softmax per anchor.
 
-    Factored out of mc_forward_candidates_det so the bench can time the
-    trunk+preselect prefix alone (`bench.py --segment preselect`).
+    scores=False stops after the conv (returns per-level logits) — used by
+    `bench.py --segment preselect_conv` to split the selection cost into
+    conv / score / top-k parts (VERDICT r4 item 3a).
 
     table_scale (head_table_dtype="int8"): the dense selection conv runs
     int8 x int8 -> int32 on the SAME quantized activations the candidate
@@ -1132,7 +1133,7 @@ def deterministic_preselect_idx(
         )
 
         wq, ws = quantize_kernel(cls_k)
-    score_lvls = []
+    logit_lvls = []
     for ct in cls_t:
         if table_scale is None:
             logits = jax.lax.conv_general_dilated(
@@ -1145,13 +1146,32 @@ def deterministic_preselect_idx(
                 acc.astype(jnp.float32) * (float(table_scale) * ws)
                 + cls_b.astype(jnp.float32)
             )
+        logit_lvls.append(logits)
+    if not scores:
+        return logit_lvls
+    score_lvls = []
+    for logits in logit_lvls:
         b, h, w, _ = logits.shape
         lg = logits.reshape(
             b, h * w * anchors_per_cell, n_cls
         ).astype(jnp.float32)
         p = jax.nn.softmax(lg, axis=-1)
         score_lvls.append(jnp.max(p[..., 1:], axis=-1))  # [B, cells*k]
-    scores = jnp.concatenate(score_lvls, axis=-1)  # [B, A]
+    return jnp.concatenate(score_lvls, axis=-1)  # [B, A]
+
+
+def deterministic_preselect_idx(
+    cls_t, cls_k, cls_b, anchors_per_cell, n_cls, topk, approx_topk,
+    table_scale=None,
+):
+    """Dense deterministic preselection: `preselect_scores` + top-k indices.
+
+    Factored out of mc_forward_candidates_det so the bench can time the
+    trunk+preselect prefix alone (`bench.py --segment preselect`)."""
+    scores = preselect_scores(
+        cls_t, cls_k, cls_b, anchors_per_cell, n_cls,
+        table_scale=table_scale,
+    )
 
     def presel(s):
         if approx_topk:

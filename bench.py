@@ -496,7 +496,38 @@ def main() -> None:
         def _seg_trunks(m, im):
             return m.head_trunk_outputs(m.features(im))
 
-        if args.segment == "preselect":
+        if args.segment in ("preselect_conv", "preselect_score"):
+            # Sub-decomposition of the dense deterministic selection
+            # (VERDICT r4 item 3a): 'preselect_conv' = trunk + the dense
+            # cls-final conv only; 'preselect_score' adds softmax + the
+            # per-anchor foreground max. Consecutive deltas vs 'trunks'
+            # and 'preselect' split selection into conv / score / top-k.
+            from bayesod_tpu.models.retinanet import (
+                RetinaNet as _RN,
+                head_table_scale,
+                preselect_scores,
+            )
+
+            _want_scores = args.segment == "preselect_score"
+
+            def call(variables, imgs, r):
+                feats = model.apply(variables, imgs, method=_RN.features)
+                cls_t, _ = model.apply(
+                    variables, feats, method=_RN.head_trunk_outputs
+                )
+                params = variables["params"]["heads"]
+                out = preselect_scores(
+                    cls_t, params["cls_out"]["kernel"],
+                    params["cls_out"]["bias"], model.anchors_per_cell,
+                    cfg.model.num_classes + 1,
+                    table_scale=head_table_scale(cfg.model, "cls"),
+                    scores=_want_scores,
+                )
+                return sum(
+                    jnp.sum(x.astype(jnp.float32)) * jnp.float32(1e-9)
+                    for x in jax.tree_util.tree_leaves(out)
+                )
+        elif args.segment == "preselect":
             # Trunk + the dense deterministic cls pass + top-k, nothing
             # per-sample: finals-minus-preselect isolates the N-sample
             # candidate kernels from the dense selection work.

@@ -48,6 +48,18 @@ timeout 3600 python -m bayesod_tpu.cli.compare --yaml_path $Y \
     --json_out "$OUT/compare_int8.json" > "$OUT/compare_int8.log" 2>&1
 cat "$OUT/compare_int8.md" 2>/dev/null || tail -5 "$OUT/compare_int8.log"
 
+echo "=== comparison table (HEADLINE operating point: int8 + topk 256 + det preselect) ==="
+# The exact configuration behind the bench headline (BENCH_r03 775 img/s):
+# full int8-resident graph + int8 row tables, pre_cluster_topk=256,
+# deterministic preselect — VERDICT r3 item 2's flagship-scale accuracy pin.
+timeout 3600 python -m bayesod_tpu.cli.compare --yaml_path $Y \
+    --checkpoint_dir "$CKPT" --max_images 96 --batch_size 8 \
+    --modes bayes_od --preselect deterministic --quantize \
+    --out "$OUT/compare_headline.md" \
+    --json_out "$OUT/compare_headline.json" bayes.pre_cluster_topk=256 \
+    > "$OUT/compare_headline.log" 2>&1
+cat "$OUT/compare_headline.md" 2>/dev/null || tail -5 "$OUT/compare_headline.log"
+
 echo "=== comparison table (bayes_od only, topk 256) ==="
 timeout 3600 python -m bayesod_tpu.cli.compare --yaml_path $Y \
     --checkpoint_dir "$CKPT" --max_images 96 --batch_size 8 \
