@@ -107,22 +107,34 @@ def _kernel(
         if ci + 1 < n_chunks:
             chunk_dma((ci + 1) % 2, ci + 1).start()
         chunk_dma(ci % 2, ci).wait()
-        onehot_bool = (
-            rows
-            == ci * chunk
-            + jax.lax.broadcasted_iota(jnp.int32, (k9, chunk), 1)
-        )
-        if table_scale is None:
-            win_ref[...] = win_ref[...] + jnp.dot(
-                onehot_bool.astype(jnp.bfloat16), chunk_ref[ci % 2],
-                preferred_element_type=jnp.float32,
-            ).astype(jnp.bfloat16)
-        else:
-            win_ref[...] = win_ref[...] + jax.lax.dot_general(
-                onehot_bool.astype(jnp.int8), chunk_ref[ci % 2],
-                (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.int32,
-            ).astype(jnp.bfloat16)
+        # Sparse-chunk skip (round 4): candidates' 3x3 windows touch only
+        # a fraction of the table's row chunks (score-ranked candidates
+        # cluster on objects), and a row outside this chunk contributes an
+        # exact zero to the one-hot matmul — so when NO window row lands
+        # in [base, base+chunk) the whole matmul is skipped. Gather MACs
+        # scale with occupancy instead of table size; worst case (every
+        # chunk occupied) is the old cost plus a [K9] compare+reduce.
+        base = ci * chunk
+        hit = jnp.any((rows >= base) & (rows < base + chunk))
+
+        @pl.when(hit)
+        def _(base=base, slot=ci % 2):
+            onehot_bool = (
+                rows
+                == base
+                + jax.lax.broadcasted_iota(jnp.int32, (k9, chunk), 1)
+            )
+            if table_scale is None:
+                win_ref[...] = win_ref[...] + jnp.dot(
+                    onehot_bool.astype(jnp.bfloat16), chunk_ref[slot],
+                    preferred_element_type=jnp.float32,
+                ).astype(jnp.bfloat16)
+            else:
+                win_ref[...] = win_ref[...] + jax.lax.dot_general(
+                    onehot_bool.astype(jnp.int8), chunk_ref[slot],
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.int32,
+                ).astype(jnp.bfloat16)
     if table_scale is not None:
         win_ref[...] = (
             win_ref[...].astype(jnp.float32) * jnp.float32(table_scale)
