@@ -101,24 +101,34 @@ def _kernel(
     # lives in exactly one chunk, so the bf16 accumulation adds one integer
     # |v| <= 127 — exactly representable — to zeros). One dequant multiply
     # at the end replaces the per-chunk bf16 matmuls.
-    chunk_dma(0, 0).start()
+    # Sparse-chunk skip (round 4): candidates' 3x3 windows touch only a
+    # fraction of the table's row chunks (score-ranked candidates cluster
+    # on objects), and a row outside this chunk contributes an exact zero
+    # to the one-hot matmul — so when NO window row lands in
+    # [base, base+chunk) both the chunk's DMA and its matmul are skipped.
+    # Gather MACs and table-stream bytes scale with occupancy instead of
+    # table size; worst case (every chunk occupied) is the old cost plus
+    # n_chunks [K9] compare+reduces.
+    hits = [
+        jnp.any((rows >= ci * chunk) & (rows < (ci + 1) * chunk))
+        for ci in range(n_chunks)
+    ]
+
+    def start_if_hit(slot, ci):
+        @pl.when(hits[ci])
+        def _():
+            chunk_dma(slot, ci).start()
+
+    start_if_hit(0, 0)
     win_ref[...] = jnp.zeros((k9, c), jnp.bfloat16)
     for ci in range(n_chunks):
         if ci + 1 < n_chunks:
-            chunk_dma((ci + 1) % 2, ci + 1).start()
-        chunk_dma(ci % 2, ci).wait()
-        # Sparse-chunk skip (round 4): candidates' 3x3 windows touch only
-        # a fraction of the table's row chunks (score-ranked candidates
-        # cluster on objects), and a row outside this chunk contributes an
-        # exact zero to the one-hot matmul — so when NO window row lands
-        # in [base, base+chunk) the whole matmul is skipped. Gather MACs
-        # scale with occupancy instead of table size; worst case (every
-        # chunk occupied) is the old cost plus a [K9] compare+reduce.
+            start_if_hit((ci + 1) % 2, ci + 1)
         base = ci * chunk
-        hit = jnp.any((rows >= base) & (rows < base + chunk))
 
-        @pl.when(hit)
+        @pl.when(hits[ci])
         def _(base=base, slot=ci % 2):
+            chunk_dma(slot, ci).wait()
             onehot_bool = (
                 rows
                 == base
