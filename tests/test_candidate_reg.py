@@ -442,3 +442,45 @@ def test_detect_int8_table_route_close_to_bf16():
     ).max(axis=-1)[both]
     assert np.median(d) < 0.5, np.median(d)
     assert (d < 1.0).mean() >= 0.8, d
+
+
+def test_candidate_finals_sparse_chunk_skip_multichunk():
+    """Round-4 sparse-chunk skip: with a table spanning many 512-row
+    chunks and candidates CLUSTERED in a few of them, the skipped-chunk
+    kernel must still equal the XLA composition exactly (a skipped chunk
+    contributes the same zeros the one-hot matmul would have). Also
+    covers the spread case (every chunk occupied = old behavior)."""
+    from bayesod_tpu.ops.candidate_reg import candidate_reg_stats
+
+    rng = np.random.RandomState(7)
+    level_hw = [(32, 64), (16, 32)]  # 2048 + 512 = 2560 rows -> 5 chunks
+    levels = [
+        jnp.asarray(rng.randn(2, h, w, 128) * 0.5, jnp.float32)
+        for h, w in level_hw
+    ]
+    kernel = jnp.asarray(rng.randn(3, 3, 128, 72) * 0.05, jnp.float32)
+    bias = jnp.asarray(rng.randn(72) * 0.1, jnp.float32)
+    tables = LevelTables(level_hw, 9)
+    # Clustered: anchors from a 10x10 cell patch of level 0 (rows < 650)
+    # -> chunks 2..4 have no window rows and take the skip path.
+    cells = (rng.choice(10, size=128) * 64 + rng.choice(10, size=128))
+    clustered = jnp.asarray(
+        np.stack([cells * 9 + rng.choice(9, size=128) for _ in range(2)]),
+        jnp.int32,
+    )
+    a_total = sum(h * w * 9 for h, w in level_hw)
+    spread = jnp.asarray(
+        rng.choice(a_total, size=(2, 128), replace=False), jnp.int32
+    )
+    for name, idx in (("clustered", clustered), ("spread", spread)):
+        st_x = candidate_reg_stats(
+            levels, kernel, bias, idx, jnp.int32(5), 3, 0.7, tables,
+            backend="xla",
+        )
+        st_p = candidate_reg_stats(
+            levels, kernel, bias, idx, jnp.int32(5), 3, 0.7, tables,
+            backend="pallas",
+        )
+        d = np.abs(np.asarray(st_x) - np.asarray(st_p))
+        scale = np.abs(np.asarray(st_x)).max()
+        assert d.max() / scale < 0.02, (name, d.max(), scale)
