@@ -614,6 +614,7 @@ def build_detect_fn(
                             cfg.bayes.box_scale_factors,
                             cfg.bayes.log_var_clip,
                             batch_base=batch_base,
+                            scoring=cfg.bayes.preselect_scoring,
                         )
                     )
 

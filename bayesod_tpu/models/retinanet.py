@@ -1110,7 +1110,7 @@ def ensemble_forward_candidates_sp(
 
 def preselect_scores(
     cls_t, cls_k, cls_b, anchors_per_cell, n_cls, table_scale=None,
-    scores=True,
+    scores=True, scoring="softmax",
 ):
     """Dense deterministic per-anchor foreground scores: one cls-final conv
     per level (dropout off), max-foreground-softmax per anchor.
@@ -1155,14 +1155,21 @@ def preselect_scores(
         lg = logits.reshape(
             b, h * w * anchors_per_cell, n_cls
         ).astype(jnp.float32)
-        p = jax.nn.softmax(lg, axis=-1)
-        score_lvls.append(jnp.max(p[..., 1:], axis=-1))  # [B, cells*k]
+        if scoring == "margin":
+            # BayesConfig.preselect_scoring="margin": softmax-free anchor
+            # ordering — exact for n_cls == 2 (binary softmax is monotone
+            # in the margin), ordering surrogate above that.
+            s = jnp.max(lg[..., 1:], axis=-1) - lg[..., 0]
+        else:
+            p = jax.nn.softmax(lg, axis=-1)
+            s = jnp.max(p[..., 1:], axis=-1)
+        score_lvls.append(s)  # [B, cells*k]
     return jnp.concatenate(score_lvls, axis=-1)  # [B, A]
 
 
 def deterministic_preselect_idx(
     cls_t, cls_k, cls_b, anchors_per_cell, n_cls, topk, approx_topk,
-    table_scale=None,
+    table_scale=None, scoring="softmax",
 ):
     """Dense deterministic preselection: `preselect_scores` + top-k indices.
 
@@ -1170,7 +1177,7 @@ def deterministic_preselect_idx(
     trunk+preselect prefix alone (`bench.py --segment preselect`)."""
     scores = preselect_scores(
         cls_t, cls_k, cls_b, anchors_per_cell, n_cls,
-        table_scale=table_scale,
+        table_scale=table_scale, scoring=scoring,
     )
 
     def presel(s):
@@ -1196,6 +1203,7 @@ def mc_forward_candidates_det(
     scale_factors=(1.0, 1.0, 1.0, 1.0),
     log_var_clip: float = 10.0,
     batch_base=0,
+    scoring: str = "softmax",
 ):
     """Candidates-only MC forward with DETERMINISTIC preselection
     (BayesConfig.preselect_source="deterministic"):
@@ -1237,7 +1245,7 @@ def mc_forward_candidates_det(
 
     idx = deterministic_preselect_idx(
         cls_t, cls_k, cls_b, k, n_cls, topk, approx_topk,
-        table_scale=head_table_scale(model.cfg, "cls"),
+        table_scale=head_table_scale(model.cfg, "cls"), scoring=scoring,
     )
 
     cand_probs = candidate_cls_probs(

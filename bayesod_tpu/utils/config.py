@@ -206,6 +206,15 @@ class BayesConfig:
     #     preselect is itself hoistable, so the honest delta needs the
     #     round-3 bench; BASELINE.md).
     preselect_source: str = "mc_mean"
+    # Score function for the DETERMINISTIC preselect's anchor ordering:
+    #   "softmax" (default) — max foreground softmax (reference semantics);
+    #   "margin" — max foreground logit minus background logit: the exact
+    #     same ordering for num_classes == 1 (softmax is monotone in the
+    #     one margin) and an ordering surrogate otherwise, skipping the
+    #     dense [B, A, C+1] softmax entirely (VPU work on every anchor).
+    #     Selection is ordering-only — the validity gate downstream reads
+    #     the exact MC-mean categorical either way (see preselect_source).
+    preselect_scoring: str = "softmax"
     # TPU-native approximate top-k for the candidate preselect (recall 0.99
     # vs exact; preselection is a heuristic filter). False = exact sort.
     approx_topk: bool = True

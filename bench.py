@@ -218,6 +218,12 @@ def main() -> None:
         help="preselection score source (bayes.preselect_source)",
     )
     p.add_argument(
+        "--preselect_scoring", default="softmax",
+        choices=["softmax", "margin"],
+        help="deterministic-preselect anchor ordering "
+        "(bayes.preselect_scoring; margin skips the dense softmax)",
+    )
+    p.add_argument(
         "--reg_finals", default="auto",
         choices=["auto", "dense", "stats", "candidates", "candidates_fused"],
         help="regression-final execution strategy",
@@ -347,6 +353,7 @@ def main() -> None:
         bayes=BayesConfig(
             num_mc_samples=args.samples, mode=args.mode,
             preselect_source=args.preselect,
+            preselect_scoring=args.preselect_scoring,
             epistemic="ensemble" if args.ensemble else "mc_dropout",
             pre_cluster_topk=args.topk,
         ),

@@ -484,3 +484,52 @@ def test_candidate_finals_sparse_chunk_skip_multichunk():
         d = np.abs(np.asarray(st_x) - np.asarray(st_p))
         scale = np.abs(np.asarray(st_x)).max()
         assert d.max() / scale < 0.02, (name, d.max(), scale)
+
+
+def test_preselect_margin_scoring():
+    """preselect_scoring="margin": ordering-identical to softmax for a
+    binary head (C+1 == 2), and the detect route runs end to end with
+    finite outputs for C > 1."""
+    from bayesod_tpu.models.retinanet import preselect_scores
+
+    rng = np.random.RandomState(3)
+    # Binary case: exact ordering equality (softmax monotone in margin).
+    ct = [jnp.asarray(rng.randn(2, 8, 16, 64), jnp.float32)]
+    k = jnp.asarray(rng.randn(3, 3, 64, 9 * 2) * 0.1, jnp.float32)
+    b = jnp.asarray(rng.randn(9 * 2) * 0.1, jnp.float32)
+    s_soft = preselect_scores(ct, k, b, 9, 2, scoring="softmax")
+    s_marg = preselect_scores(ct, k, b, 9, 2, scoring="margin")
+    assert (
+        np.argsort(np.asarray(s_soft), axis=-1)
+        == np.argsort(np.asarray(s_marg), axis=-1)
+    ).all()
+
+    from bayesod_tpu.infer import jit_detect_fn
+    from bayesod_tpu.models.retinanet import RetinaNet, init_variables
+    from bayesod_tpu.utils.config import (
+        BayesConfig, DataConfig, ExperimentConfig, ModelConfig,
+    )
+
+    cfg = ExperimentConfig(
+        model=ModelConfig(
+            num_classes=3, backbone="resnet18", fpn_channels=32,
+            head_depth=1, head_channels=128, norm="groupnorm",
+            compute_dtype="float32", dropout_rate=0.2,
+            head_final_backend="pallas", dropout_layers="last",
+            probs_reduce="fused", reg_finals="candidates_fused",
+        ),
+        bayes=BayesConfig(
+            num_mc_samples=3, score_threshold=0.0, pre_cluster_topk=128,
+            max_detections=8, preselect_source="deterministic",
+            preselect_scoring="margin",
+        ),
+        data=DataConfig(image_hw=(128, 128)),
+    )
+    model = RetinaNet(cfg=cfg.model, train=False)
+    v = init_variables(model, jax.random.PRNGKey(0), (128, 128))
+    out = jit_detect_fn(cfg, model)(
+        v, jax.random.uniform(jax.random.PRNGKey(2), (8, 128, 128, 3)),
+        jax.random.PRNGKey(1),
+    )
+    assert bool(jnp.all(jnp.isfinite(out.boxes)))
+    assert int(jnp.sum(out.valid)) > 0
