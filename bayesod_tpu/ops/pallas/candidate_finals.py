@@ -105,30 +105,24 @@ def _kernel(
     # fraction of the table's row chunks (score-ranked candidates cluster
     # on objects), and a row outside this chunk contributes an exact zero
     # to the one-hot matmul — so when NO window row lands in
-    # [base, base+chunk) both the chunk's DMA and its matmul are skipped.
-    # Gather MACs and table-stream bytes scale with occupancy instead of
-    # table size; worst case (every chunk occupied) is the old cost plus
-    # n_chunks [K9] compare+reduces.
-    hits = [
-        jnp.any((rows >= ci * chunk) & (rows < (ci + 1) * chunk))
-        for ci in range(n_chunks)
-    ]
-
-    def start_if_hit(slot, ci):
-        @pl.when(hits[ci])
-        def _():
-            chunk_dma(slot, ci).start()
-
-    start_if_hit(0, 0)
+    # [base, base+chunk) the chunk's matmul is skipped. Gather MACs scale
+    # with occupancy instead of table size; worst case (every chunk
+    # occupied) is the old cost plus n_chunks [K9] compare+reduces. The
+    # hit scalar is computed INLINE per iteration and the DMA stays
+    # unconditional: a precomputed hits list + conditional DMA starts blew
+    # the 16 MB scoped-VMEM stack at topk 512 (every iteration's
+    # temporaries live at once; measured 18.8 MB).
+    chunk_dma(0, 0).start()
     win_ref[...] = jnp.zeros((k9, c), jnp.bfloat16)
     for ci in range(n_chunks):
         if ci + 1 < n_chunks:
-            start_if_hit((ci + 1) % 2, ci + 1)
+            chunk_dma((ci + 1) % 2, ci + 1).start()
+        chunk_dma(ci % 2, ci).wait()
         base = ci * chunk
+        hit = jnp.any((rows >= base) & (rows < base + chunk))
 
-        @pl.when(hits[ci])
+        @pl.when(hit)
         def _(base=base, slot=ci % 2):
-            chunk_dma(slot, ci).wait()
             onehot_bool = (
                 rows
                 == base
@@ -373,6 +367,11 @@ def _candidate_finals(
             ],
         ),
         out_shape=jax.ShapeDtypeStruct((b, kp, cph), jnp.float32),
+        # The unrolled chunk loop's live matmul temporaries can exceed the
+        # default 16 MB scoped-VMEM stack at topk 512 (chunk-skip branches
+        # add bool masks per iteration); headroom is cheap — v5e has
+        # 128 MB VMEM and this kernel's persistent blocks use < 8 MB.
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=48 * 1024 * 1024),
         interpret=interpret,
     )(
         seed_arr,
