@@ -148,6 +148,12 @@ def image_pdq(
                 gb, int(gt_labels[g]), image_hw,
             )
 
+    # A detection with degenerate geometry (inf/NaN box, cov, or prob —
+    # possible from extreme modes at low score thresholds) would poison
+    # the Hungarian solver; its pairing quality is semantically zero, so
+    # it falls through to FP if unmatched. (linear_sum_assignment raises
+    # on ANY non-finite entry.)
+    quality = np.where(np.isfinite(quality), quality, 0.0)
     rows, cols = linear_sum_assignment(-quality)
     assigned = quality[rows, cols]
     tp = int(np.sum(assigned > 0.0))

@@ -125,3 +125,23 @@ def test_pdq_score_requires_hw():
     with pytest.raises(ValueError):
         pdq_score([{k: np.zeros((0, 4)) for k in (
             "det_boxes", "det_covs", "det_probs", "gt_boxes", "gt_labels")}])
+
+
+def test_image_pdq_nonfinite_detection_sanitized():
+    """A detection with non-finite geometry must not crash the Hungarian
+    assignment; it contributes zero pairing quality (FP if unmatched)."""
+    import numpy as np
+    from bayesod_tpu.eval.pdq import image_pdq
+
+    det_boxes = np.array([[10, 10, 30, 30], [5, 5, 20, 20]], np.float64)
+    det_covs = np.stack([
+        np.eye(4) * np.inf,  # degenerate
+        np.eye(4) * 4.0,
+    ])
+    det_probs = np.array([[0.1, 0.9, 0.0], [0.1, 0.8, 0.1]])
+    gt_boxes = np.array([[8, 8, 28, 28]], np.float64)
+    gt_labels = np.array([1])
+    r = image_pdq(det_boxes, det_covs, det_probs, gt_boxes, gt_labels,
+                  (64, 64))
+    assert np.isfinite(r["ppdq_sum"])
+    assert r["tp"] + r["fp"] == 2
