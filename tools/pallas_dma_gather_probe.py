@@ -170,11 +170,22 @@ def main() -> None:
     idx = jnp.asarray(rng.integers(0, R, (K,)), jnp.int32)
     want = np.asarray(_ref_gather(table, idx))
 
-    for name, fn in (
+    # CAUTION (measured 2026-08-21): running all three variants in one
+    # process WEDGED the axon tunnel claim for >20 min (kill -> stale
+    # claim; suspect = dsload's dynamic VMEM indexing hanging the core).
+    # Select ONE variant per process: --variant dma|dma2|dsload.
+    wanted = None
+    for a in sys.argv[1:]:
+        if a.startswith("--variant="):
+            wanted = a.split("=", 1)[1]
+    variants = (
         ("dsload", probe_dsload),
         ("dma", probe_dma),
         ("dma2", probe_dma2),
-    ):
+    )
+    if wanted:
+        variants = tuple(v for v in variants if v[0] == wanted)
+    for name, fn in variants:
         try:
             t0 = time.time()
             got = np.asarray(fn(table, idx))
