@@ -255,7 +255,7 @@ def main() -> None:
     p.add_argument(
         "--segment", default="full",
         choices=["full", "backbone", "features", "trunks", "preselect",
-                 "finals"],
+                 "preselect_conv", "preselect_score", "finals"],
         help="chain only a prefix of the serving graph (hoist-proofed, same "
         "harness): honest per-stage decomposition. 'features' = backbone+"
         "FPN; 'trunks' adds the deterministic head trunks; 'finals' adds "
