@@ -81,7 +81,10 @@ def main() -> None:
     # Honest (hoist-proofed) batch sweep on v5e-1: bf16 128 -> 476.3,
     # 160 -> 445.2, 256 -> 463.3; full int8-resident 128 -> 622.0 (best).
     # Default = 128, the measured optimum for both graphs.
-    p.add_argument("--batch", type=int, default=128)
+    # None resolves post-parse: 32 for --train (batch 128's train graph
+    # does not fit 16 GB HBM — measured OOM 30.7G), 128 otherwise (the
+    # serving optimum).
+    p.add_argument("--batch", type=int, default=None)
     p.add_argument("--iters", type=int, default=20)
     p.add_argument("--warmup", type=int, default=3)
     p.add_argument("--samples", type=int, default=10)
@@ -279,6 +282,8 @@ def main() -> None:
         "residual loop-invariant hoisting or early-return tunnel artifacts",
     )
     args = p.parse_args()
+    if args.batch is None:
+        args.batch = 32 if args.train else 128
 
     # Dtype-default resolution: the plain / --segment throughput bench
     # defaults to the production int8-resident serving graph (the honest
