@@ -22,6 +22,7 @@ jit train step next to the model (the reference computes them eagerly in TF).
 
 from __future__ import annotations
 
+import functools
 from typing import Dict, Tuple
 
 import jax
@@ -30,12 +31,28 @@ import jax.numpy as jnp
 from bayesod_tpu.losses.targets import AnchorTargets
 
 
+# jax.checkpoint on both losses (round 4): the losses expand the bf16 head
+# outputs into f32 [B,A,C+1] / [B,A,4] intermediates (log-softmax, powers,
+# exp); the single largest train-step HBM tensor was the focal loss's
+# stabilized f32 logits (1.5 GB/step at batch 32,
+# tools/hbm_attribution.py). Rematerializing recomputes those elementwise
+# chains in the backward from the already-saved bf16 logits. MEASURED
+# NEUTRAL on v5e (253.2 vs 253.8 ms/step): the attribution's
+# remat_compressed/uncompressed copies show this XLA build already
+# auto-compresses the loss saves, so the decorator mostly documents the
+# intent; kept because it is free and guards against builds without that
+# pass.
 def focal_loss(
     logits: jnp.ndarray,
     targets: AnchorTargets,
     alpha: float = 0.25,
     gamma: float = 2.0,
 ) -> jnp.ndarray:
+    return _focal_loss_remat(logits, targets, alpha, gamma)
+
+
+@functools.partial(jax.checkpoint, static_argnums=(2, 3))
+def _focal_loss_remat(logits, targets, alpha, gamma):
     """Categorical focal loss, summed and normalized by #positives.
 
     logits: [..., A, C+1]; targets fields broadcast as [..., A].
@@ -72,6 +89,15 @@ def attenuated_regression_loss(
     log_var_clip: float = 10.0,
     variance_weight: jnp.ndarray | float = 1.0,
 ) -> jnp.ndarray:
+    return _attenuated_remat(
+        deltas, log_vars, targets, variance_weight, residual, log_var_clip
+    )
+
+
+@functools.partial(jax.checkpoint, static_argnums=(4, 5))
+def _attenuated_remat(
+    deltas, log_vars, targets, variance_weight, residual, log_var_clip
+):
     """Aleatoric NLL on positive anchors, normalized by #positives.
 
     deltas/log_vars: [..., A, 4] predictions in encoded space.
