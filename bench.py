@@ -101,6 +101,14 @@ def main() -> None:
     )
     p.add_argument("--tiny", action="store_true", help="CI-sized model")
     p.add_argument(
+        "--weights_npz", default=None,
+        help="load trained weights (tools/export_weights.py archive) into "
+        "the bench model and feed synthetic SCENES instead of uniform "
+        "noise — random-init noise spreads the top-k candidates across "
+        "every table chunk (the sparse-chunk skip's worst case); trained "
+        "weights on scenes give the production candidate distribution",
+    )
+    p.add_argument(
         "--cpu", action="store_true",
         help="force CPU backend (mechanics check; not a perf number)",
     )
@@ -467,6 +475,32 @@ def main() -> None:
     else:
         model = RetinaNet(cfg=cfg.model, train=False)
         variables = init_variables(model, jax.random.PRNGKey(0), image_hw)
+    if args.weights_npz:
+        import numpy as _np
+        from flax import traverse_util as _tu
+
+        arch = _np.load(args.weights_npz)
+        new_vars = dict(variables)
+        for coll in ("params", "batch_stats"):
+            if coll not in variables:
+                continue
+            flat = _tu.flatten_dict(dict(variables[coll]), sep="/")
+            missing = [k for k in flat if f"{coll}/{k}" not in arch.files]
+            if missing:
+                raise SystemExit(
+                    f"--weights_npz misses {len(missing)} {coll} arrays "
+                    f"(config/archive mismatch), e.g. {missing[:3]}"
+                )
+            loaded = {
+                k: jnp.asarray(arch[f"{coll}/{k}"]).astype(flat[k].dtype)
+                for k in flat
+            }
+            new_vars[coll] = _tu.unflatten_dict(
+                {tuple(k.split("/")): v for k, v in loaded.items()}
+            )
+        variables = new_vars
+        print(f"[bench] loaded weights: {args.weights_npz} "
+              f"(step {int(arch['_step'])})", file=sys.stderr)
     if args.serve:
         _bench_serve(cfg, variables, args)
         return
@@ -474,10 +508,21 @@ def main() -> None:
     detect = build_detect_fn(cfg, model)
 
     rng = jax.random.PRNGKey(7)
-    images = jnp.asarray(
-        np.random.default_rng(0).uniform(0, 1, (args.batch, *image_hw, 3)),
-        jnp.float32,
-    )
+    if args.weights_npz:
+        # Scenes from the training distribution -> realistic (clustered)
+        # candidate sets for the tail kernels.
+        from bayesod_tpu.data.preprocess import normalize_images
+        from bayesod_tpu.data.synthetic import SyntheticDataset
+
+        _ds = SyntheticDataset(size=args.batch, image_hw=image_hw)
+        images = normalize_images(jnp.asarray(np.stack(
+            [_ds.example(i)["image"] for i in range(args.batch)]
+        )), cfg.data.mean, cfg.data.std)
+    else:
+        images = jnp.asarray(
+            np.random.default_rng(0).uniform(0, 1, (args.batch, *image_hw, 3)),
+            jnp.float32,
+        )
 
     # Measurement note: this environment's remote-PJRT tunnel neither blocks
     # reliably in block_until_ready nor executes dropped results, so
