@@ -163,38 +163,30 @@ class Detector:
         apply_temperature, so the serving ECE equals the report's
         `ece_calibrated`. Candidate selection and fusion are untouched.
 
-        where="logits": scale the final cls conv kernel+bias by 1/T — every
-        execution path emits logits/T at zero runtime cost, and the
-        sharpening also flows through preselection and category fusion.
-        NOTE: softmax-mean and fusion do not commute with tempering, so the
-        resulting calibration differs from the offline fit; prefer "output"
-        when reproducing a fitted T.
+        where="logits": set bayes.category_temperature — the detect graph
+        scales the final cls conv kernel+bias by 1/T, so every execution
+        path emits logits/T at zero runtime cost, and the tempering also
+        flows through preselection, clustering scores, and category fusion
+        (likelihood products / Dirichlet counts). NOTE: softmax-mean and
+        fusion do not commute with tempering, so the resulting calibration
+        differs from the offline fit; prefer "output" when reproducing a
+        fitted T, "logits" when tempering should reshape fusion itself.
         """
         if t <= 0:
             raise ValueError(f"temperature must be positive, got {t}")
-        if where == "output":
-            import dataclasses
-
-            cfg = dataclasses.replace(
-                self.cfg,
-                bayes=dataclasses.replace(
-                    self.cfg.bayes, output_temperature=float(t)
-                ),
-            )
-            return Detector(cfg, self.variables, self.batch_size, mesh=self._mesh)
-        if where != "logits":
+        if where not in ("output", "logits"):
             raise ValueError(f"where must be 'output' or 'logits', got {where}")
-        # Shallow-copy along the path (arrays are immutable; everything else
-        # stays shared with self.variables).
-        params = dict(self.variables["params"])
-        heads = dict(params["heads"])
-        heads["cls_out"] = jax.tree_util.tree_map(
-            lambda x: x / t, dict(heads["cls_out"])
+        import dataclasses
+
+        field = (
+            "output_temperature" if where == "output"
+            else "category_temperature"
         )
-        params["heads"] = heads
-        variables = dict(self.variables)
-        variables["params"] = params
-        return Detector(self.cfg, variables, self.batch_size, mesh=self._mesh)
+        cfg = dataclasses.replace(
+            self.cfg,
+            bayes=dataclasses.replace(self.cfg.bayes, **{field: float(t)}),
+        )
+        return Detector(cfg, self.variables, self.batch_size, mesh=self._mesh)
 
     def quantized(
         self,

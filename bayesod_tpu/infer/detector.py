@@ -423,6 +423,20 @@ def build_detect_fn(
         )
 
     def detect(variables, images: jnp.ndarray, rng: jax.Array) -> Detections:
+        if cfg.bayes.category_temperature != 1.0:
+            # Fold the pre-fusion temperature into the cls final conv:
+            # softmax((W x + b)/T) tempers the member categoricals BEFORE
+            # mean-softmax / clustering / category fusion on every route
+            # (weights are jit inputs — two tiny elementwise scales).
+            inv_t = 1.0 / float(cfg.bayes.category_temperature)
+            params = dict(variables["params"])
+            heads = dict(params["heads"])
+            cls_out = dict(heads["cls_out"])
+            cls_out["kernel"] = cls_out["kernel"] * inv_t
+            cls_out["bias"] = cls_out["bias"] * inv_t
+            heads["cls_out"] = cls_out
+            params["heads"] = heads
+            variables = {**dict(variables), "params": params}
         if tuple(images.shape[1:3]) != tuple(cfg.data.image_hw):
             # Trace-time guard: a transposed H/W still yields the same anchor
             # count (h*w commutes), so without this the graph runs and emits
@@ -472,13 +486,9 @@ def build_detect_fn(
                     ensemble_forward_candidates,
                     ensemble_forward_candidates_sp,
                 )
-                from bayesod_tpu.ops.anchors import feature_shapes
-                from bayesod_tpu.ops.candidate_reg import LevelTables
+                from bayesod_tpu.ops.candidate_reg import tables_for
 
-                tables = LevelTables(
-                    feature_shapes(cfg.data.image_hw, cfg.anchors),
-                    model.anchors_per_cell,
-                )
+                tables = tables_for(cfg, model.anchors_per_cell)
                 if mesh is None:
                     idx, valid_sel, cand_probs, cand_stats = (
                         ensemble_forward_candidates(
@@ -593,13 +603,9 @@ def build_detect_fn(
                 mc_forward_candidates,
                 mc_forward_candidates_det,
             )
-            from bayesod_tpu.ops.anchors import feature_shapes
-            from bayesod_tpu.ops.candidate_reg import LevelTables
+            from bayesod_tpu.ops.candidate_reg import tables_for
 
-            tables = LevelTables(
-                feature_shapes(cfg.data.image_hw, cfg.anchors),
-                model.anchors_per_cell,
-            )
+            tables = tables_for(cfg, model.anchors_per_cell)
 
             def candidates_fused_body(variables, images, rng, batch_base):
                 if cfg.bayes.preselect_source == "deterministic":
@@ -686,13 +692,9 @@ def build_detect_fn(
             # the XLA window gather dominates; kept as an option, the
             # "stats" route is the production reduced path.)
             from bayesod_tpu.models.retinanet import mc_forward_candidates
-            from bayesod_tpu.ops.anchors import feature_shapes
-            from bayesod_tpu.ops.candidate_reg import LevelTables
+            from bayesod_tpu.ops.candidate_reg import tables_for
 
-            tables = LevelTables(
-                feature_shapes(cfg.data.image_hw, cfg.anchors),
-                model.anchors_per_cell,
-            )
+            tables = tables_for(cfg, model.anchors_per_cell)
             preselect = lambda p: _preselect(
                 p, cfg.bayes.pre_cluster_topk, cfg.bayes.score_threshold,
                 approx=cfg.bayes.approx_topk,

@@ -64,8 +64,11 @@ def calibrate_backbone_scales(
 
     Returns:
       Sorted tuple of (site, scale) pairs for
-      ModelConfig.backbone_act_scales; sites are "stem" and
-      "<stageS_blockB>/{q1,q2,out}" ("q2" only for bottleneck variants).
+      ModelConfig.backbone_act_scales; sites are "stem",
+      "<stageS_blockB>/{q1,q2,out}" ("q2" only for bottleneck variants),
+      and "<stageS_block0>/proj" (pre-add projection-branch scale — the
+      round-5 s32-spill fix; resnet.py falls back to a bf16 proj epilogue
+      when absent, so pre-round-5 scale sets still serve).
     """
     from bayesod_tpu.models.retinanet import _dtype_of
 

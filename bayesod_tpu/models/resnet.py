@@ -130,6 +130,12 @@ class BottleneckBlock(nn.Module):
             residual = norm(name="bn_proj")(
                 conv(4 * self.features, 1, self.strides, "conv_proj")(residual)
             )
+            if self.capture:
+                # Pre-add projection-branch absmax: the int8_resident path
+                # requants this branch to int8 inside the conv_proj epilogue
+                # (site "proj") so the residual add reads int8, not a spilled
+                # s32 accumulator (DESIGN.md §8 round-4 probe).
+                self.sow("intermediates", "proj", _absmax(residual))
         out = nn.relu(y + residual)
         if self.capture:
             self.sow("intermediates", "out", _absmax(out))
@@ -138,7 +144,18 @@ class BottleneckBlock(nn.Module):
     def _int8_resident(self, xq):
         """int8-in/int8-out execution: conv int32 accumulate, folded-BN
         scale/shift + relu + requant in the conv epilogue (models/quant.py;
-        measured 1.82x over bf16 at C3 shape). xq is int8 at scales['in']."""
+        measured 1.82x over bf16 at C3 shape). xq is int8 at scales['in'].
+
+        Projection blocks: two convs feed the residual add, and XLA's conv
+        epilogue fusion can absorb the add tail into only ONE of them — the
+        other's raw s32 accumulator spilled to HBM (0.94 GB/batch-16, 23.6%
+        of quantized-backbone bytes; round-4 HLO probe, DESIGN.md §8). Fix:
+        give EACH branch its own single-consumer epilogue — conv_proj
+        requants to int8 at the calibrated pre-add scale (site "proj"),
+        conv3 dequantizes to bf16 — so the tensor crossing HBM is 1-2 bytes
+        either way, and the add+relu+requant runs as a cheap elementwise
+        pass. Falls back to a bf16 proj epilogue when the scale set predates
+        the "proj" site (old calibration caches)."""
         sc = dict(self.scales)
         s_in, s1, s2, s_out = sc["in"], sc["q1"], sc["q2"], sc["out"]
         cin, width = xq.shape[-1], self.features
@@ -162,11 +179,18 @@ class BottleneckBlock(nn.Module):
                 ConvKernel(4 * width, (1, 1), _INIT, name="conv_proj")(cin)
             )
             gp, bp = BNFold(name="bn_proj")(4 * width)
-            r = (
-                conv_int8(xq, wqp, self.strides).astype(jnp.float32)
-                * (s_in * wsp * gp)
-                + bp
-            )
+            acc_p = conv_int8(xq, wqp, self.strides)
+            s_proj = sc.get("proj")
+            if s_proj is not None:
+                rq = requant(acc_p, s_in * wsp * gp, bp, s_proj, relu=False)
+                r = rq.astype(jnp.float32) * s_proj
+            else:
+                r = (
+                    acc_p.astype(jnp.float32) * (s_in * wsp * gp) + bp
+                ).astype(jnp.bfloat16).astype(jnp.float32)
+            # bf16-bound the main branch too so whichever conv XLA leaves
+            # unfused spills 2 bytes/elem, not the 4-byte accumulator.
+            y = y.astype(jnp.bfloat16).astype(jnp.float32)
         else:
             r = xq.astype(jnp.float32) * s_in
         return quantize_act(jax.nn.relu(y + r), s_out)
@@ -200,6 +224,8 @@ class BasicBlock(nn.Module):
             residual = norm(name="bn_proj")(
                 conv(self.features, 1, self.strides, "conv_proj")(residual)
             )
+            if self.capture:
+                self.sow("intermediates", "proj", _absmax(residual))
         out = nn.relu(y + residual)
         if self.capture:
             self.sow("intermediates", "out", _absmax(out))
@@ -224,11 +250,18 @@ class BasicBlock(nn.Module):
                 ConvKernel(width, (1, 1), _INIT, name="conv_proj")(cin)
             )
             gp, bp = BNFold(name="bn_proj")(width)
-            r = (
-                conv_int8(xq, wqp, self.strides).astype(jnp.float32)
-                * (s_in * wsp * gp)
-                + bp
-            )
+            acc_p = conv_int8(xq, wqp, self.strides)
+            s_proj = sc.get("proj")
+            if s_proj is not None:
+                # Per-branch epilogues (see BottleneckBlock._int8_resident):
+                # int8 proj + bf16 main, no s32 accumulator crosses HBM.
+                rq = requant(acc_p, s_in * wsp * gp, bp, s_proj, relu=False)
+                r = rq.astype(jnp.float32) * s_proj
+            else:
+                r = (
+                    acc_p.astype(jnp.float32) * (s_in * wsp * gp) + bp
+                ).astype(jnp.bfloat16).astype(jnp.float32)
+            y = y.astype(jnp.bfloat16).astype(jnp.float32)
         else:
             r = xq.astype(jnp.float32) * s_in
         return quantize_act(jax.nn.relu(y + r), s_out)
@@ -354,6 +387,11 @@ class ResNet(nn.Module):
                     block_scales = (("in", in_scale),) + tuple(
                         (k, sc[f"{name}/{k}"]) for k in keys
                     )
+                    # Pre-add projection scale (round-5 s32-spill fix);
+                    # absent in pre-round-5 calibration sets -> the block
+                    # falls back to a bf16 proj epilogue.
+                    if f"{name}/proj" in sc:
+                        block_scales += (("proj", sc[f"{name}/proj"]),)
                     in_scale = sc[f"{name}/out"]
                 x = block_cls(
                     features=width,

@@ -1160,9 +1160,14 @@ def preselect_scores(
             # ordering — exact for n_cls == 2 (binary softmax is monotone
             # in the margin), ordering surrogate above that.
             s = jnp.max(lg[..., 1:], axis=-1) - lg[..., 0]
-        else:
+        elif scoring == "softmax":
             p = jax.nn.softmax(lg, axis=-1)
             s = jnp.max(p[..., 1:], axis=-1)
+        else:
+            raise ValueError(
+                f"unknown preselect_scoring {scoring!r} "
+                "(expected 'softmax' or 'margin')"
+            )
         score_lvls.append(s)  # [B, cells*k]
     return jnp.concatenate(score_lvls, axis=-1)  # [B, A]
 

@@ -40,21 +40,52 @@ import numpy as np
 
 
 class LevelTables:
-    """Static per-level index tables for a fixed image shape."""
+    """Static per-level index tables for a fixed image shape.
 
-    def __init__(self, level_hw: Sequence[Tuple[int, int]], anchors_per_cell: int):
+    `tile_hw=(th, tw)` switches the flattened [R, C] table view from
+    level-major/row-major to level-major/TILE-major: each level's grid is
+    padded to tile multiples and rows are ordered tile-by-tile (row-major
+    over tiles, row-major within a tile). With the candidate kernels'
+    stream chunk set to th*tw, a table chunk then corresponds to an IMAGE
+    TILE instead of a full-width band — so spatially clustered candidates
+    leave most chunks without a window row and the kernels' sparse-chunk
+    skip (ops/pallas/candidate_finals.py) actually skips. The round-4
+    measurement that motivates this: row-major 512-row chunks span entire
+    image-width bands at P3, defeating the skip (+1.3%; DESIGN.md §8).
+    """
+
+    def __init__(
+        self,
+        level_hw: Sequence[Tuple[int, int]],
+        anchors_per_cell: int,
+        tile_hw: "Tuple[int, int] | None" = None,
+    ):
         self.level_hw = tuple((int(h), int(w)) for h, w in level_hw)
         self.k = int(anchors_per_cell)
         cells = [h * w for h, w in self.level_hw]
         # Anchor-index boundaries (level-major layout, matching
         # ops/anchors.generate_anchors and heads.flatten_levels).
         self.anchor_bounds = np.cumsum([c * self.k for c in cells])
-        # Row offsets of each level's cells in the flattened [R, C] view.
-        self.row_offsets = np.concatenate([[0], np.cumsum(cells)[:-1]])
-        self.total_rows = int(np.sum(cells))
+        self.tile_hw = (
+            (int(tile_hw[0]), int(tile_hw[1])) if tile_hw else None
+        )
+        if self.tile_hw is None:
+            # Row offsets of each level's cells in the flattened [R, C] view.
+            self.row_offsets = np.concatenate([[0], np.cumsum(cells)[:-1]])
+            self.total_rows = int(np.sum(cells))
+            self.chunk = 512
+        else:
+            th, tw = self.tile_hw
+            self.pad_hw = tuple(
+                (-(-h // th) * th, -(-w // tw) * tw) for h, w in self.level_hw
+            )
+            cells_p = [hp * wp for hp, wp in self.pad_hw]
+            self.row_offsets = np.concatenate([[0], np.cumsum(cells_p)[:-1]])
+            self.total_rows = int(np.sum(cells_p))
+            self.chunk = th * tw
 
     def decompose(self, idx: jnp.ndarray):
-        """Global anchor idx [..] -> (level, cy, cx, a, row_global)."""
+        """Global anchor idx [..] -> (level, cy, cx, a, h_level, w_level)."""
         bounds = jnp.asarray(self.anchor_bounds[:-1], jnp.int32)
         level = jnp.sum(idx[..., None] >= bounds[None, :], axis=-1)
         starts = jnp.asarray(
@@ -68,8 +99,102 @@ class LevelTables:
         w_l = ws[level]
         cy = cell // w_l
         cx = cell - cy * w_l
-        row = jnp.asarray(self.row_offsets, jnp.int32)[level] + cell
         return level, cy, cx, a, hs[level], w_l
+
+    def cell_rows(self, level, cy, cx):
+        """Flat-table row id of cell (cy, cx) at `level` — the layout
+        contract shared by `flatten` and every candidate path (row-major or
+        tiled; (cy, cx) must already be in-map/clamped)."""
+        row_off = jnp.asarray(self.row_offsets, jnp.int32)[level]
+        if self.tile_hw is None:
+            ws = jnp.asarray([w for _, w in self.level_hw], jnp.int32)
+            return row_off + cy * ws[level] + cx
+        th, tw = self.tile_hw
+        tiles_w = jnp.asarray(
+            [wp // tw for _, wp in self.pad_hw], jnp.int32
+        )[level]
+        return (
+            row_off
+            + ((cy // th) * tiles_w + cx // tw) * (th * tw)
+            + (cy % th) * tw
+            + (cx % tw)
+        )
+
+    def window_rows(self, idx: jnp.ndarray):
+        """3x3 window rows for global anchor indices [B, K].
+
+        Returns (rows [B, K, 3, 3] int32 — flat-table row ids at CLAMPED
+        window coordinates, in_map [B, K, 3, 3] bool — False for taps
+        outside the level map (SAME-conv borders), a_idx [B, K] int32 —
+        anchor-in-cell)."""
+        level, cy, cx, a_idx, h_l, w_l = self.decompose(idx)
+        dy = jnp.arange(-1, 2, dtype=jnp.int32)
+        dx = jnp.arange(-1, 2, dtype=jnp.int32)
+        wy = cy[..., None, None] + dy[None, None, :, None]  # [B, K, 3, 3]
+        wx = cx[..., None, None] + dx[None, None, None, :]
+        in_map = (
+            (wy >= 0) & (wy < h_l[..., None, None])
+            & (wx >= 0) & (wx < w_l[..., None, None])
+        )
+        rows = self.cell_rows(
+            level[..., None, None],
+            jnp.clip(wy, 0, h_l[..., None, None] - 1),
+            jnp.clip(wx, 0, w_l[..., None, None] - 1),
+        )
+        return rows, in_map, a_idx
+
+    def flatten(self, levels: List[jnp.ndarray]) -> jnp.ndarray:
+        """Per-level [B, h, w, C] activations -> the flat [B, R, C] table in
+        this layout. Row-major: a free reshape+concat. Tiled: pad each level
+        to tile multiples and reorder via reshape/transpose — real data
+        movement, but ONE streaming pass over table bytes (~0.5 ms/batch at
+        production int8 shapes), bought back many times over by the
+        chunk-skip MAC cut; crucially NOT an indexed gather (XLA lowers
+        those to serial dynamic-slice loops on TPU — DESIGN.md §8 rule)."""
+        b = levels[0].shape[0]
+        c = levels[0].shape[-1]
+        if self.tile_hw is None:
+            return jnp.concatenate(
+                [t.reshape(b, -1, c) for t in levels], axis=1
+            )
+        th, tw = self.tile_hw
+        parts = []
+        for t, (h, w), (hp, wp) in zip(levels, self.level_hw, self.pad_hw):
+            tp = jnp.pad(t, ((0, 0), (0, hp - h), (0, wp - w), (0, 0)))
+            tp = tp.reshape(b, hp // th, th, wp // tw, tw, c)
+            tp = tp.transpose(0, 1, 3, 2, 4, 5)
+            parts.append(tp.reshape(b, hp * wp, c))
+        return jnp.concatenate(parts, axis=1)
+
+
+def parse_tile(spec: "str | None") -> "Tuple[int, int] | None":
+    """BayesConfig.candidate_tile "THxTW" -> (th, tw); None/"" -> None."""
+    if not spec:
+        return None
+    try:
+        th, tw = (int(v) for v in str(spec).lower().split("x"))
+    except ValueError as e:
+        raise ValueError(
+            f"candidate_tile must look like '16x32', got {spec!r}"
+        ) from e
+    if th <= 0 or tw <= 0 or (th * tw) % 128 != 0:
+        raise ValueError(
+            f"candidate_tile {spec!r}: th*tw must be a positive multiple "
+            "of 128 (it becomes the kernels' stream-chunk size)"
+        )
+    return th, tw
+
+
+def tables_for(cfg, anchors_per_cell: int) -> LevelTables:
+    """LevelTables for an ExperimentConfig: feature shapes at the padded
+    image size + the configured candidate-table layout."""
+    from bayesod_tpu.ops.anchors import feature_shapes
+
+    return LevelTables(
+        feature_shapes(cfg.data.image_hw, cfg.anchors),
+        anchors_per_cell,
+        tile_hw=parse_tile(cfg.bayes.candidate_tile),
+    )
 
 
 def _splitmix(z: jnp.ndarray) -> jnp.ndarray:
@@ -102,28 +227,12 @@ def candidate_reg_outputs(
     kk = idx.shape[1]
     n_a = tables.k
 
-    flat = jnp.concatenate(
-        [t.reshape(b, -1, c) for t in reg_t_levels], axis=1
-    )  # [B, R, C]
-
-    level, cy, cx, a_idx, h_l, w_l = tables.decompose(idx)
-    row_off = jnp.asarray(tables.row_offsets, jnp.int32)[level]  # [B, K]
+    flat = tables.flatten(reg_t_levels)  # [B, R, C]
 
     # 3x3 window rows in the flat view; taps outside the level map are
     # clamped for the gather and zeroed afterwards (SAME-conv borders).
-    dy = jnp.arange(-1, 2, dtype=jnp.int32)
-    dx = jnp.arange(-1, 2, dtype=jnp.int32)
-    wy = cy[..., None, None] + dy[None, None, :, None]  # [B, K, 3, 3]
-    wx = cx[..., None, None] + dx[None, None, None, :]
-    in_map = (
-        (wy >= 0) & (wy < h_l[..., None, None])
-        & (wx >= 0) & (wx < w_l[..., None, None])
-    )
-    rows = (
-        row_off[..., None, None]
-        + jnp.clip(wy, 0, h_l[..., None, None] - 1) * w_l[..., None, None]
-        + jnp.clip(wx, 0, w_l[..., None, None] - 1)
-    ).reshape(b, kk * 9)
+    rows, in_map, a_idx = tables.window_rows(idx)
+    rows = rows.reshape(b, kk * 9)
 
     # TPU gathers lower to a serial dynamic-slice loop (~124 ms/batch at
     # production shapes); the one-hot-matmul Pallas kernel does the same
@@ -261,11 +370,7 @@ def candidate_reg_stats(
 
     from bayesod_tpu.ops.pallas.candidate_finals import candidate_finals_stats
 
-    b = reg_t_levels[0].shape[0]
-    c = reg_t_levels[0].shape[-1]
-    flat = jnp.concatenate(
-        [t.reshape(b, -1, c) for t in reg_t_levels], axis=1
-    )
+    flat = tables.flatten(reg_t_levels)
     if table_scale is not None:
         from bayesod_tpu.models.quant import quantize_act
 
@@ -274,7 +379,7 @@ def candidate_reg_stats(
     return candidate_finals_stats(
         flat, rows_pm, a_idx, kernel, bias, seed, num_samples, keep_prob,
         tables.k, scale_factors=tuple(scale_factors),
-        log_var_clip=log_var_clip, batch_base=batch_base,
+        log_var_clip=log_var_clip, batch_base=batch_base, chunk=tables.chunk,
         table_scale=(
             None if table_scale is None else float(table_scale)
         ),
@@ -295,23 +400,9 @@ def tap_major_rows(idx: jnp.ndarray, tables: LevelTables):
     """(rows_pm [B, 9K] tap-major window row ids with -1 off-map, a_idx
     [B, K]) for the fused candidate kernels."""
     b, kk = idx.shape
-    level, cy, cx, a_idx, h_l, w_l = tables.decompose(idx)
-    row_off = jnp.asarray(tables.row_offsets, jnp.int32)[level]
-    dy = jnp.arange(-1, 2, dtype=jnp.int32)
-    dx = jnp.arange(-1, 2, dtype=jnp.int32)
-    wy = cy[..., None, None] + dy[None, None, :, None]  # [B, K, 3, 3]
-    wx = cx[..., None, None] + dx[None, None, None, :]
-    in_map = (
-        (wy >= 0) & (wy < h_l[..., None, None])
-        & (wx >= 0) & (wx < w_l[..., None, None])
-    )
-    rows = jnp.where(
-        in_map,
-        row_off[..., None, None]
-        + jnp.clip(wy, 0, h_l[..., None, None] - 1) * w_l[..., None, None]
-        + jnp.clip(wx, 0, w_l[..., None, None] - 1),
-        -1,  # off-map: one-hot never matches -> exact zero tap
-    )
+    rows, in_map, a_idx = tables.window_rows(idx)
+    # off-map: one-hot never matches -> exact zero tap
+    rows = jnp.where(in_map, rows, -1)
     rows_pm = rows.reshape(b, kk, 9).transpose(0, 2, 1).reshape(b, 9 * kk)
     return rows_pm, a_idx
 
@@ -354,11 +445,7 @@ def candidate_cls_probs(
 
     from bayesod_tpu.ops.pallas.candidate_finals import candidate_finals_probs
 
-    b = cls_t_levels[0].shape[0]
-    c = cls_t_levels[0].shape[-1]
-    flat = jnp.concatenate(
-        [t.reshape(b, -1, c) for t in cls_t_levels], axis=1
-    )
+    flat = tables.flatten(cls_t_levels)
     if table_scale is not None:
         from bayesod_tpu.models.quant import quantize_act
 
@@ -367,6 +454,7 @@ def candidate_cls_probs(
     return candidate_finals_probs(
         flat, rows_pm, a_idx, kernel, bias, seed, num_samples, keep_prob,
         tables.k, num_classes_incl_bg, batch_base=batch_base,
+        chunk=tables.chunk,
         table_scale=(
             None if table_scale is None else float(table_scale)
         ),

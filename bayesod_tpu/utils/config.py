@@ -193,6 +193,18 @@ class BayesConfig:
     # sets it; the 'logits' variant there tempers per-sample logits instead,
     # which does NOT commute with softmax-mean + fusion.)
     output_temperature: float = 1.0
+    # PRE-fusion calibration temperature on the classification logits
+    # (logits/T before every softmax): unlike output_temperature it reshapes
+    # the MEMBER categoricals that clustering scores and category fusion
+    # (likelihood product / Dirichlet counts) consume, so it changes the
+    # fusion weights themselves — the knob eval.uncertainty.fit_temperature's
+    # measured T (flagship: ~6.5, heavily overconfident) plugs into.
+    # Implemented by scaling the cls_out kernel/bias by 1/T at detect time
+    # (exact: softmax((Wx+b)/T)), so every route — dense, fused Pallas,
+    # candidates, ensembles — tempers identically. NOTE score_threshold and
+    # preselection then act on tempered scores (inherent to tempering).
+    # 1.0 = off.
+    category_temperature: float = 1.0
     score_threshold: float = 0.5
     pre_cluster_topk: int = 512  # static k kept after score preselect
     # Preselection score source (candidates_fused route only):
@@ -218,6 +230,16 @@ class BayesConfig:
     # TPU-native approximate top-k for the candidate preselect (recall 0.99
     # vs exact; preselection is a heuristic filter). False = exact sort.
     approx_topk: bool = True
+    # Candidate-kernel table layout (candidates_fused route): None = level-
+    # major/row-major (a 512-row stream chunk at P3 spans a full image-width
+    # band, so clustered candidates still touch most chunks and the kernels'
+    # sparse-chunk skip is neutral — measured +1.3%, DESIGN.md §8). "THxTW"
+    # (e.g. "16x32") reorders the flat table tile-major with stream chunk
+    # TH*TW, making a chunk an image TILE so the skip's gather MACs scale
+    # with spatial candidate occupancy. Same numerics either way (layout is
+    # a bijection on real rows; the dropout-mask stream keys on row ids, so
+    # draws differ between layouts but are distributionally identical).
+    candidate_tile: Optional[str] = None
     affinity_threshold: float = 0.7  # IoU to join a cluster (paper §III.B)
     max_detections: int = 100  # static cluster/output count
     nms_iou_threshold: float = 0.5  # greedy-NMS baseline mode

@@ -274,6 +274,13 @@ def main() -> None:
         "clustering/fusion); full-minus-finals is the post-processing tail",
     )
     p.add_argument(
+        "--tile", default=None, metavar="THxTW",
+        help="candidate-table tile layout (bayes.candidate_tile, e.g. "
+        "'16x32'): tile-major table rows + stream chunk TH*TW so the "
+        "candidate kernels' sparse-chunk skip scales gather MACs with "
+        "spatial candidate occupancy (round-5 lever; default row-major)",
+    )
+    p.add_argument(
         "--calibration_yaml", default="configs/bench_calibration.yaml",
         help="committed int8 calibration cache (capture is deterministic "
         "in init seed + calib batch + model config; see _load_calibration)",
@@ -369,6 +376,7 @@ def main() -> None:
             preselect_scoring=args.preselect_scoring,
             epistemic="ensemble" if args.ensemble else "mc_dropout",
             pre_cluster_topk=args.topk,
+            candidate_tile=args.tile,
         ),
         data=DataConfig(dataset="synthetic", image_hw=image_hw),
     )
@@ -392,9 +400,38 @@ def main() -> None:
         args.batch = 1
         args.iters = max(args.iters, 50)
 
-    if "int8_resident" in (
+    def _apply_weights_npz(variables):
+        """Overlay --weights_npz onto an init tree (dtype-preserving)."""
+        import numpy as _np
+        from flax import traverse_util as _tu
+
+        arch = _np.load(args.weights_npz)
+        new_vars = dict(variables)
+        for coll in ("params", "batch_stats"):
+            if coll not in variables:
+                continue
+            flat = _tu.flatten_dict(dict(variables[coll]), sep="/")
+            missing = [k for k in flat if f"{coll}/{k}" not in arch.files]
+            if missing:
+                raise SystemExit(
+                    f"--weights_npz misses {len(missing)} {coll} arrays "
+                    f"(config/archive mismatch), e.g. {missing[:3]}"
+                )
+            loaded = {
+                k: jnp.asarray(arch[f"{coll}/{k}"]).astype(flat[k].dtype)
+                for k in flat
+            }
+            new_vars[coll] = _tu.unflatten_dict(
+                {tuple(k.split("/")): v for k, v in loaded.items()}
+            )
+        print(f"[bench] loaded weights: {args.weights_npz} "
+              f"(step {int(arch['_step'])})", file=sys.stderr)
+        return new_vars
+
+    quantized_graph = "int8_resident" in (
         args.backbone_dtype, args.trunk_dtype, args.fpn_dtype
-    ) or args.table_dtype != "bf16":
+    ) or args.table_dtype != "bf16"
+    if quantized_graph:
         # init + calibrate through the bf16 path, then rebuild with static
         # per-site scales (backbone/fpn/head_trunk act_scales + row tables).
         import dataclasses
@@ -412,6 +449,11 @@ def main() -> None:
         )
         model = RetinaNet(cfg=bf16_cfg.model, train=False)
         variables = init_variables(model, jax.random.PRNGKey(0), image_hw)
+        if args.weights_npz:
+            # BEFORE calibration: the capture must see the weights it will
+            # serve — random-init scales clip a trained model's activation
+            # distribution (round-4 advisor finding).
+            variables = _apply_weights_npz(variables)
         calib = jnp.asarray(
             np.random.default_rng(0).uniform(
                 0, 1, (min(args.batch, 8), *image_hw, 3)
@@ -419,11 +461,18 @@ def main() -> None:
             jnp.float32,
         )
         # Everything the capture depends on, so a stale entry can't be
-        # silently reused; "v2" = the BN-in-FPN/trunks era.
+        # silently reused; "v2" = the BN-in-FPN/trunks era. v3 adds the
+        # "proj" backbone sites (round-5 s32-spill fix) and folds the
+        # weights source in.
+        wtag = ""
+        if args.weights_npz:
+            import os as _os
+
+            wtag = f"|w:{_os.path.basename(args.weights_npz)}"
         calib_key = (
-            f"v2|{'tiny' if args.tiny else 'r50'}|"
+            f"v3|{'tiny' if args.tiny else 'r50'}|"
             f"{image_hw[0]}x{image_hw[1]}|c{args.classes}|"
-            f"b{min(args.batch, 8)}"
+            f"b{min(args.batch, 8)}{wtag}"
         )
         t0 = time.time()
         scales = (
@@ -475,32 +524,9 @@ def main() -> None:
     else:
         model = RetinaNet(cfg=cfg.model, train=False)
         variables = init_variables(model, jax.random.PRNGKey(0), image_hw)
-    if args.weights_npz:
-        import numpy as _np
-        from flax import traverse_util as _tu
-
-        arch = _np.load(args.weights_npz)
-        new_vars = dict(variables)
-        for coll in ("params", "batch_stats"):
-            if coll not in variables:
-                continue
-            flat = _tu.flatten_dict(dict(variables[coll]), sep="/")
-            missing = [k for k in flat if f"{coll}/{k}" not in arch.files]
-            if missing:
-                raise SystemExit(
-                    f"--weights_npz misses {len(missing)} {coll} arrays "
-                    f"(config/archive mismatch), e.g. {missing[:3]}"
-                )
-            loaded = {
-                k: jnp.asarray(arch[f"{coll}/{k}"]).astype(flat[k].dtype)
-                for k in flat
-            }
-            new_vars[coll] = _tu.unflatten_dict(
-                {tuple(k.split("/")): v for k, v in loaded.items()}
-            )
-        variables = new_vars
-        print(f"[bench] loaded weights: {args.weights_npz} "
-              f"(step {int(arch['_step'])})", file=sys.stderr)
+    if args.weights_npz and not quantized_graph:
+        # (The quantized branch loads BEFORE its calibration capture.)
+        variables = _apply_weights_npz(variables)
     if args.serve:
         _bench_serve(cfg, variables, args)
         return
@@ -617,13 +643,9 @@ def main() -> None:
                 mc_forward_candidates,
                 mc_forward_candidates_det,
             )
-            from bayesod_tpu.ops.anchors import feature_shapes
-            from bayesod_tpu.ops.candidate_reg import LevelTables
+            from bayesod_tpu.ops.candidate_reg import tables_for
 
-            tables = LevelTables(
-                feature_shapes(cfg.data.image_hw, cfg.anchors),
-                model.anchors_per_cell,
-            )
+            tables = tables_for(cfg, model.anchors_per_cell)
 
             def call(variables, imgs, r):
                 if cfg.bayes.preselect_source == "deterministic":

@@ -533,3 +533,159 @@ def test_preselect_margin_scoring():
     )
     assert bool(jnp.all(jnp.isfinite(out.boxes)))
     assert int(jnp.sum(out.valid)) > 0
+
+
+class TestTiledTables:
+    """Tile-major candidate-table layout (LevelTables(tile_hw=...)):
+    layout bijection, cross-layout semantics, and Pallas/XLA parity."""
+
+    def test_flatten_matches_cell_rows(self):
+        """flatten()[b, cell_rows(l, y, x)] == levels[l][b, y, x] — the
+        layout contract shared by the gather and the kernels."""
+        rng = np.random.RandomState(1)
+        level_hw = [(8, 12), (4, 6), (2, 3)]
+        levels = [
+            jnp.asarray(rng.randn(2, h, w, 8), jnp.float32)
+            for h, w in level_hw
+        ]
+        t = LevelTables(level_hw, 9, tile_hw=(4, 4))
+        flat = np.asarray(t.flatten(levels))
+        for li, (h, w) in enumerate(level_hw):
+            ys, xs = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+            rows = np.asarray(
+                t.cell_rows(
+                    jnp.int32(li), jnp.asarray(ys, jnp.int32),
+                    jnp.asarray(xs, jnp.int32),
+                )
+            )
+            assert rows.min() >= 0 and rows.max() < t.total_rows
+            assert len(np.unique(rows)) == h * w  # bijection on real rows
+            np.testing.assert_array_equal(
+                flat[:, rows.reshape(-1)],
+                np.asarray(levels[li]).reshape(2, h * w, 8),
+            )
+
+    def test_total_rows_padded_to_tiles(self):
+        t = LevelTables([(8, 12), (3, 5)], 9, tile_hw=(4, 4))
+        # level 0: 8x12 exact; level 1: padded to 4x8
+        assert t.total_rows == 8 * 12 + 4 * 8
+        assert t.chunk == 16
+
+    def test_tiled_equals_untiled_keep1(self, fixture):
+        """Layout is a bijection on real rows -> identical outputs at
+        dropout 0 (mask streams key on row ids, so only dropout draws may
+        differ between layouts)."""
+        levels, kernel, bias, idx, tables, gathered = fixture
+        tiled = LevelTables(LEVEL_HW, KA, tile_hw=(4, 4))
+        out = np.asarray(
+            candidate_reg_outputs(
+                levels, kernel, bias, idx, jnp.int32(3), 2, 1.0, tiled
+            )
+        )
+        np.testing.assert_allclose(out[0], gathered, atol=3e-2)
+
+    def test_pallas_matches_xla_tiled(self):
+        """The fused kernel on a tile-major table (chunk = one tile) equals
+        the XLA composition — incl. dropout (same tiled row ids feed both
+        mask streams)."""
+        from bayesod_tpu.ops.candidate_reg import candidate_reg_stats
+
+        rng = np.random.RandomState(0)
+        level_hw = [(8, 16), (4, 8)]
+        levels = [
+            jnp.asarray(rng.randn(2, h, w, 128) * 0.5, jnp.float32)
+            for h, w in level_hw
+        ]
+        kernel = jnp.asarray(rng.randn(3, 3, 128, 72) * 0.05, jnp.float32)
+        bias = jnp.asarray(rng.randn(72) * 0.1, jnp.float32)
+        a_total = sum(h * w * 9 for h, w in level_hw)
+        idx = jnp.asarray(
+            rng.choice(a_total, size=(2, 128), replace=False), jnp.int32
+        )
+        tables = LevelTables(level_hw, 9, tile_hw=(4, 32))
+        sf = (1.0, 1.0, 2.0, 2.0)
+        for keep in (1.0, 0.7):
+            st_x = candidate_reg_stats(
+                levels, kernel, bias, idx, jnp.int32(5), 3, keep, tables,
+                sf, backend="xla",
+            )
+            st_p = candidate_reg_stats(
+                levels, kernel, bias, idx, jnp.int32(5), 3, keep, tables,
+                sf, backend="pallas",
+            )
+            d = np.abs(np.asarray(st_x) - np.asarray(st_p))
+            scale = np.abs(np.asarray(st_x)).max()
+            assert d.max() / scale < 0.02, (keep, d.max(), scale)
+
+    def test_parse_tile(self):
+        from bayesod_tpu.ops.candidate_reg import parse_tile
+
+        assert parse_tile(None) is None
+        assert parse_tile("") is None
+        assert parse_tile("16x32") == (16, 32)
+        with pytest.raises(ValueError, match="16x32"):
+            parse_tile("16")
+        with pytest.raises(ValueError, match="multiple"):
+            parse_tile("3x5")
+
+    def test_detect_route_with_candidate_tile(self):
+        """End-to-end detect() on the candidates_fused route with a tiled
+        table tracks the untiled run (same weights; dropout draws differ
+        by layout, so tolerances are MC-level, guarded by top-score
+        agreement)."""
+        from bayesod_tpu.infer import jit_detect_fn
+        from bayesod_tpu.models.retinanet import RetinaNet, init_variables
+        from bayesod_tpu.utils.config import (
+            BayesConfig,
+            DataConfig,
+            ExperimentConfig,
+            ModelConfig,
+        )
+
+        def mk(tile):
+            return ExperimentConfig(
+                model=ModelConfig(
+                    num_classes=3, backbone="resnet18", fpn_channels=32,
+                    head_depth=1, head_channels=128, norm="groupnorm",
+                    compute_dtype="float32", dropout_rate=0.0,
+                    head_final_backend="pallas", dropout_layers="last",
+                    probs_reduce="fused", reg_finals="candidates_fused",
+                ),
+                bayes=BayesConfig(
+                    num_mc_samples=2, score_threshold=0.0,
+                    pre_cluster_topk=128, max_detections=8,
+                    candidate_tile=tile,
+                ),
+                data=DataConfig(image_hw=(128, 128)),
+            )
+
+        cfg = mk(None)
+        model = RetinaNet(cfg=cfg.model, train=False)
+        v = init_variables(model, jax.random.PRNGKey(0), (128, 128))
+        img = jax.random.uniform(jax.random.PRNGKey(2), (2, 128, 128, 3))
+        rng = jax.random.PRNGKey(1)
+        o0 = jit_detect_fn(cfg, model)(v, img, rng)
+        cfg_t = mk("4x32")
+        ot = jit_detect_fn(cfg_t, RetinaNet(cfg=cfg_t.model, train=False))(
+            v, img, rng
+        )
+        # dropout 0 -> layouts agree exactly up to float reassociation
+        np.testing.assert_allclose(
+            np.asarray(o0.boxes), np.asarray(ot.boxes), atol=0.05
+        )
+        np.testing.assert_allclose(
+            np.asarray(o0.probs), np.asarray(ot.probs), atol=1e-4
+        )
+
+
+def test_preselect_scoring_validated():
+    """Unknown scoring values must error, not silently fall through to
+    softmax (round-4 advisor finding)."""
+    from bayesod_tpu.models.retinanet import preselect_scores
+
+    rng = np.random.RandomState(3)
+    ct = [jnp.asarray(rng.randn(1, 4, 4, 16), jnp.float32)]
+    k = jnp.asarray(rng.randn(3, 3, 16, 9 * 2) * 0.1, jnp.float32)
+    b = jnp.asarray(rng.randn(9 * 2) * 0.1, jnp.float32)
+    with pytest.raises(ValueError, match="preselect_scoring"):
+        preselect_scores(ct, k, b, 9, 2, scoring="Margin")

@@ -85,10 +85,30 @@ class TestInt8Resident:
             calibrate_backbone_scales(_cfg("resnet50"), _full_vars(v), x)
         )
         assert "stem" in scales
-        # resnet50: 3+4+6+3 = 16 bottleneck blocks x 3 sites + stem = 49
-        assert len(scales) == 49
+        # resnet50: 16 bottleneck blocks x 3 sites + stem + 4 projection
+        # ("proj") sites (one per stageN_block0) = 53
+        assert len(scales) == 53
         assert all(s > 0 for s in scales.values())
         assert "stage5_block2/out" in scales
+        for stage in (2, 3, 4, 5):
+            assert f"stage{stage}_block0/proj" in scales
+        assert "stage2_block1/proj" not in scales
+
+    def test_proj_scale_fallback(self):
+        """A pre-round-5 scale set (no 'proj' sites) must still serve: the
+        projection branch falls back to a bf16 epilogue."""
+        bk = _backbone("resnet18")
+        x = jax.random.normal(jax.random.PRNGKey(0), (2, 64, 128, 3))
+        v = bk.init(jax.random.PRNGKey(1), x)
+        scales = calibrate_backbone_scales(_cfg("resnet18"), _full_vars(v), x)
+        legacy = tuple((k, s) for k, s in scales if not k.endswith("/proj"))
+        bk8 = _backbone("resnet18", "int8_resident", act_scales=legacy)
+        out, out8 = bk.apply(v, x), bk8.apply(v, x)
+        for k in ("c3", "c4", "c5"):
+            a = np.asarray(out[k], np.float32)
+            b = np.asarray(out8[k], np.float32)
+            rel = np.abs(a - b).max() / np.abs(a).max()
+            assert rel < 0.10, (k, rel)
 
     def test_margin_scales_linearly(self):
         x = jnp.ones((1, 64, 64, 3))
