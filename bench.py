@@ -104,9 +104,13 @@ def main() -> None:
         "--weights_npz", default=None,
         help="load trained weights (tools/export_weights.py archive) into "
         "the bench model and feed synthetic SCENES instead of uniform "
-        "noise — random-init noise spreads the top-k candidates across "
-        "every table chunk (the sparse-chunk skip's worst case); trained "
-        "weights on scenes give the production candidate distribution",
+        "noise — trained weights on scenes give the production candidate "
+        "distribution (random-init scores degenerate-tie-break the top-k "
+        "into the first table chunks, a spuriously EASY case for the "
+        "chunk skip). None resolves to the committed flagship checkpoint "
+        "(data/outputs/flagship_r4/weights.npz) for the plain/--segment "
+        "KITTI-shape bench when the file exists; 'none' forces random "
+        "init",
     )
     p.add_argument(
         "--cpu", action="store_true",
@@ -324,6 +328,27 @@ def main() -> None:
         args.table_dtype = "bf16" if bf16_default else "int8"
     if args.topk is None:
         args.topk = 512 if bf16_default else 256
+    # Round-5 resolution: the plain/--segment bench measures the PRODUCTION
+    # candidate distribution — committed flagship weights + scene images —
+    # with tile-major candidate tables (853.5 img/s; random-init row-major
+    # numbers are spuriously fast for the chunk skip because near-tied
+    # random scores tie-break the top-k into the first chunks, and
+    # row-major on REAL clustered candidates is 12.9% slower than tiled:
+    # 756.0 vs 853.6, DESIGN.md §8 round-5 ledger). 'none' disables either.
+    _FLAGSHIP_NPZ = "data/outputs/flagship_r4/weights.npz"
+    if args.weights_npz is None:
+        args.weights_npz = (
+            _FLAGSHIP_NPZ
+            if (not bf16_default and args.hw is None
+                and args.classes == 3 and os.path.exists(_FLAGSHIP_NPZ))
+            else ""
+        )
+    elif args.weights_npz.lower() == "none":
+        args.weights_npz = ""
+    if args.tile is None:
+        args.tile = None if bf16_default else "16x32"
+    elif args.tile.lower() == "none":
+        args.tile = None
 
     if args.loader:
         _bench_loader(args)
