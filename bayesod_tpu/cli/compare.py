@@ -38,6 +38,7 @@ COLUMNS = (
     ("gaussian_mue", "gauss MUE"),
     ("categorical_nll", "cat NLL"),
     ("gaussian_nll", "gauss NLL"),
+    ("ece", "ECE"),
     ("pdq", "PDQ"),
     ("img_per_sec", "img/s"),
 )
