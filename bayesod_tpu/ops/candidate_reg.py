@@ -59,7 +59,16 @@ class LevelTables:
         level_hw: Sequence[Tuple[int, int]],
         anchors_per_cell: int,
         tile_hw: "Tuple[int, int] | None" = None,
+        sort_candidates: bool = True,
     ):
+        # Reorder each image's candidates by table row before the fused
+        # kernels (outputs restored to the caller's order afterwards —
+        # see candidate_sort / candidate_unsort): sorted candidates make
+        # the kernels' gather blocks span disjoint row ranges, so the
+        # block-gated gather fires on ~(row span)/chunk pairs instead of
+        # blocks x occupied-chunks. Numerics are EXACT either way (masks
+        # key on absolute row ids; unsort is a one-hot matmul).
+        self.sort_candidates = bool(sort_candidates)
         self.level_hw = tuple((int(h), int(w)) for h, w in level_hw)
         self.k = int(anchors_per_cell)
         cells = [h * w for h, w in self.level_hw]
@@ -194,6 +203,7 @@ def tables_for(cfg, anchors_per_cell: int) -> LevelTables:
         feature_shapes(cfg.data.image_hw, cfg.anchors),
         anchors_per_cell,
         tile_hw=parse_tile(cfg.bayes.candidate_tile),
+        sort_candidates=cfg.bayes.candidate_sort,
     )
 
 
@@ -375,8 +385,11 @@ def candidate_reg_stats(
         from bayesod_tpu.models.quant import quantize_act
 
         flat = quantize_act(flat, float(table_scale))
+    orig_pos = None
+    if tables.sort_candidates:
+        idx, orig_pos = candidate_sort(idx, tables)
     rows_pm, a_idx = tap_major_rows(idx, tables)
-    return candidate_finals_stats(
+    out = candidate_finals_stats(
         flat, rows_pm, a_idx, kernel, bias, seed, num_samples, keep_prob,
         tables.k, scale_factors=tuple(scale_factors),
         log_var_clip=log_var_clip, batch_base=batch_base, chunk=tables.chunk,
@@ -384,6 +397,7 @@ def candidate_reg_stats(
             None if table_scale is None else float(table_scale)
         ),
     )
+    return out if orig_pos is None else candidate_unsort(out, orig_pos)
 
 
 def _fake_quant_table(t: jnp.ndarray, scale: float) -> jnp.ndarray:
@@ -394,6 +408,37 @@ def _fake_quant_table(t: jnp.ndarray, scale: float) -> jnp.ndarray:
     return (
         quantize_act(t, float(scale)).astype(jnp.float32) * float(scale)
     ).astype(t.dtype)
+
+
+def candidate_sort(idx: jnp.ndarray, tables: LevelTables):
+    """Reorder each image's candidate list by flat-table row of the center
+    cell. Returns (idx_sorted [B, K], orig_pos [B, K]) where orig_pos[b, i]
+    is sorted-candidate i's position in the ORIGINAL (score-ranked) order;
+    restore per-candidate outputs with candidate_unsort. Implemented with a
+    multi-operand lax.sort — TPU-native, never an indexed gather."""
+    level, cy, cx, _, _, _ = tables.decompose(idx)
+    center = tables.cell_rows(level, cy, cx)
+    pos = jnp.broadcast_to(
+        jnp.arange(idx.shape[1], dtype=jnp.int32)[None, :], idx.shape
+    )
+    _, idx_sorted, orig_pos = jax.lax.sort(
+        (center, idx.astype(jnp.int32), pos), dimension=-1, num_keys=1
+    )
+    return idx_sorted, orig_pos
+
+
+def candidate_unsort(vals: jnp.ndarray, orig_pos: jnp.ndarray) -> jnp.ndarray:
+    """Per-candidate outputs [B, K, D] (sorted order) -> original order.
+    One-hot matmul — EXACT for any float payload (each output row is
+    1.0 * one input row + 0.0 * the rest) and MXU-friendly, per the no-
+    indexed-gathers-on-TPU rule (DESIGN.md §8)."""
+    k = vals.shape[1]
+    onehot = (
+        orig_pos[:, None, :] == jnp.arange(k, dtype=jnp.int32)[None, :, None]
+    )
+    return jnp.einsum(
+        "bji,bid->bjd", onehot.astype(vals.dtype), vals
+    )
 
 
 def tap_major_rows(idx: jnp.ndarray, tables: LevelTables):
@@ -450,8 +495,11 @@ def candidate_cls_probs(
         from bayesod_tpu.models.quant import quantize_act
 
         flat = quantize_act(flat, float(table_scale))
+    orig_pos = None
+    if tables.sort_candidates:
+        idx, orig_pos = candidate_sort(idx, tables)
     rows_pm, a_idx = tap_major_rows(idx, tables)
-    return candidate_finals_probs(
+    out = candidate_finals_probs(
         flat, rows_pm, a_idx, kernel, bias, seed, num_samples, keep_prob,
         tables.k, num_classes_incl_bg, batch_base=batch_base,
         chunk=tables.chunk,
@@ -459,3 +507,4 @@ def candidate_cls_probs(
             None if table_scale is None else float(table_scale)
         ),
     )
+    return out if orig_pos is None else candidate_unsort(out, orig_pos)

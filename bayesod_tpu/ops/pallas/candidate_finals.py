@@ -76,6 +76,7 @@ def _kernel(
     mode: str,  # "stats" (reg moments) | "probs" (cls mean softmax)
     group: int,  # lanes per anchor group (8 for reg, C+1 for cls)
     table_scale: Optional[float],  # int8 table: dequant scale (None = bf16)
+    gather_block: int,  # rows per gated gather block (divides 9*kp)
 ):
     b_idx = pl.program_id(0)
     # Absolute image index for the mask stream: seed_ref[0, 1] carries the
@@ -112,6 +113,17 @@ def _kernel(
     # unconditional: a precomputed hits list + conditional DMA starts blew
     # the 16 MB scoped-VMEM stack at topk 512 (every iteration's
     # temporaries live at once; measured 18.8 MB).
+    # Block-gated gather (round 5): the one-hot work is issued per
+    # (row BLOCK, chunk) pair, each block gated on whether its row RANGE
+    # overlaps the chunk. With candidates pre-sorted by table row (the
+    # caller's candidate_sort, ops/candidate_reg.py), the blocks of one
+    # tap partition a sorted sequence — their ranges are DISJOINT — so the
+    # total number of firing (block, chunk) pairs is ~(9 x candidate row
+    # span)/chunk + n_blocks instead of n_blocks x occupied chunks: both
+    # the [blk, chunk] iota+compare VPU work and the MXU MACs scale with
+    # how spread the candidates actually are. Unsorted callers are merely
+    # ungated (worst case = round-4 cost + cheap range reductions).
+    n_blocks = k9 // gather_block
     chunk_dma(0, 0).start()
     win_ref[...] = jnp.zeros((k9, c), jnp.bfloat16)
     for ci in range(n_chunks):
@@ -119,26 +131,33 @@ def _kernel(
             chunk_dma((ci + 1) % 2, ci + 1).start()
         chunk_dma(ci % 2, ci).wait()
         base = ci * chunk
-        hit = jnp.any((rows >= base) & (rows < base + chunk))
+        chunk_hit = jnp.any((rows >= base) & (rows < base + chunk))
 
-        @pl.when(hit)
+        @pl.when(chunk_hit)
         def _(base=base, slot=ci % 2):
-            onehot_bool = (
-                rows
-                == base
-                + jax.lax.broadcasted_iota(jnp.int32, (k9, chunk), 1)
-            )
-            if table_scale is None:
-                win_ref[...] = win_ref[...] + jnp.dot(
-                    onehot_bool.astype(jnp.bfloat16), chunk_ref[slot],
-                    preferred_element_type=jnp.float32,
-                ).astype(jnp.bfloat16)
-            else:
-                win_ref[...] = win_ref[...] + jax.lax.dot_general(
-                    onehot_bool.astype(jnp.int8), chunk_ref[slot],
-                    (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.int32,
-                ).astype(jnp.bfloat16)
+            for bj in range(n_blocks):
+                blk = jax.lax.slice(
+                    rows, (bj * gather_block, 0), ((bj + 1) * gather_block, 1)
+                )
+                hit = jnp.any((blk >= base) & (blk < base + chunk))
+
+                @pl.when(hit)
+                def _(blk=blk, bj=bj, base=base, slot=slot):
+                    onehot_bool = blk == base + jax.lax.broadcasted_iota(
+                        jnp.int32, (gather_block, chunk), 1
+                    )
+                    lo, hi = bj * gather_block, (bj + 1) * gather_block
+                    if table_scale is None:
+                        win_ref[lo:hi] = win_ref[lo:hi] + jnp.dot(
+                            onehot_bool.astype(jnp.bfloat16), chunk_ref[slot],
+                            preferred_element_type=jnp.float32,
+                        ).astype(jnp.bfloat16)
+                    else:
+                        win_ref[lo:hi] = win_ref[lo:hi] + jax.lax.dot_general(
+                            onehot_bool.astype(jnp.int8), chunk_ref[slot],
+                            (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.int32,
+                        ).astype(jnp.bfloat16)
     if table_scale is not None:
         win_ref[...] = (
             win_ref[...].astype(jnp.float32) * jnp.float32(table_scale)
@@ -234,7 +253,7 @@ def _kernel(
     static_argnames=(
         "num_samples", "keep_prob", "anchors_per_cell", "scale_factors",
         "log_var_clip", "interpret", "chunk", "mode", "group_size",
-        "table_scale",
+        "table_scale", "gather_block",
     ),
 )
 def _candidate_finals(
@@ -255,6 +274,7 @@ def _candidate_finals(
     group_size: int = 8,
     batch_base: jnp.ndarray | int = 0,
     table_scale: Optional[float] = None,
+    gather_block: int = 128,
 ) -> jnp.ndarray:
     """mode="stats": [B, K, REG_STATS] reg moment statistics;
     mode="probs": [B, K, group_size] mean softmax over each candidate's
@@ -279,6 +299,10 @@ def _candidate_finals(
     kp = _round_up(k, 128)
     if kp != k:
         raise ValueError(f"pre_cluster_topk {k} must be a multiple of 128")
+    if (9 * kp) % gather_block != 0:
+        raise ValueError(
+            f"gather_block {gather_block} must divide 9*topk = {9 * kp}"
+        )
     rp = _round_up(r, chunk)
     cout = kernel.shape[-1]
     if cout != anchors_per_cell * group_size:
@@ -341,6 +365,7 @@ def _candidate_finals(
             table_scale=(
                 None if table_scale is None else float(table_scale)
             ),
+            gather_block=gather_block,
         ),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,

@@ -240,6 +240,14 @@ class BayesConfig:
     # a bijection on real rows; the dropout-mask stream keys on row ids, so
     # draws differ between layouts but are distributionally identical).
     candidate_tile: Optional[str] = None
+    # Reorder each image's candidates by table row before the fused
+    # candidate kernels (outputs restored to score-ranked order by an
+    # exact one-hot matmul): sorted candidates give the kernels' block-
+    # gated gather disjoint row ranges per block, so gather MACs + one-hot
+    # VPU work scale with the candidates' actual row SPAN instead of
+    # blocks x occupied-chunks. Numerically exact either way (dropout
+    # masks key on absolute row ids). Off = round-4 ungated cost.
+    candidate_sort: bool = True
     affinity_threshold: float = 0.7  # IoU to join a cluster (paper §III.B)
     max_detections: int = 100  # static cluster/output count
     nms_iou_threshold: float = 0.5  # greedy-NMS baseline mode

@@ -278,6 +278,12 @@ def main() -> None:
         "clustering/fusion); full-minus-finals is the post-processing tail",
     )
     p.add_argument(
+        "--candidate_sort", default="on", choices=["on", "off"],
+        help="row-sort candidates before the fused kernels so the block-"
+        "gated gather scales with candidate row span "
+        "(bayes.candidate_sort; 'off' = round-4 ungated cost, for A/B)",
+    )
+    p.add_argument(
         "--tile", default=None, metavar="THxTW",
         help="candidate-table tile layout (bayes.candidate_tile, e.g. "
         "'16x32'): tile-major table rows + stream chunk TH*TW so the "
@@ -402,6 +408,7 @@ def main() -> None:
             epistemic="ensemble" if args.ensemble else "mc_dropout",
             pre_cluster_topk=args.topk,
             candidate_tile=args.tile,
+            candidate_sort=args.candidate_sort == "on",
         ),
         data=DataConfig(dataset="synthetic", image_hw=image_hw),
     )

@@ -689,3 +689,78 @@ def test_preselect_scoring_validated():
     b = jnp.asarray(rng.randn(9 * 2) * 0.1, jnp.float32)
     with pytest.raises(ValueError, match="preselect_scoring"):
         preselect_scores(ct, k, b, 9, 2, scoring="Margin")
+
+
+class TestCandidateSort:
+    """Row-sorted candidates + block-gated gather (round 5): exact
+    order-restoration and route-level equivalence."""
+
+    def test_sort_unsort_roundtrip(self):
+        from bayesod_tpu.ops.candidate_reg import (
+            candidate_sort,
+            candidate_unsort,
+        )
+
+        rng = np.random.RandomState(0)
+        tables = LevelTables(LEVEL_HW, KA)
+        idx = jnp.asarray(
+            rng.choice(A_TOTAL, size=(3, 40), replace=False), jnp.int32
+        )
+        idx_s, orig_pos = candidate_sort(idx, tables)
+        # sorted by center row, a permutation of the original set
+        level, cy, cx, _, _, _ = tables.decompose(idx_s)
+        rows = np.asarray(tables.cell_rows(level, cy, cx))
+        assert (np.diff(rows, axis=-1) >= 0).all()
+        assert (
+            np.sort(np.asarray(idx_s), axis=-1)
+            == np.sort(np.asarray(idx), axis=-1)
+        ).all()
+        # unsort restores any per-candidate payload exactly
+        payload = jnp.asarray(rng.randn(3, 40, 5), jnp.float32)
+        # payload laid out in SORTED order == original payload gathered
+        gathered = np.stack([
+            np.asarray(payload)[b][
+                np.argsort(np.asarray(orig_pos)[b], kind="stable")
+            ] for b in range(3)
+        ])
+        # candidate_unsort(sorted payload) must reproduce payload
+        sorted_payload = np.stack([
+            np.asarray(payload)[b][np.asarray(orig_pos)[b].argsort()]
+            for b in range(3)
+        ])
+        # simpler identity: build sorted view s with s[i] = payload[?]
+        # such that unsort(s)[orig_pos[i]] == s[i]
+        out = np.asarray(candidate_unsort(payload, orig_pos))
+        for b in range(3):
+            op = np.asarray(orig_pos)[b]
+            np.testing.assert_array_equal(out[b][op], np.asarray(payload)[b])
+
+    def test_sorted_equals_unsorted_route(self):
+        """candidate_reg_stats pallas route: sort on vs off is numerically
+        identical (masks key on absolute rows; unsort is exact)."""
+        from bayesod_tpu.ops.candidate_reg import candidate_reg_stats
+
+        rng = np.random.RandomState(0)
+        level_hw = [(8, 16), (4, 8)]
+        levels = [
+            jnp.asarray(rng.randn(2, h, w, 128) * 0.5, jnp.float32)
+            for h, w in level_hw
+        ]
+        kernel = jnp.asarray(rng.randn(3, 3, 128, 72) * 0.05, jnp.float32)
+        bias = jnp.asarray(rng.randn(72) * 0.1, jnp.float32)
+        a_total = sum(h * w * 9 for h, w in level_hw)
+        idx = jnp.asarray(
+            rng.choice(a_total, size=(2, 128), replace=False), jnp.int32
+        )
+        sf = (1.0, 1.0, 2.0, 2.0)
+        for keep in (1.0, 0.7):
+            outs = {}
+            for sort in (True, False):
+                tables = LevelTables(level_hw, 9, sort_candidates=sort)
+                outs[sort] = np.asarray(candidate_reg_stats(
+                    levels, kernel, bias, idx, jnp.int32(5), 3, keep,
+                    tables, sf, backend="pallas",
+                ))
+            np.testing.assert_allclose(
+                outs[True], outs[False], rtol=1e-6, atol=1e-5
+            )
