@@ -131,9 +131,15 @@ class FPN(nn.Module):
             acc = conv_int8(xq, wq, strides)
             return acc.astype(jnp.float32) * eff + shift
 
-        c3q = quantize_act(feats["c3"], sc["c3"])
-        c4q = quantize_act(feats["c4"], sc["c4"])
-        c5q = quantize_act(feats["c5"], sc["c5"])
+        def as_q(c, site):
+            # int8 input = the backbone's raw block output, already at
+            # THIS site's scale (RetinaNet.features verifies; the bf16
+            # dequant->requant it replaces was an exact identity).
+            return c if c.dtype == jnp.int8 else quantize_act(c, sc[site])
+
+        c3q = as_q(feats["c3"], "c3")
+        c4q = as_q(feats["c4"], "c4")
+        c5q = as_q(feats["c5"], "c5")
 
         l5 = qconv(c5q, sc["c5"], self.channels, 1, 1, "lateral5")
         l4 = qconv(c4q, sc["c4"], self.channels, 1, 1, "lateral4") + _upsample2x(l5)

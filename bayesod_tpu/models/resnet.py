@@ -309,6 +309,15 @@ class ResNet(nn.Module):
     # keeps each recomputation small enough to stay fused into its
     # backward consumers.
     block_remat: bool = False
+    # int8_resident only: return c3/c4/c5 as the RAW int8 block outputs
+    # (they already live in HBM as the next stage's input) instead of
+    # dequantizing to bf16. The consumer must quantize at the SAME scale
+    # the block output used (sc["stage{S}_block{last}/out"]) — then the
+    # bf16 dequant->requant roundtrip it replaces is an exact identity
+    # (round(q*s/s) == q) and ~0.66 GB/batch-16 of bf16 c-output traffic
+    # disappears. RetinaNet.features enables this when the FPN is also
+    # int8-resident and verifies the scales match (round 5).
+    raw_int8_outputs: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> Dict[str, jnp.ndarray]:
@@ -406,9 +415,13 @@ class ResNet(nn.Module):
                     name=name,
                 )(x)
             if stage >= 1:  # stages 3, 4, 5 -> strides 8, 16, 32
-                outputs[f"c{stage + 2}"] = (
-                    (x.astype(self.dtype) * jnp.asarray(in_scale, self.dtype))
-                    if resident
-                    else x
-                )
+                if resident and self.raw_int8_outputs:
+                    outputs[f"c{stage + 2}"] = x  # int8 at sc[.../out]
+                elif resident:
+                    outputs[f"c{stage + 2}"] = (
+                        x.astype(self.dtype)
+                        * jnp.asarray(in_scale, self.dtype)
+                    )
+                else:
+                    outputs[f"c{stage + 2}"] = x
         return outputs

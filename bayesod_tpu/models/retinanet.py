@@ -68,6 +68,7 @@ class RetinaNet(nn.Module):
             act_scales=self.cfg.backbone_act_scales,
             capture_scales=self.capture_scales,
             block_remat=self.block_remat,
+            raw_int8_outputs=self._int8_handoff(),
             name="backbone",
         )
         self.fpn = FPN(
@@ -94,6 +95,36 @@ class RetinaNet(nn.Module):
             log_var_bound=self.cfg.log_var_bound,
             name="heads",
         )
+
+    def _int8_handoff(self) -> bool:
+        """True when the backbone should hand c3/c4/c5 to the FPN as raw
+        int8 (both sides int8-resident AND the FPN's cN calibration scales
+        equal the backbone's corresponding block-output scales — they come
+        from the same capture pass over the same tensors, so equality is
+        the normal case; a hand-edited mismatch falls back to the exact
+        bf16 dequant handoff). Saves the bf16 c-output roundtrip
+        (~0.66 GB/batch-16; round-5 probe)."""
+        cfg = self.cfg
+        if (
+            cfg.backbone_dtype != "int8_resident"
+            or cfg.fpn_dtype != "int8_resident"
+            or not cfg.backbone_act_scales
+            or not cfg.fpn_act_scales
+        ):
+            return False
+        from bayesod_tpu.models.resnet import STAGE_SIZES
+
+        sizes = STAGE_SIZES[cfg.backbone]
+        bsc = dict(cfg.backbone_act_scales)
+        fsc = dict(cfg.fpn_act_scales)
+        for stage, c in ((1, "c3"), (2, "c4"), (3, "c5")):
+            out_site = f"stage{stage + 2}_block{sizes[stage] - 1}/out"
+            if out_site not in bsc or c not in fsc:
+                return False
+            b, f = bsc[out_site], fsc[c]
+            if abs(b - f) > 1e-9 * max(abs(b), abs(f), 1e-30):
+                return False
+        return True
 
     def features(self, images: jnp.ndarray) -> List[jnp.ndarray]:
         """Deterministic trunk: images [B,H,W,3] -> pyramid [P3..P7]."""

@@ -578,3 +578,98 @@ def test_quantized_dp_mesh_serving():
                 matched_ious.append(iou[i, j])
     assert matched / total >= 0.7, (matched, total)
     assert np.mean(matched_ious) > 0.98
+
+
+class TestInt8Handoff:
+    """Round-5 backbone->FPN raw-int8 handoff: enabled exactly when both
+    sides are int8-resident with matching c-scales; numerics unchanged
+    (the replaced bf16 dequant->requant was an identity on the int8
+    values up to one bf16 rounding)."""
+
+    def _quant_cfg(self):
+        import jax.numpy as jnp
+
+        from bayesod_tpu.models.calibration import quantized_serving_config
+        from bayesod_tpu.models.retinanet import RetinaNet, init_variables
+        from bayesod_tpu.utils.config import (
+            DataConfig,
+            ExperimentConfig,
+            ModelConfig,
+        )
+
+        cfg = ExperimentConfig(
+            model=ModelConfig(
+                num_classes=3, backbone="resnet18", fpn_channels=32,
+                head_depth=1, head_channels=32, norm="batchnorm",
+                compute_dtype="float32",
+            ),
+            data=DataConfig(image_hw=(64, 128)),
+        )
+        model = RetinaNet(cfg=cfg.model, train=False)
+        v = init_variables(model, jax.random.PRNGKey(0), (64, 128))
+        calib = jax.random.uniform(jax.random.PRNGKey(1), (2, 64, 128, 3))
+        return quantized_serving_config(cfg, v, calib), v
+
+    def test_handoff_active_and_int8(self):
+        from bayesod_tpu.models.retinanet import RetinaNet
+
+        qcfg, v = self._quant_cfg()
+        qmodel = RetinaNet(cfg=qcfg.model, train=False)
+        x = jax.random.uniform(jax.random.PRNGKey(2), (1, 64, 128, 3))
+        feats = qmodel.apply(v, x, method=lambda m, im: m.backbone(im))
+        assert all(feats[k].dtype == jnp.int8 for k in ("c3", "c4", "c5"))
+        # full features still run and produce finite pyramid levels
+        pyr = qmodel.apply(v, x, method=RetinaNet.features)
+        assert all(np.isfinite(np.asarray(p, np.float32)).all() for p in pyr)
+
+    def test_mismatched_scales_fall_back(self):
+        import dataclasses
+
+        from bayesod_tpu.models.retinanet import RetinaNet
+
+        qcfg, v = self._quant_cfg()
+        fsc = dict(qcfg.model.fpn_act_scales)
+        fsc["c5"] = fsc["c5"] * 2.0  # hand-edited mismatch
+        mcfg = dataclasses.replace(
+            qcfg.model, fpn_act_scales=tuple(sorted(fsc.items()))
+        )
+        qmodel = RetinaNet(cfg=mcfg, train=False)
+        x = jax.random.uniform(jax.random.PRNGKey(2), (1, 64, 128, 3))
+        feats = qmodel.apply(v, x, method=lambda m, im: m.backbone(im))
+        assert all(
+            feats[k].dtype != jnp.int8 for k in ("c3", "c4", "c5")
+        )  # bf16 dequant handoff
+
+    def test_handoff_matches_dequant_path(self):
+        """Pyramid through the raw-int8 handoff == the bf16 dequant
+        handoff to float tolerance (the requant was identity +- 1 ulp of
+        bf16 on the c tensors)."""
+        import dataclasses
+
+        from bayesod_tpu.models.retinanet import RetinaNet
+
+        qcfg, v = self._quant_cfg()
+        x = jax.random.uniform(jax.random.PRNGKey(2), (2, 64, 128, 3))
+        pyr_fast = RetinaNet(cfg=qcfg.model, train=False).apply(
+            v, x, method=RetinaNet.features
+        )
+        # force the fallback by perturbing one scale infinitesimally at
+        # the comparison level: rebuild with fpn scales cast through
+        # float32 str roundtrip mismatch — simpler: monkeypatch via a
+        # model whose backbone raw flag is off by construction
+        from bayesod_tpu.models.fpn import FPN
+        from bayesod_tpu.models.resnet import ResNet
+
+        fsc = dict(qcfg.model.fpn_act_scales)
+        fsc["c5"] = fsc["c5"] * (1 + 1e-6)  # disables handoff only
+        mcfg = dataclasses.replace(
+            qcfg.model, fpn_act_scales=tuple(sorted(fsc.items()))
+        )
+        pyr_ref = RetinaNet(cfg=mcfg, train=False).apply(
+            v, x, method=RetinaNet.features
+        )
+        for a, b in zip(pyr_fast, pyr_ref):
+            a = np.asarray(a, np.float32)
+            b = np.asarray(b, np.float32)
+            denom = max(np.abs(b).max(), 1e-6)
+            assert np.abs(a - b).max() / denom < 0.02
