@@ -373,15 +373,29 @@ class ResNet(nn.Module):
         else:
             raise ValueError(f"unknown stem '{self.stem}'")
         x = nn.relu(norm(name="bn_stem")(x))
-        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding="SAME")
-        if self.capture_scales:
-            self.sow("intermediates", "stem", _absmax(x))
-
         sc = dict(self.act_scales) if resident else None
         in_scale = None
         if resident:
+            # Quantize BEFORE the max-pool: max commutes with the monotone
+            # round/clip, so pool(quantize(x)) == quantize(pool(x)) EXACTLY
+            # — and the stem conv's epilogue then writes int8 instead of
+            # bf16 (the probe's single biggest bf16 tensor, 252 MB/b16).
+            # The stem "stem" calibration site is captured post-pool on the
+            # bf16 path; absmax(pool(x)) == absmax over a subset <= the
+            # pre-pool absmax, and relu makes every value >= 0 with the
+            # max guaranteed to survive pooling, so the SAME scale clips
+            # nothing extra. int8 max-pool via reduce_window (flax
+            # max_pool's -inf init is float-only).
             in_scale = sc["stem"]
             x = quantize_act(x, in_scale)
+            x = jax.lax.reduce_window(
+                x, jnp.int8(-128), jax.lax.max,
+                (1, 3, 3, 1), (1, 2, 2, 1), "SAME",
+            )
+        else:
+            x = nn.max_pool(x, (3, 3), strides=(2, 2), padding="SAME")
+        if self.capture_scales:
+            self.sow("intermediates", "stem", _absmax(x))
 
         outputs: Dict[str, jnp.ndarray] = {}
         widths = (64, 128, 256, 512)
