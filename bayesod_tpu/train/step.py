@@ -109,6 +109,7 @@ def build_train_step(cfg: ExperimentConfig, anchors: jnp.ndarray, model=None):
             residual=tc.residual,
             variance_weight=var_w,
             zloss_weight=tc.zloss_weight,
+            focal_backward=tc.focal_backward,
         )
         return total, (metrics, new_stats)
 

@@ -134,6 +134,11 @@ def main() -> None:
         help="measure host input-pipeline throughput (no TPU touched)",
     )
     p.add_argument(
+        "--focal_backward", default="autodiff",
+        choices=["autodiff", "custom"],
+        help="--train: focal-loss backward (custom = hand-derived VJP)",
+    )
+    p.add_argument(
         "--remat", default="none", choices=["none", "full", "blocks"],
         help="train-step forward rematerialization (TrainConfig.remat; "
         "'blocks' = per-residual-block nn.remat, the selective variant)",
@@ -967,7 +972,8 @@ def _bench_train(cfg, args) -> None:
     cfg = dataclasses.replace(
         cfg,
         train=dataclasses.replace(
-            cfg.train, batch_size=args.batch, remat=args.remat
+            cfg.train, batch_size=args.batch, remat=args.remat,
+            focal_backward=args.focal_backward
         ),
     )
     model = make_train_model(cfg)

@@ -278,3 +278,47 @@ def test_losses_jit_and_grad():
     g = jax.jit(jax.grad(f, argnums=(0, 1, 2)))(logits, deltas, log_vars)
     for arr in g:
         assert bool(jnp.all(jnp.isfinite(arr)))
+
+
+def test_focal_custom_vjp_matches_autodiff():
+    """Hand-derived focal VJP (losses._focal_custom) == reverse-mode
+    gradients to fp32 tolerance, value exactly equal (same forward)."""
+    import jax
+
+    from bayesod_tpu.losses.losses import focal_loss
+    from bayesod_tpu.losses.targets import AnchorTargets
+
+    rng = np.random.RandomState(0)
+    B, A, C1 = 2, 64, 4
+    logits = jnp.asarray(rng.randn(B, A, C1) * 3.0, jnp.float32)
+    tgt = jnp.asarray(rng.randint(0, C1, (B, A)), jnp.int32)
+    positive = tgt > 0
+    ignored = jnp.asarray(rng.rand(B, A) < 0.1) & ~positive
+    targets = AnchorTargets(
+        class_targets=tgt,
+        box_targets=jnp.zeros((B, A, 4), jnp.float32),
+        positive=positive,
+        ignored=ignored,
+    )
+    for gamma in (2.0, 1.5):
+        va = focal_loss(logits, targets, 0.25, gamma, backward="autodiff")
+        vc = focal_loss(logits, targets, 0.25, gamma, backward="custom")
+        assert np.allclose(float(va), float(vc), rtol=1e-6)
+        ga = jax.grad(
+            lambda z: focal_loss(z, targets, 0.25, gamma, backward="autodiff")
+        )(logits)
+        gc = jax.grad(
+            lambda z: focal_loss(z, targets, 0.25, gamma, backward="custom")
+        )(logits)
+        ga, gc = np.asarray(ga), np.asarray(gc)
+        denom = max(np.abs(ga).max(), 1e-12)
+        assert np.abs(ga - gc).max() / denom < 1e-4, (
+            gamma, np.abs(ga - gc).max(), denom
+        )
+    # bf16 logits path (the production dtype)
+    gb = jax.grad(
+        lambda z: focal_loss(z, targets, 0.25, 2.0, backward="custom")
+    )(logits.astype(jnp.bfloat16))
+    assert np.isfinite(np.asarray(gb, np.float32)).all()
+    with pytest.raises(ValueError, match="focal backward"):
+        focal_loss(logits, targets, backward="fancy")
