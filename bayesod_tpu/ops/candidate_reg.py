@@ -429,15 +429,22 @@ def candidate_sort(idx: jnp.ndarray, tables: LevelTables):
 
 def candidate_unsort(vals: jnp.ndarray, orig_pos: jnp.ndarray) -> jnp.ndarray:
     """Per-candidate outputs [B, K, D] (sorted order) -> original order.
-    One-hot matmul — EXACT for any float payload (each output row is
-    1.0 * one input row + 0.0 * the rest) and MXU-friendly, per the no-
-    indexed-gathers-on-TPU rule (DESIGN.md §8)."""
+    One-hot matmul — MXU-friendly per the no-indexed-gathers-on-TPU rule
+    (DESIGN.md §8). precision=HIGHEST is REQUIRED for exactness: TPU's
+    default fp32 matmul precision is one bf16 pass, which silently rounds
+    the payload to 8 mantissa bits — enough to flip the downstream
+    epistemic covariance E[x^2]-E[x]^2 NEGATIVE by catastrophic
+    cancellation (round-5 eval regression: fused boxes off by 50 px,
+    gauss NLL x5000, root-caused to exactly this). With HIGHEST the
+    product 1.0 * value is reconstructed in full fp32 and each output row
+    is exactly one input row."""
     k = vals.shape[1]
     onehot = (
         orig_pos[:, None, :] == jnp.arange(k, dtype=jnp.int32)[None, :, None]
     )
     return jnp.einsum(
-        "bji,bid->bjd", onehot.astype(vals.dtype), vals
+        "bji,bid->bjd", onehot.astype(vals.dtype), vals,
+        precision=jax.lax.Precision.HIGHEST,
     )
 
 
