@@ -83,13 +83,20 @@ def assign_targets(
     # an A-sized indexed gather to a serial dynamic-slice loop on TPU, and
     # the two gathers here measured 0.95 GB/img of the train step's HBM
     # traffic (DESIGN.md §8 "THE TPU GATHER RULE"; the one-hot form is
-    # 0.16 GB/img for the whole assignment). Exact: one_hot rows are a
-    # single 1.0, so the [A,G]x[G,4] matmul reproduces the selected rows
-    # bit-for-bit in fp32 (values and class ids are far below 2^24).
+    # 0.16 GB/img for the whole assignment). precision=HIGHEST is REQUIRED
+    # for the bit-for-bit claim: TPU's DEFAULT fp32 matmul precision is a
+    # single bf16 pass, which rounds pixel coordinates >256 to 8 mantissa
+    # bits (up to ~4 px at 1280 — silently noisy regression targets; the
+    # round-5 candidate_unsort bug was the same hazard). With HIGHEST the
+    # 1.0 x value products reconstruct full fp32 exactly.
     one_hot = jax.nn.one_hot(best_gt, gt_boxes.shape[0], dtype=jnp.float32)
-    matched_boxes = one_hot @ gt_boxes.astype(jnp.float32)  # [A, 4]
-    matched_classes = (
-        one_hot @ gt_classes.astype(jnp.float32)
+    matched_boxes = jnp.matmul(
+        one_hot, gt_boxes.astype(jnp.float32),
+        precision=jax.lax.Precision.HIGHEST,
+    )  # [A, 4]
+    matched_classes = jnp.matmul(
+        one_hot, gt_classes.astype(jnp.float32),
+        precision=jax.lax.Precision.HIGHEST,
     ).astype(jnp.int32)  # [A]
 
     class_targets = jnp.where(positive, matched_classes, 0)

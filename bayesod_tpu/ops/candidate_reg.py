@@ -305,7 +305,12 @@ def candidate_reg_outputs(
         a_idx[..., None] == jnp.arange(n_a, dtype=jnp.int32)[None, None, :]
     ).astype(jnp.float32)  # [B, K, k]
     per_anchor = all_out.reshape(num_samples, b, kk, n_a, group)
-    return jnp.einsum("nbkag,bka->nbkg", per_anchor, oh)
+    # HIGHEST: the one-hot pick must not round the fp32 payload through
+    # TPU's default one-bf16-pass fp32 matmul (see candidate_unsort).
+    return jnp.einsum(
+        "nbkag,bka->nbkg", per_anchor, oh,
+        precision=jax.lax.Precision.HIGHEST,
+    )
 
 
 def _stats_from_candidate_samples(
