@@ -401,6 +401,7 @@ def candidate_reg_stats(
         table_scale=(
             None if table_scale is None else float(table_scale)
         ),
+        gather_block=128 if tables.sort_candidates else None,
     )
     return out if orig_pos is None else candidate_unsort(out, orig_pos)
 
@@ -518,5 +519,6 @@ def candidate_cls_probs(
         table_scale=(
             None if table_scale is None else float(table_scale)
         ),
+        gather_block=128 if tables.sort_candidates else None,
     )
     return out if orig_pos is None else candidate_unsort(out, orig_pos)

@@ -274,7 +274,7 @@ def _candidate_finals(
     group_size: int = 8,
     batch_base: jnp.ndarray | int = 0,
     table_scale: Optional[float] = None,
-    gather_block: int = 128,
+    gather_block: Optional[int] = None,
 ) -> jnp.ndarray:
     """mode="stats": [B, K, REG_STATS] reg moment statistics;
     mode="probs": [B, K, group_size] mean softmax over each candidate's
@@ -299,6 +299,13 @@ def _candidate_finals(
     kp = _round_up(k, 128)
     if kp != k:
         raise ValueError(f"pre_cluster_topk {k} must be a multiple of 128")
+    if gather_block is None:
+        # Monolithic gather (one block = the round-4 formulation): the
+        # measured default — finer blocks only pay when the caller also
+        # row-sorts the candidates, and even then the gating overhead ate
+        # the savings at production scale (DESIGN.md §8 round-5 ledger:
+        # blocks+sort 842.5 vs monolithic 853.2 img/s).
+        gather_block = 9 * kp
     if (9 * kp) % gather_block != 0:
         raise ValueError(
             f"gather_block {gather_block} must divide 9*topk = {9 * kp}"
@@ -418,7 +425,7 @@ def candidate_finals_stats(*args, **kwargs):
 def candidate_finals_probs(
     flat, rows, a_idx, kernel, bias, seed, num_samples, keep_prob,
     anchors_per_cell, group_size, interpret=None, chunk=512, batch_base=0,
-    table_scale=None,
+    table_scale=None, gather_block=None,
 ):
     """Mean-softmax class probabilities at candidates (mode="probs"):
     [B, K, C+1] — the MC categorical (paper §III.A) computed only where
@@ -427,5 +434,5 @@ def candidate_finals_probs(
         flat, rows, a_idx, kernel, bias, seed, num_samples, keep_prob,
         anchors_per_cell, interpret=interpret, chunk=chunk,
         mode="probs", group_size=group_size, batch_base=batch_base,
-        table_scale=table_scale,
+        table_scale=table_scale, gather_block=gather_block,
     )

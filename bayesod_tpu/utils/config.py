@@ -242,12 +242,16 @@ class BayesConfig:
     candidate_tile: Optional[str] = None
     # Reorder each image's candidates by table row before the fused
     # candidate kernels (outputs restored to score-ranked order by an
-    # exact one-hot matmul): sorted candidates give the kernels' block-
-    # gated gather disjoint row ranges per block, so gather MACs + one-hot
-    # VPU work scale with the candidates' actual row SPAN instead of
-    # blocks x occupied-chunks. Numerically exact either way (dropout
-    # masks key on absolute row ids). Off = round-4 ungated cost.
-    candidate_sort: bool = True
+    # exact HIGHEST-precision one-hot matmul) and gate the gather in
+    # 128-row blocks so its MACs/VPU work scale with the candidates' row
+    # SPAN. Numerically exact either way (dropout masks key on absolute
+    # row ids; sorted==unsorted pinned bit-exact by
+    # tools/tpu_detect_parity_probe.py). MEASURED NEUTRAL-NEGATIVE at
+    # production scale (842.5 vs 853.2 img/s — the gating overhead eats
+    # the savings; the 45.8 ms finals segment is NOT gather-dominated,
+    # DESIGN.md §8 round-5 ledger), so the default stays off; the knob
+    # ships for candidate distributions sparser than the flagship's.
+    candidate_sort: bool = False
     affinity_threshold: float = 0.7  # IoU to join a cluster (paper §III.B)
     max_detections: int = 100  # static cluster/output count
     nms_iou_threshold: float = 0.5  # greedy-NMS baseline mode

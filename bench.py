@@ -283,10 +283,10 @@ def main() -> None:
         "clustering/fusion); full-minus-finals is the post-processing tail",
     )
     p.add_argument(
-        "--candidate_sort", default="on", choices=["on", "off"],
-        help="row-sort candidates before the fused kernels so the block-"
-        "gated gather scales with candidate row span "
-        "(bayes.candidate_sort; 'off' = round-4 ungated cost, for A/B)",
+        "--candidate_sort", default="off", choices=["on", "off"],
+        help="row-sort candidates + 128-row block-gated gather "
+        "(bayes.candidate_sort; measured neutral-negative at production "
+        "scale — 842.5 vs 853.2 — default off)",
     )
     p.add_argument(
         "--tile", default=None, metavar="THxTW",
