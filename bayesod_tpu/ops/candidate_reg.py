@@ -352,6 +352,7 @@ def candidate_reg_stats(
     backend: str = "auto",
     batch_base: "jnp.ndarray | int" = 0,
     table_scale: "float | None" = None,
+    table_input: str = "dma",
 ) -> jnp.ndarray:
     """[B, K, 18] per-candidate moment statistics.
 
@@ -402,6 +403,7 @@ def candidate_reg_stats(
             None if table_scale is None else float(table_scale)
         ),
         gather_block=128 if tables.sort_candidates else None,
+        table_input=table_input,
     )
     return out if orig_pos is None else candidate_unsort(out, orig_pos)
 
@@ -478,6 +480,7 @@ def candidate_cls_probs(
     backend: str = "auto",
     batch_base: "jnp.ndarray | int" = 0,
     table_scale: "float | None" = None,
+    table_input: str = "dma",
 ) -> jnp.ndarray:
     """[B, K, C+1] MC mean-softmax categoricals at the candidates only.
 
@@ -520,5 +523,6 @@ def candidate_cls_probs(
             None if table_scale is None else float(table_scale)
         ),
         gather_block=128 if tables.sort_candidates else None,
+        table_input=table_input,
     )
     return out if orig_pos is None else candidate_unsort(out, orig_pos)

@@ -48,7 +48,7 @@ def _kernel(
     seed_ref,  # [1, 2] int32 SMEM (scalar prefetch): (seed, batch base)
     rows_ref,  # [1, 1, K9] int32 — tap-major window row ids (-1 = off-map)
     aidx_ref,  # [1, 1, Kp] int32 — anchor-in-cell per candidate
-    flat_ref,  # [B, Rp, C] bf16 HBM (ANY)
+    flat_ref,  # dma: [B, Rp, C] HBM (ANY); resident: [1, Rp, C] VMEM block
     w_ref,  # [9, C, CPH] bf16 — final conv taps (lane-padded)
     b_ref,  # [1, CPH] fp32
     s_ref,  # [CPH, CPH] bf16 — segment-sum selector (lane l -> lane l%8)
@@ -56,10 +56,9 @@ def _kernel(
     p2_ref,
     e_ref,
     out_ref,  # [1, Kp, CPH] fp32
-    chunk_ref,  # [2, CHUNK, C] bf16 scratch (double-buffered table stream)
-    win_ref,  # [K9, C] bf16 scratch (gathered windows)
-    sem,  # DMA (2,)
-    *,
+    *scratch,  # dma: (chunk_ref [2, CHUNK, C], win_ref [K9, C], sem (2,));
+    #            resident: (win_ref,) — the table block is pipeline-managed
+    resident: bool,
     kp: int,
     rp: int,
     c: int,
@@ -78,6 +77,10 @@ def _kernel(
     table_scale: Optional[float],  # int8 table: dequant scale (None = bf16)
     gather_block: int,  # rows per gated gather block (divides 9*kp)
 ):
+    if resident:
+        (win_ref,) = scratch
+    else:
+        chunk_ref, win_ref, sem = scratch
     b_idx = pl.program_id(0)
     # Absolute image index for the mask stream: seed_ref[0, 1] carries the
     # shard's batch offset (zero unsharded) so a data-parallel shard_map
@@ -86,12 +89,14 @@ def _kernel(
     k9 = 9 * kp
     n_chunks = rp // chunk
 
-    def chunk_dma(slot, ci):
-        return pltpu.make_async_copy(
-            flat_ref.at[b_idx, pl.ds(ci * chunk, chunk)],
-            chunk_ref.at[slot],
-            sem.at[slot],
-        )
+    if not resident:
+
+        def chunk_dma(slot, ci):
+            return pltpu.make_async_copy(
+                flat_ref.at[b_idx, pl.ds(ci * chunk, chunk)],
+                chunk_ref.at[slot],
+                sem.at[slot],
+            )
 
     rows = rows_ref[0, 0, :].reshape(k9, 1)  # [K9, 1] int32
 
@@ -124,17 +129,19 @@ def _kernel(
     # how spread the candidates actually are. Unsorted callers are merely
     # ungated (worst case = round-4 cost + cheap range reductions).
     n_blocks = k9 // gather_block
-    chunk_dma(0, 0).start()
+    if not resident:
+        chunk_dma(0, 0).start()
     win_ref[...] = jnp.zeros((k9, c), jnp.bfloat16)
     for ci in range(n_chunks):
-        if ci + 1 < n_chunks:
-            chunk_dma((ci + 1) % 2, ci + 1).start()
-        chunk_dma(ci % 2, ci).wait()
+        if not resident:
+            if ci + 1 < n_chunks:
+                chunk_dma((ci + 1) % 2, ci + 1).start()
+            chunk_dma(ci % 2, ci).wait()
         base = ci * chunk
         chunk_hit = jnp.any((rows >= base) & (rows < base + chunk))
 
         @pl.when(chunk_hit)
-        def _(base=base, slot=ci % 2):
+        def _(base=base, ci=ci):
             for bj in range(n_blocks):
                 blk = jax.lax.slice(
                     rows, (bj * gather_block, 0), ((bj + 1) * gather_block, 1)
@@ -142,19 +149,27 @@ def _kernel(
                 hit = jnp.any((blk >= base) & (blk < base + chunk))
 
                 @pl.when(hit)
-                def _(blk=blk, bj=bj, base=base, slot=slot):
+                def _(blk=blk, bj=bj, base=base, ci=ci):
+                    # Resident mode: the whole per-image table is a
+                    # pipeline-managed VMEM block — chunks are static
+                    # slices of it (no manual DMA waits on the gather
+                    # path). dma mode: the double-buffered stream scratch.
+                    if resident:
+                        cdata = flat_ref[0, base : base + chunk]
+                    else:
+                        cdata = chunk_ref[ci % 2]
                     onehot_bool = blk == base + jax.lax.broadcasted_iota(
                         jnp.int32, (gather_block, chunk), 1
                     )
                     lo, hi = bj * gather_block, (bj + 1) * gather_block
                     if table_scale is None:
                         win_ref[lo:hi] = win_ref[lo:hi] + jnp.dot(
-                            onehot_bool.astype(jnp.bfloat16), chunk_ref[slot],
+                            onehot_bool.astype(jnp.bfloat16), cdata,
                             preferred_element_type=jnp.float32,
                         ).astype(jnp.bfloat16)
                     else:
                         win_ref[lo:hi] = win_ref[lo:hi] + jax.lax.dot_general(
-                            onehot_bool.astype(jnp.int8), chunk_ref[slot],
+                            onehot_bool.astype(jnp.int8), cdata,
                             (((1,), (0,)), ((), ())),
                             preferred_element_type=jnp.int32,
                         ).astype(jnp.bfloat16)
@@ -253,7 +268,7 @@ def _kernel(
     static_argnames=(
         "num_samples", "keep_prob", "anchors_per_cell", "scale_factors",
         "log_var_clip", "interpret", "chunk", "mode", "group_size",
-        "table_scale", "gather_block",
+        "table_scale", "gather_block", "table_input",
     ),
 )
 def _candidate_finals(
@@ -275,6 +290,7 @@ def _candidate_finals(
     batch_base: jnp.ndarray | int = 0,
     table_scale: Optional[float] = None,
     gather_block: Optional[int] = None,
+    table_input: str = "dma",
 ) -> jnp.ndarray:
     """mode="stats": [B, K, REG_STATS] reg moment statistics;
     mode="probs": [B, K, group_size] mean softmax over each candidate's
@@ -319,6 +335,22 @@ def _candidate_finals(
         raise ValueError("anchor groups exceed one lane tile")
 
     table_dtype = jnp.int8 if table_scale is not None else jnp.bfloat16
+    if table_input not in ("auto", "resident", "dma"):
+        raise ValueError(
+            f"table_input must be auto|resident|dma, got {table_input!r}"
+        )
+    # Resident tables (round 5): deliver the whole per-image table as a
+    # pipeline-managed VMEM block instead of manually streaming CHUNK-row
+    # slabs — Pallas overlaps the next image's table copy with this
+    # image's compute, and the gather loop loses all n_chunks serial DMA
+    # waits. Auto gates on the double-buffered footprint (2x table) plus
+    # the win/weight blocks staying well inside the 48 MB VMEM budget:
+    # KITTI int8 2.6 MB / bf16 5.2 MB and BDD int8 4.8 MB resident;
+    # BDD bf16 (9.6 MB; 2x = 19.2) also fits under the 12 MB gate.
+    itemsize = 1 if table_scale is not None else 2
+    resident = table_input == "resident" or (
+        table_input == "auto" and rp * c * itemsize <= 12 * 1024 * 1024
+    )
     flat_p = jnp.pad(flat.astype(table_dtype), ((0, 0), (0, rp - r), (0, 0)))
     w9 = jnp.zeros((9, c, cph), jnp.bfloat16).at[:, :, :cout].set(
         kernel.reshape(9, c, cout).astype(jnp.bfloat16)
@@ -373,6 +405,7 @@ def _candidate_finals(
                 None if table_scale is None else float(table_scale)
             ),
             gather_block=gather_block,
+            resident=resident,
         ),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
@@ -380,7 +413,14 @@ def _candidate_finals(
             in_specs=[
                 vec_spec(9 * kp),  # rows (tap-major)
                 vec_spec(kp),  # a_idx
-                pl.BlockSpec(memory_space=pltpu.ANY),  # flat table
+                (
+                    pl.BlockSpec(
+                        (1, rp, c), lambda bi, sref: (bi, 0, 0),
+                        memory_space=pltpu.VMEM,
+                    )
+                    if resident
+                    else pl.BlockSpec(memory_space=pltpu.ANY)
+                ),  # flat table
                 mat_spec((9, c, cph)),
                 mat_spec((1, cph)),
                 mat_spec((cph, cph)),
@@ -392,11 +432,15 @@ def _candidate_finals(
                 (1, kp, cph), lambda bi, sref: (bi, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
-            scratch_shapes=[
-                pltpu.VMEM((2, chunk, c), table_dtype),
-                pltpu.VMEM((9 * kp, c), jnp.bfloat16),
-                pltpu.SemaphoreType.DMA((2,)),
-            ],
+            scratch_shapes=(
+                [pltpu.VMEM((9 * kp, c), jnp.bfloat16)]
+                if resident
+                else [
+                    pltpu.VMEM((2, chunk, c), table_dtype),
+                    pltpu.VMEM((9 * kp, c), jnp.bfloat16),
+                    pltpu.SemaphoreType.DMA((2,)),
+                ]
+            ),
         ),
         out_shape=jax.ShapeDtypeStruct((b, kp, cph), jnp.float32),
         # The unrolled chunk loop's live matmul temporaries can exceed the
@@ -425,7 +469,7 @@ def candidate_finals_stats(*args, **kwargs):
 def candidate_finals_probs(
     flat, rows, a_idx, kernel, bias, seed, num_samples, keep_prob,
     anchors_per_cell, group_size, interpret=None, chunk=512, batch_base=0,
-    table_scale=None, gather_block=None,
+    table_scale=None, gather_block=None, table_input="dma",
 ):
     """Mean-softmax class probabilities at candidates (mode="probs"):
     [B, K, C+1] — the MC categorical (paper §III.A) computed only where
@@ -435,4 +479,5 @@ def candidate_finals_probs(
         anchors_per_cell, interpret=interpret, chunk=chunk,
         mode="probs", group_size=group_size, batch_base=batch_base,
         table_scale=table_scale, gather_block=gather_block,
+        table_input=table_input,
     )

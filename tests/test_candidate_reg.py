@@ -764,3 +764,85 @@ class TestCandidateSort:
             np.testing.assert_allclose(
                 outs[True], outs[False], rtol=1e-6, atol=1e-5
             )
+
+
+class TestResidentTable:
+    def test_resident_equals_dma_bitwise(self):
+        """table_input="resident" (whole per-image table as a pipelined
+        VMEM block) vs "dma" (manual chunk streaming): identical chunk
+        loop and math, so outputs must be BIT-equal — stats and probs,
+        bf16 and int8 tables, with and without dropout."""
+        from bayesod_tpu.ops.candidate_reg import tap_major_rows
+        from bayesod_tpu.ops.pallas.candidate_finals import (
+            candidate_finals_probs,
+            candidate_finals_stats,
+        )
+
+        rng = np.random.RandomState(3)
+        level_hw = [(16, 32), (8, 16)]
+        tables = LevelTables(level_hw, 9)
+        b, c = 2, 128
+        flat = jnp.asarray(
+            rng.randn(b, tables.total_rows, c) * 0.5, jnp.bfloat16
+        )
+        kernel = jnp.asarray(rng.randn(3, 3, c, 72) * 0.05, jnp.float32)
+        bias = jnp.asarray(rng.randn(72) * 0.1, jnp.float32)
+        a_total = sum(h * w * 9 for h, w in level_hw)
+        idx = jnp.asarray(
+            np.stack([
+                np.sort(rng.choice(a_total, size=128, replace=False))
+                for _ in range(b)
+            ]),
+            jnp.int32,
+        )
+        rows_pm, a_idx = tap_major_rows(idx, tables)
+        for scale in (None, 0.05):
+            f = flat
+            if scale is not None:
+                from bayesod_tpu.models.quant import quantize_act
+
+                f = quantize_act(flat, scale)
+            for keep in (1.0, 0.7):
+                outs = {}
+                for ti in ("dma", "resident"):
+                    st = candidate_finals_stats(
+                        f, rows_pm, a_idx, kernel, bias, jnp.int32(5), 3,
+                        keep, 9, chunk=tables.chunk, table_scale=scale,
+                        table_input=ti,
+                    )
+                    pr = candidate_finals_probs(
+                        f, rows_pm, a_idx, kernel, bias, jnp.int32(7), 3,
+                        keep, 9, 8, chunk=tables.chunk, table_scale=scale,
+                        table_input=ti,
+                    )
+                    outs[ti] = (np.asarray(st), np.asarray(pr))
+                np.testing.assert_array_equal(
+                    outs["dma"][0], outs["resident"][0]
+                )
+                np.testing.assert_array_equal(
+                    outs["dma"][1], outs["resident"][1]
+                )
+
+    def test_table_input_validated(self):
+        from bayesod_tpu.ops.candidate_reg import tap_major_rows
+        from bayesod_tpu.ops.pallas.candidate_finals import (
+            candidate_finals_stats,
+        )
+
+        rng = np.random.RandomState(0)
+        level_hw = [(8, 16)]
+        tables = LevelTables(level_hw, 9)
+        flat = jnp.asarray(
+            rng.randn(1, tables.total_rows, 128) * 0.5, jnp.bfloat16
+        )
+        kernel = jnp.asarray(rng.randn(3, 3, 128, 72) * 0.05, jnp.float32)
+        bias = jnp.zeros((72,), jnp.float32)
+        idx = jnp.asarray(
+            rng.choice(8 * 16 * 9, size=(1, 128), replace=False), jnp.int32
+        )
+        rows_pm, a_idx = tap_major_rows(idx, tables)
+        with pytest.raises(ValueError, match="table_input"):
+            candidate_finals_stats(
+                flat, rows_pm, a_idx, kernel, bias, jnp.int32(5), 1, 1.0,
+                9, chunk=tables.chunk, table_input="vmem",
+            )

@@ -31,6 +31,20 @@ def main() -> None:
     ap.add_argument("--batch", type=int, default=128)
     ap.add_argument("--topk", type=int, default=256)
     ap.add_argument("--iters", type=int, default=10)
+    ap.add_argument(
+        "--table_input", default="dma", choices=["auto", "dma", "resident"],
+        help="table delivery: manual chunk DMA stream vs pipelined "
+        "VMEM-resident block (round-5 A/B)",
+    )
+    ap.add_argument(
+        "--tile", default=None,
+        help="tile-major tables, e.g. 16x32 (the production layout)",
+    )
+    ap.add_argument(
+        "--clustered", action="store_true",
+        help="candidates clustered on a few object centers (the trained "
+        "production distribution) instead of uniform spread",
+    )
     args = ap.parse_args()
 
     import jax
@@ -41,7 +55,11 @@ def main() -> None:
     from bayesod_tpu.ops.pallas.candidate_finals import candidate_finals_stats
 
     level_hw = [(48, 160), (24, 80), (12, 40), (6, 20), (3, 10)]
-    tables = LevelTables(level_hw, 9)
+    tile = None
+    if args.tile:
+        th, tw = (int(v) for v in args.tile.lower().split("x"))
+        tile = (th, tw)
+    tables = LevelTables(level_hw, 9, tile_hw=tile, sort_candidates=False)
     b, c, k = args.batch, 256, args.topk
     rng = np.random.RandomState(0)
     flat = jnp.asarray(
@@ -50,13 +68,30 @@ def main() -> None:
     kernel = jnp.asarray(rng.randn(3, 3, c, 72) * 0.05, jnp.float32)
     bias = jnp.asarray(rng.randn(72) * 0.1, jnp.float32)
     a_total = sum(h * w * 9 for h, w in level_hw)
-    idx = jnp.asarray(
-        np.stack([
-            np.sort(rng.choice(a_total, size=k, replace=False))
-            for _ in range(b)
-        ]),
-        jnp.int32,
-    )
+    if args.clustered:
+        # ~4 object centers/image on P3; candidates = anchors in a 6x10-cell
+        # neighborhood of a center (what trained preselect scores produce).
+        h0, w0 = level_hw[0]
+        per_img = []
+        for _ in range(b):
+            cand = set()
+            while len(cand) < k:
+                cy = rng.randint(3, h0 - 3)
+                cx = rng.randint(5, w0 - 5)
+                for dy in range(-3, 3):
+                    for dx in range(-5, 5):
+                        for a in range(9):
+                            cand.add((((cy + dy) * w0) + (cx + dx)) * 9 + a)
+            per_img.append(np.sort(rng.permutation(sorted(cand))[:k]))
+        idx = jnp.asarray(np.stack(per_img), jnp.int32)
+    else:
+        idx = jnp.asarray(
+            np.stack([
+                np.sort(rng.choice(a_total, size=k, replace=False))
+                for _ in range(b)
+            ]),
+            jnp.int32,
+        )
     rows_pm, a_idx = tap_major_rows(idx, tables)
 
     def bench(n, keep, table_scale):
@@ -73,6 +108,7 @@ def main() -> None:
                 out = candidate_finals_stats(
                     fc, rows_pm, a_idx, kernel, bias, jnp.int32(5), n, keep,
                     9, table_scale=table_scale,
+                    table_input=args.table_input,
                 )
                 bump = (jnp.sum(out) * jnp.float32(1e-30)).astype(fc.dtype)
                 return fc + bump, ()
@@ -93,7 +129,8 @@ def main() -> None:
         return dt
 
     print(f"[microbench] {jax.devices()[0].device_kind}, batch {b}, "
-          f"topk {k}, iters {args.iters}", flush=True)
+          f"topk {k}, iters {args.iters}, table_input {args.table_input}",
+          flush=True)
     t = {}
     for scale in (0.05, None):
         for n, keep in ((1, 1.0), (10, 1.0), (10, 0.7)):
