@@ -76,6 +76,7 @@ def _kernel(
     group: int,  # lanes per anchor group (8 for reg, C+1 for cls)
     table_scale: Optional[float],  # int8 table: dequant scale (None = bf16)
     gather_block: int,  # rows per gated gather block (divides 9*kp)
+    dma_slots: int,  # outstanding table-stream copies (parallel DMA engines)
 ):
     if resident:
         (win_ref,) = scratch
@@ -99,6 +100,16 @@ def _kernel(
             )
 
     rows = rows_ref[0, 0, :].reshape(k9, 1)  # [K9, 1] int32
+    # Lane-packed view for the chunk/block HIT predicates: a [K9, 1]
+    # reduction occupies K9/8 near-empty (8, 128) vregs and pays a
+    # cross-sublane reduce per chunk — on a 25-chunk stream x 128 grid
+    # steps that scalar-ish loop was the kernel's occupancy-INDEPENDENT
+    # floor (round-5 microbench: ~8 ms/launch with ~zero occupied
+    # chunks, identical under dma/resident delivery). The same predicate
+    # over a [K9/128, 128] view is 16x fewer vregs and a cheap lane
+    # reduce. The one-hot builds keep the [K9, 1] broadcast form (they
+    # need rows against a [*, chunk] iota) and only run at HIT chunks.
+    rows_lp = rows_ref[0, 0, :].reshape(k9 // 128, 128)
 
     # ---- streamed one-hot gather: win[j] = flat[b, rows[j]] --------------
     # int8 table (table_scale set): the one-hot matmul runs int8 x int8 ->
@@ -130,15 +141,19 @@ def _kernel(
     # ungated (worst case = round-4 cost + cheap range reductions).
     n_blocks = k9 // gather_block
     if not resident:
-        chunk_dma(0, 0).start()
+        # Issue dma_slots copies up front and keep that many outstanding:
+        # with ~2 in flight the stream measured only ~50-120 GB/s (DMA
+        # engines underfed — round-5 microbench: time scales with BYTES,
+        # not transfer count, and is identical at chunk 256 vs 512);
+        # deeper occupancy engages engines in parallel.
+        for ci in range(min(dma_slots, n_chunks)):
+            chunk_dma(ci % dma_slots, ci).start()
     win_ref[...] = jnp.zeros((k9, c), jnp.bfloat16)
     for ci in range(n_chunks):
         if not resident:
-            if ci + 1 < n_chunks:
-                chunk_dma((ci + 1) % 2, ci + 1).start()
-            chunk_dma(ci % 2, ci).wait()
+            chunk_dma(ci % dma_slots, ci).wait()
         base = ci * chunk
-        chunk_hit = jnp.any((rows >= base) & (rows < base + chunk))
+        chunk_hit = jnp.any((rows_lp >= base) & (rows_lp < base + chunk))
 
         @pl.when(chunk_hit)
         def _(base=base, ci=ci):
@@ -146,10 +161,8 @@ def _kernel(
                 blk = jax.lax.slice(
                     rows, (bj * gather_block, 0), ((bj + 1) * gather_block, 1)
                 )
-                hit = jnp.any((blk >= base) & (blk < base + chunk))
 
-                @pl.when(hit)
-                def _(blk=blk, bj=bj, base=base, ci=ci):
+                def _gather(blk=blk, bj=bj, base=base, ci=ci):
                     # Resident mode: the whole per-image table is a
                     # pipeline-managed VMEM block — chunks are static
                     # slices of it (no manual DMA waits on the gather
@@ -157,7 +170,7 @@ def _kernel(
                     if resident:
                         cdata = flat_ref[0, base : base + chunk]
                     else:
-                        cdata = chunk_ref[ci % 2]
+                        cdata = chunk_ref[ci % dma_slots]
                     onehot_bool = blk == base + jax.lax.broadcasted_iota(
                         jnp.int32, (gather_block, chunk), 1
                     )
@@ -173,6 +186,25 @@ def _kernel(
                             (((1,), (0,)), ((), ())),
                             preferred_element_type=jnp.int32,
                         ).astype(jnp.bfloat16)
+
+                if n_blocks == 1:
+                    # Monolithic gather: the single block IS the chunk-hit
+                    # set — the outer predicate already gates it.
+                    _gather()
+                else:
+                    blk_lp = jax.lax.slice(
+                        rows_lp,
+                        (bj * gather_block // 128, 0),
+                        ((bj + 1) * gather_block // 128, 128),
+                    )
+                    pl.when(
+                        jnp.any((blk_lp >= base) & (blk_lp < base + chunk))
+                    )(_gather)
+
+        if not resident and ci + dma_slots < n_chunks:
+            # Refill the slot just consumed — AFTER the gather that read
+            # it; the other dma_slots-1 copies stay in flight meanwhile.
+            chunk_dma(ci % dma_slots, ci + dma_slots).start()
     if table_scale is not None:
         win_ref[...] = (
             win_ref[...].astype(jnp.float32) * jnp.float32(table_scale)
@@ -268,7 +300,7 @@ def _kernel(
     static_argnames=(
         "num_samples", "keep_prob", "anchors_per_cell", "scale_factors",
         "log_var_clip", "interpret", "chunk", "mode", "group_size",
-        "table_scale", "gather_block", "table_input",
+        "table_scale", "gather_block", "table_input", "dma_slots",
     ),
 )
 def _candidate_finals(
@@ -291,6 +323,7 @@ def _candidate_finals(
     table_scale: Optional[float] = None,
     gather_block: Optional[int] = None,
     table_input: str = "dma",
+    dma_slots: int = 2,
 ) -> jnp.ndarray:
     """mode="stats": [B, K, REG_STATS] reg moment statistics;
     mode="probs": [B, K, group_size] mean softmax over each candidate's
@@ -406,6 +439,7 @@ def _candidate_finals(
             ),
             gather_block=gather_block,
             resident=resident,
+            dma_slots=dma_slots,
         ),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
@@ -436,9 +470,9 @@ def _candidate_finals(
                 [pltpu.VMEM((9 * kp, c), jnp.bfloat16)]
                 if resident
                 else [
-                    pltpu.VMEM((2, chunk, c), table_dtype),
+                    pltpu.VMEM((dma_slots, chunk, c), table_dtype),
                     pltpu.VMEM((9 * kp, c), jnp.bfloat16),
-                    pltpu.SemaphoreType.DMA((2,)),
+                    pltpu.SemaphoreType.DMA((dma_slots,)),
                 ]
             ),
         ),
@@ -469,7 +503,7 @@ def candidate_finals_stats(*args, **kwargs):
 def candidate_finals_probs(
     flat, rows, a_idx, kernel, bias, seed, num_samples, keep_prob,
     anchors_per_cell, group_size, interpret=None, chunk=512, batch_base=0,
-    table_scale=None, gather_block=None, table_input="dma",
+    table_scale=None, gather_block=None, table_input="dma", dma_slots=2,
 ):
     """Mean-softmax class probabilities at candidates (mode="probs"):
     [B, K, C+1] — the MC categorical (paper §III.A) computed only where
@@ -479,5 +513,5 @@ def candidate_finals_probs(
         anchors_per_cell, interpret=interpret, chunk=chunk,
         mode="probs", group_size=group_size, batch_base=batch_base,
         table_scale=table_scale, gather_block=gather_block,
-        table_input=table_input,
+        table_input=table_input, dma_slots=dma_slots,
     )

@@ -40,6 +40,11 @@ def main() -> None:
         "--tile", default=None,
         help="tile-major tables, e.g. 16x32 (the production layout)",
     )
+    ap.add_argument("--dma_slots", type=int, default=2)
+    ap.add_argument(
+        "--quick", action="store_true",
+        help="only the production variant (N=10 keep=0.7, int8 + bf16)",
+    )
     ap.add_argument(
         "--clustered", action="store_true",
         help="candidates clustered on a few object centers (the trained "
@@ -107,8 +112,8 @@ def main() -> None:
                 fc = carry
                 out = candidate_finals_stats(
                     fc, rows_pm, a_idx, kernel, bias, jnp.int32(5), n, keep,
-                    9, table_scale=table_scale,
-                    table_input=args.table_input,
+                    9, table_scale=table_scale, chunk=tables.chunk,
+                    table_input=args.table_input, dma_slots=args.dma_slots,
                 )
                 bump = (jnp.sum(out) * jnp.float32(1e-30)).astype(fc.dtype)
                 return fc + bump, ()
@@ -129,12 +134,17 @@ def main() -> None:
         return dt
 
     print(f"[microbench] {jax.devices()[0].device_kind}, batch {b}, "
-          f"topk {k}, iters {args.iters}, table_input {args.table_input}",
+          f"topk {k}, iters {args.iters}, table_input {args.table_input} slots {args.dma_slots}",
           flush=True)
     t = {}
+    variants = (
+        ((10, 0.7),) if args.quick else ((1, 1.0), (10, 1.0), (10, 0.7))
+    )
     for scale in (0.05, None):
-        for n, keep in ((1, 1.0), (10, 1.0), (10, 0.7)):
+        for n, keep in variants:
             t[(n, keep, scale)] = bench(n, keep, scale)
+    if args.quick:
+        return
     for scale in (0.05, None):
         nm = "int8" if scale else "bf16"
         slope = (t[(10, 1.0, scale)] - t[(1, 1.0, scale)]) / 9.0
