@@ -60,6 +60,7 @@ class LevelTables:
         anchors_per_cell: int,
         tile_hw: "Tuple[int, int] | None" = None,
         sort_candidates: bool = True,
+        table_input: str = "dma",
     ):
         # Reorder each image's candidates by table row before the fused
         # kernels (outputs restored to the caller's order afterwards —
@@ -69,6 +70,10 @@ class LevelTables:
         # blocks x occupied-chunks. Numerics are EXACT either way (masks
         # key on absolute row ids; unsort is a one-hot matmul).
         self.sort_candidates = bool(sort_candidates)
+        # Table delivery policy for the fused kernels ("dma" | "gated" |
+        # "resident" | "auto") — carried here like chunk/tile/sort so every
+        # candidate path of one detector uses one policy.
+        self.table_input = str(table_input)
         self.level_hw = tuple((int(h), int(w)) for h, w in level_hw)
         self.k = int(anchors_per_cell)
         cells = [h * w for h, w in self.level_hw]
@@ -204,6 +209,7 @@ def tables_for(cfg, anchors_per_cell: int) -> LevelTables:
         anchors_per_cell,
         tile_hw=parse_tile(cfg.bayes.candidate_tile),
         sort_candidates=cfg.bayes.candidate_sort,
+        table_input=cfg.bayes.candidate_table_input,
     )
 
 
@@ -352,7 +358,7 @@ def candidate_reg_stats(
     backend: str = "auto",
     batch_base: "jnp.ndarray | int" = 0,
     table_scale: "float | None" = None,
-    table_input: str = "dma",
+    table_input: "str | None" = None,
 ) -> jnp.ndarray:
     """[B, K, 18] per-candidate moment statistics.
 
@@ -386,11 +392,19 @@ def candidate_reg_stats(
 
     from bayesod_tpu.ops.pallas.candidate_finals import candidate_finals_stats
 
-    flat = tables.flatten(reg_t_levels)
     if table_scale is not None:
+        # Quantize per level BEFORE the tile-major flatten: the per-tensor
+        # scale commutes with pad/transpose (quantize(0) == 0), so the
+        # result is bit-identical while the flatten's real data movement
+        # runs on int8 — half the transpose bytes, and XLA can fuse the
+        # requant into each trunk conv's epilogue instead of materializing
+        # the bf16 table first.
         from bayesod_tpu.models.quant import quantize_act
 
-        flat = quantize_act(flat, float(table_scale))
+        reg_t_levels = [
+            quantize_act(t, float(table_scale)) for t in reg_t_levels
+        ]
+    flat = tables.flatten(reg_t_levels)
     orig_pos = None
     if tables.sort_candidates:
         idx, orig_pos = candidate_sort(idx, tables)
@@ -403,7 +417,9 @@ def candidate_reg_stats(
             None if table_scale is None else float(table_scale)
         ),
         gather_block=128 if tables.sort_candidates else None,
-        table_input=table_input,
+        table_input=(
+            tables.table_input if table_input is None else table_input
+        ),
     )
     return out if orig_pos is None else candidate_unsort(out, orig_pos)
 
@@ -480,7 +496,7 @@ def candidate_cls_probs(
     backend: str = "auto",
     batch_base: "jnp.ndarray | int" = 0,
     table_scale: "float | None" = None,
-    table_input: str = "dma",
+    table_input: "str | None" = None,
 ) -> jnp.ndarray:
     """[B, K, C+1] MC mean-softmax categoricals at the candidates only.
 
@@ -506,11 +522,15 @@ def candidate_cls_probs(
 
     from bayesod_tpu.ops.pallas.candidate_finals import candidate_finals_probs
 
-    flat = tables.flatten(cls_t_levels)
     if table_scale is not None:
+        # Per-level quantize before flatten — bit-identical, int8-bytes
+        # transpose; see candidate_reg_stats.
         from bayesod_tpu.models.quant import quantize_act
 
-        flat = quantize_act(flat, float(table_scale))
+        cls_t_levels = [
+            quantize_act(t, float(table_scale)) for t in cls_t_levels
+        ]
+    flat = tables.flatten(cls_t_levels)
     orig_pos = None
     if tables.sort_candidates:
         idx, orig_pos = candidate_sort(idx, tables)
@@ -523,6 +543,8 @@ def candidate_cls_probs(
             None if table_scale is None else float(table_scale)
         ),
         gather_block=128 if tables.sort_candidates else None,
-        table_input=table_input,
+        table_input=(
+            tables.table_input if table_input is None else table_input
+        ),
     )
     return out if orig_pos is None else candidate_unsort(out, orig_pos)

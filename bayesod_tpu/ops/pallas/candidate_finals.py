@@ -59,6 +59,7 @@ def _kernel(
     *scratch,  # dma: (chunk_ref [2, CHUNK, C], win_ref [K9, C], sem (2,));
     #            resident: (win_ref,) — the table block is pipeline-managed
     resident: bool,
+    gated: bool,
     kp: int,
     rp: int,
     c: int,
@@ -77,6 +78,7 @@ def _kernel(
     table_scale: Optional[float],  # int8 table: dequant scale (None = bf16)
     gather_block: int,  # rows per gated gather block (divides 9*kp)
     dma_slots: int,  # outstanding table-stream copies (parallel DMA engines)
+    debug_skip: Optional[str],  # perf attribution: skip "gather"|"samples"
 ):
     if resident:
         (win_ref,) = scratch
@@ -140,7 +142,7 @@ def _kernel(
     # how spread the candidates actually are. Unsorted callers are merely
     # ungated (worst case = round-4 cost + cheap range reductions).
     n_blocks = k9 // gather_block
-    if not resident:
+    if not resident and not gated and debug_skip != "gather":
         # Issue dma_slots copies up front and keep that many outstanding:
         # with ~2 in flight the stream measured only ~50-120 GB/s (DMA
         # engines underfed — round-5 microbench: time scales with BYTES,
@@ -149,14 +151,24 @@ def _kernel(
         for ci in range(min(dma_slots, n_chunks)):
             chunk_dma(ci % dma_slots, ci).start()
     win_ref[...] = jnp.zeros((k9, c), jnp.bfloat16)
-    for ci in range(n_chunks):
-        if not resident:
+    for ci in range(0 if debug_skip == "gather" else n_chunks):
+        if not resident and not gated:
             chunk_dma(ci % dma_slots, ci).wait()
         base = ci * chunk
         chunk_hit = jnp.any((rows_lp >= base) & (rows_lp < base + chunk))
 
         @pl.when(chunk_hit)
         def _(base=base, ci=ci):
+            if gated:
+                # Gated stream (round 5): copy ONLY occupied chunks — at
+                # production occupancy (~2-8 of ~25 chunks) the table
+                # stream was the kernel's byte floor (skip-samples probe:
+                # 7.3 of 10.3 ms int8, dtype delta = bytes); the start is
+                # issued under the SAME predicate as its wait, so the
+                # semaphore discipline holds. Latency of the synchronous
+                # copy is paid only per hit chunk.
+                chunk_dma(0, ci).start()
+                chunk_dma(0, ci).wait()
             for bj in range(n_blocks):
                 blk = jax.lax.slice(
                     rows, (bj * gather_block, 0), ((bj + 1) * gather_block, 1)
@@ -169,6 +181,8 @@ def _kernel(
                     # path). dma mode: the double-buffered stream scratch.
                     if resident:
                         cdata = flat_ref[0, base : base + chunk]
+                    elif gated:
+                        cdata = chunk_ref[0]
                     else:
                         cdata = chunk_ref[ci % dma_slots]
                     onehot_bool = blk == base + jax.lax.broadcasted_iota(
@@ -201,11 +215,11 @@ def _kernel(
                         jnp.any((blk_lp >= base) & (blk_lp < base + chunk))
                     )(_gather)
 
-        if not resident and ci + dma_slots < n_chunks:
+        if not resident and not gated and ci + dma_slots < n_chunks:
             # Refill the slot just consumed — AFTER the gather that read
             # it; the other dma_slots-1 copies stay in flight meanwhile.
             chunk_dma(ci % dma_slots, ci + dma_slots).start()
-    if table_scale is not None:
+    if table_scale is not None and debug_skip != "gather":
         win_ref[...] = (
             win_ref[...].astype(jnp.float32) * jnp.float32(table_scale)
         ).astype(jnp.bfloat16)
@@ -228,7 +242,7 @@ def _kernel(
         + jax.lax.broadcasted_iota(jnp.uint32, (k9, c), 1)
     )
     acc_stats = jnp.zeros((kp, out_ref.shape[-1]), jnp.float32)
-    for n in range(num_samples):
+    for n in range(0 if debug_skip == "samples" else num_samples):
         if keep_prob < 1.0:
             stream = (
                 seed_ref[0, 0] * jnp.int32(1000003)
@@ -301,6 +315,7 @@ def _kernel(
         "num_samples", "keep_prob", "anchors_per_cell", "scale_factors",
         "log_var_clip", "interpret", "chunk", "mode", "group_size",
         "table_scale", "gather_block", "table_input", "dma_slots",
+        "debug_skip",
     ),
 )
 def _candidate_finals(
@@ -324,6 +339,7 @@ def _candidate_finals(
     gather_block: Optional[int] = None,
     table_input: str = "dma",
     dma_slots: int = 2,
+    debug_skip: Optional[str] = None,
 ) -> jnp.ndarray:
     """mode="stats": [B, K, REG_STATS] reg moment statistics;
     mode="probs": [B, K, group_size] mean softmax over each candidate's
@@ -368,9 +384,10 @@ def _candidate_finals(
         raise ValueError("anchor groups exceed one lane tile")
 
     table_dtype = jnp.int8 if table_scale is not None else jnp.bfloat16
-    if table_input not in ("auto", "resident", "dma"):
+    if table_input not in ("auto", "resident", "dma", "gated"):
         raise ValueError(
-            f"table_input must be auto|resident|dma, got {table_input!r}"
+            "table_input must be auto|resident|dma|gated, got "
+            f"{table_input!r}"
         )
     # Resident tables (round 5): deliver the whole per-image table as a
     # pipeline-managed VMEM block instead of manually streaming CHUNK-row
@@ -384,6 +401,7 @@ def _candidate_finals(
     resident = table_input == "resident" or (
         table_input == "auto" and rp * c * itemsize <= 12 * 1024 * 1024
     )
+    gated = table_input == "gated"
     flat_p = jnp.pad(flat.astype(table_dtype), ((0, 0), (0, rp - r), (0, 0)))
     w9 = jnp.zeros((9, c, cph), jnp.bfloat16).at[:, :, :cout].set(
         kernel.reshape(9, c, cout).astype(jnp.bfloat16)
@@ -439,7 +457,9 @@ def _candidate_finals(
             ),
             gather_block=gather_block,
             resident=resident,
+            gated=gated,
             dma_slots=dma_slots,
+            debug_skip=debug_skip,
         ),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
@@ -470,9 +490,11 @@ def _candidate_finals(
                 [pltpu.VMEM((9 * kp, c), jnp.bfloat16)]
                 if resident
                 else [
-                    pltpu.VMEM((dma_slots, chunk, c), table_dtype),
+                    pltpu.VMEM(
+                        ((1 if gated else dma_slots), chunk, c), table_dtype
+                    ),
                     pltpu.VMEM((9 * kp, c), jnp.bfloat16),
-                    pltpu.SemaphoreType.DMA((dma_slots,)),
+                    pltpu.SemaphoreType.DMA(((1 if gated else dma_slots),)),
                 ]
             ),
         ),

@@ -252,6 +252,19 @@ class BayesConfig:
     # DESIGN.md §8 round-5 ledger), so the default stays off; the knob
     # ships for candidate distributions sparser than the flagship's.
     candidate_sort: bool = False
+    # Candidate-kernel table delivery (ops/pallas/candidate_finals.py):
+    #   "dma"      — unconditional double-buffered chunk stream (round-3
+    #                formulation; reads the WHOLE table every launch)
+    #   "gated"    — chunk copy issued ONLY for occupied chunks: stream
+    #                bytes scale with spatial candidate occupancy like the
+    #                skip's MACs (round-5; the skip-samples probe showed
+    #                the unconditional stream was the kernel's byte floor)
+    #   "resident" — whole per-image table as a pipeline-managed VMEM
+    #                block (measured neutral vs dma; for big-VMEM parts)
+    #   "auto"     — resident when the table fits a 12 MB gate, else dma
+    # All four are BIT-identical (same chunk loop and math; pinned by
+    # TestResidentTable + tools/tpu_detect_parity_probe.py).
+    candidate_table_input: str = "dma"
     affinity_threshold: float = 0.7  # IoU to join a cluster (paper §III.B)
     max_detections: int = 100  # static cluster/output count
     nms_iou_threshold: float = 0.5  # greedy-NMS baseline mode

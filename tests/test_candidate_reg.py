@@ -804,7 +804,7 @@ class TestResidentTable:
                 f = quantize_act(flat, scale)
             for keep in (1.0, 0.7):
                 outs = {}
-                for ti in ("dma", "resident"):
+                for ti in ("dma", "resident", "gated"):
                     st = candidate_finals_stats(
                         f, rows_pm, a_idx, kernel, bias, jnp.int32(5), 3,
                         keep, 9, chunk=tables.chunk, table_scale=scale,
@@ -816,12 +816,9 @@ class TestResidentTable:
                         table_input=ti,
                     )
                     outs[ti] = (np.asarray(st), np.asarray(pr))
-                np.testing.assert_array_equal(
-                    outs["dma"][0], outs["resident"][0]
-                )
-                np.testing.assert_array_equal(
-                    outs["dma"][1], outs["resident"][1]
-                )
+                for ti in ("resident", "gated"):
+                    np.testing.assert_array_equal(outs["dma"][0], outs[ti][0])
+                    np.testing.assert_array_equal(outs["dma"][1], outs[ti][1])
 
     def test_table_input_validated(self):
         from bayesod_tpu.ops.candidate_reg import tap_major_rows

@@ -32,7 +32,7 @@ def main() -> None:
     ap.add_argument("--topk", type=int, default=256)
     ap.add_argument("--iters", type=int, default=10)
     ap.add_argument(
-        "--table_input", default="dma", choices=["auto", "dma", "resident"],
+        "--table_input", default="dma", choices=["auto", "dma", "resident", "gated"],
         help="table delivery: manual chunk DMA stream vs pipelined "
         "VMEM-resident block (round-5 A/B)",
     )
@@ -41,6 +41,7 @@ def main() -> None:
         help="tile-major tables, e.g. 16x32 (the production layout)",
     )
     ap.add_argument("--dma_slots", type=int, default=2)
+    ap.add_argument("--debug_skip", default=None, choices=["gather", "samples"])
     ap.add_argument(
         "--quick", action="store_true",
         help="only the production variant (N=10 keep=0.7, int8 + bf16)",
@@ -114,6 +115,7 @@ def main() -> None:
                     fc, rows_pm, a_idx, kernel, bias, jnp.int32(5), n, keep,
                     9, table_scale=table_scale, chunk=tables.chunk,
                     table_input=args.table_input, dma_slots=args.dma_slots,
+                    debug_skip=args.debug_skip,
                 )
                 bump = (jnp.sum(out) * jnp.float32(1e-30)).astype(fc.dtype)
                 return fc + bump, ()
@@ -134,7 +136,7 @@ def main() -> None:
         return dt
 
     print(f"[microbench] {jax.devices()[0].device_kind}, batch {b}, "
-          f"topk {k}, iters {args.iters}, table_input {args.table_input} slots {args.dma_slots}",
+          f"topk {k}, iters {args.iters}, table_input {args.table_input} slots {args.dma_slots} skip {args.debug_skip}",
           flush=True)
     t = {}
     variants = (
